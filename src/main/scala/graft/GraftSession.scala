@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Pins the configuration the engine depends on (SURVEY.md §7.0):
+  *
+  *   - UTC session time zone — the reference's TIMESTAMP is zoneless
+  *     wall-clock (SURVEY.md §1.2), and the DuckDB oracle runs in UTC.
+  *   - AQE enabled — runtime join re-selection, skew-join splitting and
+  *     shuffle-partition coalescing replace the reference's
+  *     `CommonJoinResolver` / `SkewJoinResolver` / `SetReducerParallelism`
+  *     physical resolvers (SURVEY.md §4.2) with strictly better,
+  *     runtime-statistics-driven equivalents.
+  *   - Shuffle parallelism sized for the local harness (32 = local core
+  *     count). On a real cluster this knob is left high and AQE's
+  *     `CoalesceShufflePartitions` shrinks post-shuffle partitions to fit;
+  *     the engine never hard-codes partition counts in operator code.
+  *   - Parquet timestamps written as INT64 micros so any engine (DuckDB,
+  *     Arrow) reads verification dumps without INT96 legacy handling.
+  */
+object GraftSession {
+
+  /** Apply graft's pinned configuration to an arbitrary builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/benchmarks; registers graft's SQL functions. */
+  def local(cores: String = "*", appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(s)
+    s
+  }
+}
