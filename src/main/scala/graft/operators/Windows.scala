@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.sources.Tables
+
+/** Window functions — the reference's `PTFOperator` +
+  * `WindowingTableFunction` surface (SURVEY.md §2.4): ranking, running
+  * aggregates, ROWS and RANGE frames, lag/lead, ntile/percent_rank/
+  * cume_dist, first/last_value.
+  *
+  * Scale notes: a window spec shuffles once on `partitionBy` keys and
+  * sorts within partitions — identical to the reference's
+  * ReduceSink(key=partition, sort=order) + PTF pipeline. Keys chosen here
+  * (nationkey, custkey, orderstatus) are bounded-cardinality or
+  * well-distributed; no single-partition global windows except where the
+  * semantics demand a total order (q17 percent ranks — the reference has
+  * the same single-reducer constraint for global ORDER BY, SURVEY.md §2.5).
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank with deterministic tie-break. */
+  val q13WindowRank: Q = Q(
+    "q13_window_rank",
+    """SELECT c_custkey, c_nationkey, c_acctbal, rn, rk, drk FROM (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey
+      |               ORDER BY c_acctbal DESC, c_custkey)
+      |) WHERE rn <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        row_number().over(w).as("rn"), rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter($"rn" <= 3)
+  }
+
+  /** Running sum + 3-row moving average (ROWS frame). */
+  val q14WindowRunning: Q = Q(
+    "q14_window_running",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW), 2) AS running_spend,
+      |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING
+      |    AND CURRENT ROW), 4) AS moving_avg3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        round(sum($"o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"),
+        round(avg($"o_totalprice").over(w.rowsBetween(-2, 0)), 4)
+          .as("moving_avg3"))
+  }
+
+  /** RANGE frame over a numeric ordering: orders within 10k price below
+    * each order. Value-bounded frames are deterministic under ties. */
+  val q15WindowRange: Q = Q(
+    "q15_window_range",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  count(*) OVER (w RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+      |    AS n_in_band,
+      |  round(sum(o_totalprice) OVER (w RANGE BETWEEN 10000 PRECEDING
+      |    AND CURRENT ROW), 2) AS band_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+      Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice",
+        count(lit(1)).over(w).as("n_in_band"),
+        round(sum($"o_totalprice").over(w), 2).as("band_spend"))
+  }
+
+  /** lag / lead with default null-extension at partition edges. */
+  val q16LagLead: Q = Q(
+    "q16_lag_lead",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        round($"o_totalprice" - lag($"o_totalprice", 1).over(w), 2)
+          .as("delta_prev"))
+  }
+
+  /** ntile / percent_rank / cume_dist over a global ordering. The global
+    * window is the semantic requirement here (like the reference's
+    * single-reducer ORDER BY); at 100 TB this query would be rewritten
+    * over a partitioned key or approximated with percentile sketches. */
+  val q17NtileStats: Q = Q(
+    "q17_ntile_stats",
+    """SELECT c_custkey, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(s, d).select($"c_custkey", $"c_acctbal",
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** first_value / last_value with an explicit full-partition frame
+    * (last_value over the default frame is a classic footgun — the frame
+    * must extend to UNBOUNDED FOLLOWING to mean "partition max"). */
+  val q18FirstLast: Q = Q(
+    "q18_first_last",
+    """SELECT s_suppkey, s_nationkey, s_acctbal,
+      |  first_value(s_acctbal) OVER w AS nation_min,
+      |  last_value(s_acctbal) OVER w AS nation_max
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+        .orderBy($"s_acctbal".asc, $"s_suppkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey", $"s_acctbal",
+        first_value($"s_acctbal").over(w).as("nation_min"),
+        last_value($"s_acctbal").over(w).as("nation_max"))
+  }
+
+  val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
+    q16LagLead, q17NtileStats, q18FirstLast)
+}
