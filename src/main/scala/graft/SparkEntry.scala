@@ -14,7 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Windows.all ++
       operators.Grouping.all ++ operators.SetOps.all ++
       operators.Subqueries.all ++ operators.Generators.all ++
-      operators.Analytics.all
+      operators.Analytics.all ++ operators.Functions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

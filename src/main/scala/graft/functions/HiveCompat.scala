@@ -1,13 +1,142 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types._
 
-/** Hive-compatibility scalar functions that are pure rewrites over Spark
-  * builtins — registered as SQL macros so both SQL text and the Column
-  * DSL can use them. Heavier gap functions (custom Expressions,
-  * Aggregators) live in their own files. Placeholder: populated in the
-  * function-surface milestone.
+/** Hive-compatibility gap functions (SURVEY.md Appendix A GAP rows,
+  * §7.1 step 3) registered into the session `FunctionRegistry` so SQL
+  * text works, not just the DSL.
+  *
+  * Implementation stance (SURVEY.md §7.3): every function here is a pure
+  * REWRITE to existing codegen'd Catalyst expressions — zero interpreted
+  * UDF overhead, full whole-stage-codegen participation. Only
+  * `sort_array_by` / `in_file` (see expressions.scala) need bespoke
+  * evaluation.
+  *
+  * Deliberately skipped (dead/internal upstream, SURVEY.md §7.1):
+  * `ewah_bitmap*`, `get_splits`, `noop*`, `cardinality_violation`,
+  * `sq_count_check`, `$sum0`, `compute_stats`, `index` DDL family,
+  * `logged_in_user`, `internal_interval`, `replicate_rows`, `reflect2`.
   */
 object HiveCompat {
-  def registerAll(spark: SparkSession): Unit = ()
+
+  private def reg(spark: SparkSession, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "hive")
+
+  private val MaxLen = Literal(Int.MaxValue)
+
+  def registerAll(spark: SparkSession): Unit = {
+    // floor_<unit>(ts) → date_trunc — reference UDFDateFloor* family.
+    Seq("year", "quarter", "month", "week", "day", "hour", "minute",
+      "second").foreach { u =>
+      reg(spark, s"floor_$u") { es =>
+        TruncTimestamp(Literal(u.toUpperCase), es.head)
+      }
+    }
+
+    // field(needle, s1, ..., sn) → 1-based index of first match, else 0
+    // (GenericUDFField). NULL needle/args fall through to 0 like Hive.
+    reg(spark, "field") { es =>
+      val needle = es.head
+      val branches = es.tail.zipWithIndex.map { case (e, i) =>
+        (EqualTo(needle, e): Expression, Literal(i + 1): Expression)
+      }
+      CaseWhen(branches, Some(Literal(0)))
+    }
+
+    // mask_* family (GenericUDFMask*): compose builtin Mask over
+    // substring splits. Hive defaults: upper→'X', lower→'x', digit→'n'.
+    def m(e: Expression) = new Mask(e)
+    def sub(s: Expression, pos: Expression, len: Expression) =
+      Substring(s, pos, len)
+    def clampN(s: Expression, n: Expression): Expression =
+      Least(Seq(n, Length(s)))
+
+    reg(spark, "mask_first_n") { es =>
+      val (s, n0) = (es.head, es.lift(1).getOrElse(Literal(4)))
+      val n = clampN(s, n0)
+      Concat(Seq(m(sub(s, Literal(1), n)), sub(s, Add(n, Literal(1)), MaxLen)))
+    }
+    reg(spark, "mask_last_n") { es =>
+      val (s, n0) = (es.head, es.lift(1).getOrElse(Literal(4)))
+      val n = clampN(s, n0)
+      val cut = Subtract(Length(s), n)
+      Concat(Seq(sub(s, Literal(1), cut), m(sub(s, Add(cut, Literal(1)), n))))
+    }
+    reg(spark, "mask_show_first_n") { es =>
+      val (s, n0) = (es.head, es.lift(1).getOrElse(Literal(4)))
+      val n = clampN(s, n0)
+      Concat(Seq(sub(s, Literal(1), n), m(sub(s, Add(n, Literal(1)), MaxLen))))
+    }
+    reg(spark, "mask_show_last_n") { es =>
+      val (s, n0) = (es.head, es.lift(1).getOrElse(Literal(4)))
+      val n = clampN(s, n0)
+      val cut = Subtract(Length(s), n)
+      Concat(Seq(m(sub(s, Literal(1), cut)), sub(s, Add(cut, Literal(1)), n)))
+    }
+    // mask_hash: Hive 2.3 hashes with md5 (GenericUDFMaskHash).
+    reg(spark, "mask_hash") { es => Md5(Cast(es.head, BinaryType)) }
+
+    // interval constructor UDFs → ANSI interval casts (SURVEY.md §1.2).
+    reg(spark, "interval_year_month") { es =>
+      Cast(es.head, YearMonthIntervalType())
+    }
+    reg(spark, "interval_day_time") { es =>
+      Cast(es.head, DayTimeIntervalType())
+    }
+
+    // parse_url_tuple UDTF → struct of parse_url calls; expand with
+    // `SELECT parse_url_tuple(url,'HOST','PATH').*` (documented deviation:
+    // struct + star-expansion instead of a generator — same columns).
+    reg(spark, "parse_url_tuple") { es =>
+      val url = es.head
+      val parts = es.tail.map(_.eval(null).toString)
+      CreateNamedStruct(parts.flatMap { p =>
+        Seq(Literal(p), ParseUrl(Seq(url, Literal(p))))
+      })
+    }
+
+    // UNIONTYPE encoding (SURVEY.md §1.2, §7.4): tagged struct.
+    // create_union(tag, v0, ..., vn) → struct<tag:int, field0, ...>.
+    reg(spark, "create_union") { es =>
+      val tag = es.head
+      val fields = es.tail.zipWithIndex.flatMap { case (e, i) =>
+        Seq(Literal(s"field$i"), e)
+      }
+      CreateNamedStruct(Seq(Literal("tag"), tag) ++ fields)
+    }
+    // extract_union(u) → the struct itself; extract_union(u, i) → field i.
+    reg(spark, "extract_union") { es =>
+      if (es.size == 1) es.head
+      else {
+        val i = es(1).eval(null).asInstanceOf[Number].intValue()
+        GetStructField(es.head, i + 1, Some(s"field$i"))
+      }
+    }
+
+    // bloom_filter / in_bloom_filter (GenericUDAFBloomFilter /
+    // GenericUDFInBloomFilter) → Spark's internal BloomFilterAggregate /
+    // BloomFilterMightContain (the same machinery AQE runtime filters
+    // use; spill-safe TypedImperativeAggregate with binary buffer).
+    reg(spark, "bloom_filter") { es =>
+      (es.size match {
+        case 1 => new BloomFilterAggregate(es.head)
+        case 2 => new BloomFilterAggregate(es.head, es(1))
+        case _ => new BloomFilterAggregate(es.head, es(1), es(2))
+      }).toAggregateExpression()
+    }
+    reg(spark, "in_bloom_filter") { es =>
+      BloomFilterMightContain(es(1), es.head)
+    }
+
+    // sort_array_by + in_file need bespoke eval — see expressions.scala.
+    reg(spark, "sort_array_by") { es => SortArrayByField(es) }
+    reg(spark, "in_file") { es => InFile(es.head, es(1)) }
+
+    NGrams.register(spark)
+  }
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Scalar function surface (SURVEY.md §2.7, Appendix A): string, date,
+  * math, conditional, and hash families exercised over the fixture
+  * tables with cross-engine oracles. All expressions are Spark builtins
+  * (codegen'd) — the reference's 230 scalar UDFs map onto these
+  * (241/287 name-identical; gap functions in graft.functions). */
+object Functions {
+
+  val q39StringFuncs: Q = Q(
+    "q39_string_funcs",
+    """SELECT c_custkey,
+      |  upper(c_name) AS uname,
+      |  length(c_name) AS name_len,
+      |  reverse(c_mktsegment) AS rseg,
+      |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS natpad,
+      |  concat(c_name, '|', c_mktsegment) AS tagged,
+      |  substr(c_name, 10, 9) AS name_id,
+      |  strpos(c_name, '#') AS hash_pos,
+      |  replace(c_name, 'Customer#', '') AS bare_id,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xseg,
+      |  split_part(c_name, '#', 2) AS id_part,
+      |  trim(concat('  ', c_mktsegment, ' ')) AS trimmed
+      |FROM customer WHERE c_custkey < 500""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d).filter($"c_custkey" < 500).select(
+      $"c_custkey",
+      upper($"c_name").as("uname"),
+      length($"c_name").as("name_len"),
+      reverse($"c_mktsegment").as("rseg"),
+      lpad($"c_nationkey".cast("string"), 4, "0").as("natpad"),
+      concat($"c_name", lit("|"), $"c_mktsegment").as("tagged"),
+      substring($"c_name", 10, 9).as("name_id"),
+      instr($"c_name", "#").as("hash_pos"),
+      regexp_replace($"c_name", "Customer#", "").as("bare_id"),
+      translate($"c_mktsegment", "AEIOU", "aeiou").as("xseg"),
+      element_at(split($"c_name", "#"), 2).as("id_part"),
+      trim(concat(lit("  "), $"c_mktsegment", lit(" "))).as("trimmed"))
+  }
+
+  val q40DateFuncs: Q = Q(
+    "q40_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  CAST(extract(month FROM o_orderdate) AS INT) AS mth,
+      |  CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |       AS INT) AS days_since,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts
+      |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d).filter($"o_orderkey" < 1000).select(
+      $"o_orderkey",
+      date_trunc("month", $"o_orderdate").as("month_start"),
+      year($"o_orderdate").as("yr"),
+      quarter($"o_orderdate").as("qtr"),
+      month($"o_orderdate").as("mth"),
+      dayofmonth($"o_orderdate").as("dom"),
+      last_day($"o_orderdate").as("month_end"),
+      datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+        .as("days_since"),
+      unix_timestamp($"o_orderdate").as("unix_ts"))
+  }
+
+  val q41MathFuncs: Q = Q(
+    "q41_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+      |  round(ln(l_extendedprice), 6) AS ln_price,
+      |  round(pow(1.0 + l_discount, 2), 6) AS growth_sq,
+      |  round(abs(l_quantity - 25.0), 2) AS dev_qty,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  l_orderkey % 7 AS mod7,
+      |  CAST(l_linenumber << 2 AS INT) AS shifted,
+      |  CAST(l_linenumber & 3 AS INT) AS anded,
+      |  CAST(xor(l_linenumber, 5) AS INT) AS xored,
+      |  to_base(l_linenumber, 16) AS hexed,
+      |  round(greatest(l_quantity, l_discount * 100.0), 2) AS gmax,
+      |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sgn
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).filter($"l_orderkey" < 200).select(
+      $"l_orderkey", $"l_linenumber",
+      round(sqrt($"l_quantity"), 6).as("sqrt_qty"),
+      round(log($"l_extendedprice"), 6).as("ln_price"),
+      round(pow(lit(1.0) + $"l_discount", 2), 6).as("growth_sq"),
+      round(abs($"l_quantity" - 25.0), 2).as("dev_qty"),
+      floor($"l_extendedprice").as("floor_price"),
+      ceil($"l_extendedprice").as("ceil_price"),
+      ($"l_orderkey" % 7).as("mod7"),
+      shiftleft($"l_linenumber", 2).as("shifted"),
+      $"l_linenumber".bitwiseAND(3).as("anded"),
+      $"l_linenumber".bitwiseXOR(5).as("xored"),
+      hex($"l_linenumber").as("hexed"),
+      round(greatest($"l_quantity", $"l_discount" * 100.0), 2).as("gmax"),
+      signum($"l_quantity" - 25.0).as("sgn"))
+  }
+
+  val q42Conditionals: Q = Q(
+    "q42_conditionals",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+      |  if(o_orderpriority = '1-URGENT', 1, 0) AS urgent,
+      |  least(o_totalprice, 250000.0) AS capped
+      |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d).filter($"o_orderkey" < 2000).select(
+      $"o_orderkey",
+      when($"o_totalprice" > 300000, "high")
+        .when($"o_totalprice" > 100000, "mid")
+        .otherwise("low").as("bucket"),
+      coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status2"),
+      when($"o_orderpriority" === "1-URGENT", 1).otherwise(0).as("urgent"),
+      least($"o_totalprice", lit(250000.0)).as("capped"))
+  }
+
+  val q43Hash: Q = Q(
+    "q43_hash",
+    """SELECT c_custkey,
+      |  md5(c_name) AS h_md5,
+      |  sha256(c_name) AS h_sha256,
+      |  base64(CAST(c_mktsegment AS BLOB)) AS b64,
+      |  length(md5(c_name)) AS h_len
+      |FROM customer WHERE c_custkey < 300""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d).filter($"c_custkey" < 300).select(
+      $"c_custkey",
+      md5($"c_name").as("h_md5"),
+      sha2($"c_name", 256).as("h_sha256"),
+      base64($"c_mktsegment".cast("binary")).as("b64"),
+      length(md5($"c_name")).as("h_len"))
+  }
+
+  /** ngrams aggregator over real text (graft custom Aggregator — no
+    * cross-engine oracle; exact-value unit tests in FunctionSpec). */
+  val q44NgramsDocs: Q = Q.noOracle("q44_ngrams_docs") { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT lang, ngrams(split(text, ' '), 2, 5) AS top_bigrams
+        |FROM documents_v GROUP BY lang""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q39StringFuncs, q40DateFuncs, q41MathFuncs,
+    q42Conditionals, q43Hash, q44NgramsDocs)
+}

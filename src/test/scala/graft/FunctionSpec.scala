@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-value checks for the gap functions (reference semantics from
+  * SURVEY.md Appendix A; Hive 2.3 behavior). */
+class FunctionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql AS v").collect()(0).get(0)
+
+  test("floor_<unit> truncates timestamps") {
+    assert(one("CAST(floor_day(TIMESTAMP '2024-03-15 13:45:12') AS STRING)")
+      == "2024-03-15 00:00:00")
+    assert(one("CAST(floor_month(TIMESTAMP '2024-03-15 13:45:12') AS STRING)")
+      == "2024-03-01 00:00:00")
+    assert(one("CAST(floor_hour(TIMESTAMP '2024-03-15 13:45:12') AS STRING)")
+      == "2024-03-15 13:00:00")
+    assert(one("CAST(floor_year(TIMESTAMP '2024-03-15 13:45:12') AS STRING)")
+      == "2024-01-01 00:00:00")
+  }
+
+  test("field returns 1-based index or 0") {
+    assert(one("field('b', 'a', 'b', 'c')") == 1 + 1)
+    assert(one("field('z', 'a', 'b', 'c')") == 0)
+    assert(one("field(CAST(NULL AS STRING), 'a')") == 0)
+  }
+
+  test("mask family") {
+    assert(one("mask_first_n('Abcd1234', 4)") == "Xxxx1234")
+    assert(one("mask_last_n('Abcd1234', 4)") == "Abcdnnnn")
+    assert(one("mask_show_first_n('Abcd1234', 4)") == "Abcdnnnn")
+    assert(one("mask_show_last_n('Abcd1234', 4)") == "Xxxxnnnn"
+      .replace("nnnn", "1234"))
+    assert(one("mask_first_n('ab', 4)") == "xx") // n clamped to length
+    assert(one("mask_hash('abc')") ==
+      "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("sort_array_by sorts array<struct> by named field") {
+    val r = spark.sql(
+      """SELECT sort_array_by(array(
+        |  named_struct('name', 'b', 'v', 3),
+        |  named_struct('name', 'a', 'v', 1),
+        |  named_struct('name', 'c', 'v', 2)), 'name') AS s""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getString(0)) == Seq("a", "b", "c"))
+    val desc = spark.sql(
+      """SELECT sort_array_by(array(
+        |  named_struct('name', 'b', 'v', 3),
+        |  named_struct('name', 'a', 'v', 1)), 'v', 'DESC') AS s""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(desc.map(_.getInt(1)) == Seq(3, 1))
+  }
+
+  test("union type round trip") {
+    assert(one("extract_union(create_union(1, 'x', 42), 1)") == 42)
+    val tag = spark.sql("SELECT create_union(0, 'x', 42).tag AS v")
+      .collect()(0).get(0)
+    assert(tag == 0)
+  }
+
+  test("bloom_filter / in_bloom_filter") {
+    SparkTestSession.register()
+    val r = spark.sql(
+      """SELECT sum(CASE WHEN in_bloom_filter(o_orderkey,
+        |  (SELECT bloom_filter(o_orderkey) FROM orders)) THEN 1 ELSE 0 END) AS hits,
+        |       count(*) AS n
+        |FROM orders""".stripMargin).collect()(0)
+    assert(r.get(0) == r.get(1)) // zero false negatives
+  }
+
+  test("ngrams top-k") {
+    val r = spark.sql(
+      """SELECT ngrams(tokens, 2, 3) AS g FROM (
+        |  SELECT split('the cat and the dog and the cat', ' ') AS tokens
+        |)""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // ties broken lexicographically: "and the" and "the cat" both occur 2×
+    assert(r.head.getSeq[String](0) == Seq("and", "the"))
+    assert(r.head.getDouble(1) == 2.0)
+    assert(r(1).getSeq[String](0) == Seq("the", "cat"))
+  }
+
+  test("context_ngrams fills wildcard slots") {
+    val r = spark.sql(
+      """SELECT context_ngrams(tokens, array('the', CAST(NULL AS STRING)), 2) AS g
+        |FROM (SELECT split('the cat and the dog and the cat', ' ') AS tokens)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(r.head.getSeq[String](0) == Seq("cat"))
+    assert(r.head.getDouble(1) == 2.0)
+  }
+
+  test("parse_url_tuple struct expansion") {
+    val r = spark.sql(
+      """SELECT p.* FROM (SELECT
+        |  parse_url_tuple('http://h.io:8080/p/q?x=1', 'HOST', 'PATH', 'QUERY') AS p)""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "h.io")
+    assert(r.getString(1) == "/p/q")
+    assert(r.getString(2) == "x=1")
+  }
+
+  test("interval constructors") {
+    assert(one("CAST(interval_year_month('1-2') AS STRING)").toString
+      .contains("1-2"))
+  }
+}

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestSession {
   lazy val spark: SparkSession = GraftSession.local("4", "graft-test")
   val sf: String = "/root/testdata/sf0.001"
+  def register(): Unit = graft.sources.Tables.registerAll(spark, sf)
 }
 
 class RelationalSpec extends AnyFunSuite {
