@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Relational.all ++ operators.Windows.all ++
       operators.Grouping.all ++ operators.SetOps.all ++
       operators.Subqueries.all ++ operators.Generators.all ++
-      operators.Analytics.all ++ operators.Functions.all
+      operators.Analytics.all ++ operators.Functions.all ++
+      operators.Dedup.all ++ operators.TextAnalysis.all ++
+      operators.Similarity.all ++ operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star extensions, SURVEY.md §7.1 step 6): exact, normalized,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * 100 TB design notes:
+  *   - Exact dedup is a hash-groupBy — one shuffle on the content hash,
+  *     map-side pre-aggregation, no driver state.
+  *   - MinHash signatures are computed entirely MAP-SIDE with
+  *     higher-order array expressions (transform/array_min over
+  *     shingles) — no explode, no shuffle until LSH banding. The only
+  *     shuffles are the band-bucket self-join (keys = (band, bandHash),
+  *     well-distributed) and the final pair verification join.
+  *   - The candidate self-join caps bucket blowup in practice because a
+  *     bucket only forms on an exact signature-slice collision; for
+  *     adversarial corpora (mass-duplicated boilerplate) add a bucket
+  *     frequency cap before the join (drop buckets with > N members and
+  *     route them to exact-hash dedup instead — they are exact or
+  *     near-exact duplicates by construction).
+  *   - All hashing is xxhash64 (codegen'd, seed-stable) — signatures are
+  *     deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Tokens column. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct 3-word shingles, map-side, guarded for short docs. */
+  def shingles(tokens: Column, n: Int = 3): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** MinHash signature as array<long>: sig[i] = min over shingles of
+    * xxhash64(i, shingle). One map-side expression per hash — the
+    * xxhash64(seed-index, value) family replaces the classic
+    * (a·h+b) mod p affine family without overflow concerns. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+
+  /** LSH band array: bands × struct(band, bandHash of r signature rows). */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b => struct(
+      lit(b).as("band"),
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
+
+  /** d01: exact-duplicate statistics by content hash. */
+  val d01ExactDedup: Q = Q(
+    "d01_dedup_exact",
+    """SELECT lang, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dupes
+      |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5($"text"))).as("n_dupes"))
+  }
+
+  /** d02: normalized dedup — survivors keep the min doc_id per
+    * normalized-content hash (lower + trim + whitespace collapse). */
+  val d02NormalizedDedup: Q = Q(
+    "d02_dedup_normalized",
+    """SELECT count(*) AS n_groups, sum(group_sz) AS n_docs,
+      |  min(keeper) AS first_keeper, max(keeper) AS last_keeper
+      |FROM (
+      |  SELECT md5(lower(trim(regexp_replace(text, ' +', ' ')))) AS h,
+      |    min(doc_id) AS keeper, count(*) AS group_sz
+      |  FROM documents GROUP BY h
+      |)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(regexp_replace($"text", " +", " ")))).as("h"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("group_sz"))
+      .agg(count(lit(1)).as("n_groups"), sum($"group_sz").as("n_docs"),
+        min($"keeper").as("first_keeper"), max($"keeper").as("last_keeper"))
+  }
+
+  /** d03: MinHash + LSH near-dup pairs, verified by exact Jaccard.
+    *
+    * Pipeline: map-side signatures → band explode → self-join on
+    * (band, bandHash) → distinct candidate pairs → exact-Jaccard
+    * verification join (integer arithmetic: 2·|∩| ≥ |∪| ⇔ J ≥ 0.5 —
+    * no float threshold jitter). Deterministic end-to-end, but the
+    * minhash family is engine-specific → rows-only driver check; the
+    * DedupSpec asserts recall against the exact d04 pairs. */
+  val d03MinhashLsh: Q = Q.noOracle("d03_minhash_lsh") { (s, d) =>
+    minhashPairs(s, d, numHashes = 64, bands = 16)
+  }
+
+  def minhashPairs(s: SparkSession, d: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    import s.implicits._
+    val r = numHashes / bands
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", shingles(toks($"text")).as("sh"))
+      .select($"doc_id", $"sh",
+        minhashSignature($"sh", numHashes).as("sig"))
+    val banded = docs
+      .select($"doc_id", explode(lshBands($"sig", bands, r)).as("b"))
+      .select($"doc_id", $"b.band", $"b.bh")
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val sets = docs.select($"doc_id", $"sh")
+    cands
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).as("inter"),
+        (size($"sh_a") + size($"sh_b") -
+          size(array_intersect($"sh_a", $"sh_b"))).as("uni"))
+      .filter(lit(2) * $"inter" >= $"uni")
+      .select($"doc_a", $"doc_b", $"inter", $"uni",
+        round($"inter" / $"uni", 6).as("jaccard"))
+  }
+
+  /** d04: EXACT n-gram Jaccard pairs via inverted shingle index —
+    * the ground truth d03 approximates. Self-join on shingle, count
+    * intersections, integer-arithmetic threshold. At 100 TB: add a
+    * document-frequency cap on shingles (stop-shingle removal) to bound
+    * join skew; omitted here because semantics must match the oracle. */
+  val d04NgramJaccard: Q = Q(
+    "d04_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter,
+      |  (s1.n + s2.n - inter) AS uni,
+      |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      |FROM pairs p
+      |JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |WHERE 2 * inter >= (s1.n + s2.n - inter)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"inter",
+        ($"na" + $"nb" - $"inter").as("uni"),
+        round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+      .filter(lit(2) * $"inter" >= $"uni")
+  }
+
+  /** 64-bit SimHash, fully map-side: per-token xxhash64 → per-bit ±1
+    * votes accumulated with zip_with → sign bits → packed long. */
+  def simhash(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
+          a + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1,
+            1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, bit) =>
+        when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** d05: SimHash near-dup buckets — documents sharing a 16-bit simhash
+    * band (4 bands ⇒ catches pairs with hamming distance ≤ 3 in at least
+    * one band with high probability). Rows-only check + DedupSpec. */
+  val d05Simhash: Q = Q.noOracle("d05_simhash") { (s, d) =>
+    import s.implicits._
+    val withHash = Tables.documents(s, d)
+      .select($"doc_id", simhash(toks($"text")).as("sh64"))
+    val banded = withHash.select($"doc_id", $"sh64",
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright($"sh64", b * 16).bitwiseAND(0xFFFF).as("bh"))): _*))
+        .as("b"))
+      .select($"doc_id", $"sh64", $"b.band", $"b.bh")
+    banded.as("x").join(banded.as("y"),
+      $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.sh64".bitwiseXOR($"y.sh64")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 8)
+  }
+
+  val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
+    d04NgramJaccard, d05Simhash)
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (ArrayType(FloatType),
+  * dim 64): brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * 100 TB design notes:
+  *   - The dot product runs in double precision via zip_with/aggregate —
+  *     codegen'd, no UDF, summation strictly left-to-right so results
+  *     are bit-identical across engines and partitionings.
+  *   - Brute force is a blocked cross join: queries × corpus. It is THE
+  *     correct baseline at small query counts (cost Q×N×d flops spread
+  *     over the cluster) but quadratic in corpus size if all-pairs;
+  *     never run all-pairs at scale — s02's LSH bucketing (or an IVF
+  *     coarse quantizer) bounds each query's candidate set.
+  *   - LSH hyperplanes are pseudo-random from a hash of (plane, dim) —
+  *     no driver-side randomness, reproducible on any cluster shape.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double with deterministic element order. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x =>
+      x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x =>
+      x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  private def queriesSet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+  }
+
+  /** s01: brute-force cosine top-k (k=5) for a deterministic query
+    * subset. Broadcast the (small) query side; the corpus streams. */
+  val s01KnnBrute: Q = Q(
+    "s01_knn_brute",
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    round(list_dot_product(q.q_vec, c.vec) /
+      |      (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+      |       sqrt(list_dot_product(c.vec, c.vec))), 6) AS sim,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_dot_product(q.q_vec, c.vec) /
+      |        (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+      |         sqrt(list_dot_product(c.vec, c.vec))) DESC, c.vec_id) AS rk
+      |  FROM q CROSS JOIN c WHERE q.q_id <> c.vec_id)
+      |SELECT q_id, vec_id, sim, rk FROM scored WHERE rk <= 5""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val corpus = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".as("vec"))
+      val scored = queriesSet(s, d).crossJoin(corpus)
+        .filter($"q_id" =!= $"vec_id")
+        .select($"q_id", $"vec_id", cosine($"q_vec", $"vec").as("sim0"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim0".desc, $"vec_id")
+      scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
+  }
+
+  /** Sign-bit sketch under `nPlanes` pseudo-random hyperplanes; plane
+    * weights derived from xxhash64(plane, dim) mapped to [-1, 1). */
+  def hyperplaneSketch(vec: Column, nPlanes: Int, dim: Int): Column =
+    array((0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast("double") *
+            (call_function("xxhash64", lit(p), i).cast("double") / 9.223372036854776e18)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, 1).otherwise(0)
+    }: _*)
+
+  /** s02: LSH-bucketed ANN — candidates share at least one 8-bit
+    * hyperplane band with the query, then exact cosine re-rank within
+    * candidates. Bounded work per query; recall measured vs s01 in
+    * SimilaritySpec. */
+  val s02KnnLsh: Q = Q.noOracle("s02_knn_lsh") { (s, d) =>
+    import s.implicits._
+    val nPlanes = 16
+    val bandBits = 8
+    val nBands = nPlanes / bandBits
+    val dim = 64
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        hyperplaneSketch($"embedding", nPlanes, dim).as("bits"))
+    val banded = emb.select($"vec_id", $"embedding",
+      explode(array((0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        aggregate(zip_with(
+          slice($"bits", lit(b * bandBits + 1), lit(bandBits)),
+          sequence(lit(0), lit(bandBits - 1)),
+          (bit, i) => bit * call_function("shiftleft", lit(1), i)),
+          lit(0), (acc, v) => acc + v).as("sig"))): _*)).as("bb"))
+      .select($"vec_id", $"embedding", $"bb.band", $"bb.sig")
+    val qs = banded.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"band", $"sig")
+    val cands = qs.join(banded, Seq("band", "sig"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"q_vec", $"vec_id", $"embedding")
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"sim0".desc, $"vec_id")
+    cands
+      .select($"q_id", $"vec_id", cosine($"q_vec", $"embedding").as("sim0"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
+  }
+
+  /** s03: embedding-cosine near-duplicate pairs (all-pairs at fixture
+    * scale as ground truth; the documented scale path is s02-style
+    * bucketing first). Threshold 0.42 picked against the fixture's sim
+    * distribution (near-random embeddings, max pairwise sim ≈ 0.51 —
+    * the `label` column is NOT a cosine-cluster id in this data) to
+    * yield a small, stable pair set. */
+  val s03CosineDedup: Q = Q(
+    "s03_cosine_dedup",
+    """WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+      |           FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  a.label AS label_a, b.label AS label_b,
+      |  round(list_dot_product(a.vec, b.vec) /
+      |    (sqrt(list_dot_product(a.vec, a.vec)) *
+      |     sqrt(list_dot_product(b.vec, b.vec))), 6) AS sim
+      |FROM c a JOIN c b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.vec, b.vec) /
+      |    (sqrt(list_dot_product(a.vec, a.vec)) *
+      |     sqrt(list_dot_product(b.vec, b.vec))) > 0.42""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val c = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding")
+      val a = c.select($"vec_id".as("id_a"), $"label".as("label_a"),
+        $"embedding".as("va"))
+      val b = c.select($"vec_id".as("id_b"), $"label".as("label_b"),
+        $"embedding".as("vb"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("sim0", cosine($"va", $"vb"))
+        .filter($"sim0" > 0.42)
+        .select($"id_a", $"id_b", $"label_a", $"label_b",
+          round($"sim0", 6).as("sim"))
+  }
+
+  val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup)
+}

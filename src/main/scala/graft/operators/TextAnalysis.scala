@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: corpus
+  * statistics, quality scoring, token counting, n-gram language ID and
+  * winnowing document fingerprints.
+  *
+  * Everything is map-side higher-order expressions (codegen'd) followed
+  * by one aggregation — at 100 TB these are embarrassingly parallel
+  * scans whose only shuffle is the final small group-by. */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** t01: per-language corpus statistics. */
+  val t01CorpusStats: Q = Q(
+    "t01_corpus_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' '))) AS total_tokens,
+      |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      |  round(avg(length(text)), 4) AS avg_chars,
+      |  round(avg(n_chars), 4) AS avg_declared_chars
+      |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks($"text")).cast("long")).as("total_tokens"),
+        round(avg(size(toks($"text"))), 4).as("avg_tokens"),
+        round(avg(length($"text")), 4).as("avg_chars"),
+        round(avg($"n_chars"), 4).as("avg_declared_chars"))
+  }
+
+  /** t02: per-document quality score — length band, stopword ratio,
+    * mean word length, type-token ratio; weighted into [0,1]. The
+    * components are the standard heuristic-filter features (C4-style)
+    * computed with integer/array expressions only. */
+  val t02QualityScore: Q = Q(
+    "t02_quality_score",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    length(text) AS n_chars_actual,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types
+      |  FROM documents)
+      |SELECT doc_id, lang, n_tokens, n_stop, n_types,
+      |  round(CAST(n_chars_actual AS DOUBLE) / n_tokens, 6) AS avg_wordlen,
+      |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  round(
+      |    0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+      |    + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0)
+      |    + 0.3 * (CAST(n_types AS DOUBLE) / n_tokens), 6) AS quality
+      |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val stop = Seq("the", "a", "and", "of", "to")
+    val t = toks($"text")
+    Tables.documents(s, d).select(
+      $"doc_id", $"lang",
+      size(t).as("n_tokens"),
+      length($"text").as("n_chars_actual"),
+      size(filter(t, x => x.isInCollection(stop))).as("n_stop"),
+      size(array_distinct(t)).as("n_types"))
+      .select($"doc_id", $"lang", $"n_tokens", $"n_stop", $"n_types",
+        round($"n_chars_actual".cast("double") / $"n_tokens", 6)
+          .as("avg_wordlen"),
+        round($"n_stop".cast("double") / $"n_tokens", 6).as("stop_ratio"),
+        round($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        round(
+          lit(0.4) * when($"n_tokens".between(20, 80), 1.0).otherwise(0.5)
+            + lit(0.3) * least($"n_stop".cast("double") / $"n_tokens" * 10.0,
+              lit(1.0))
+            + lit(0.3) * ($"n_types".cast("double") / $"n_tokens"), 6)
+          .as("quality"))
+  }
+
+  /** t03: token counting — whitespace tokens, regex word tokens, and a
+    * BPE-ish subword estimate (≈ chars/4, the common ~4-chars-per-token
+    * heuristic). */
+  val t03TokenCount: Q = Q(
+    "t03_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est
+      |FROM documents""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id",
+      size(toks($"text")).as("ws_tokens"),
+      size(regexp_extract_all($"text", lit("[a-z]+"), lit(0)))
+        .as("word_tokens"),
+      ceil(length($"text") / 4.0).as("subword_est"))
+  }
+
+  /** t04: n-gram language ID. Scores each candidate language's profile
+    * (discriminative character bigrams for real corpora; here a
+    * word-marker profile over the synthetic vocabulary) and predicts the
+    * argmax, then cross-tabulates against the declared lang. The
+    * profiles are a stand-in — the operator shape (map-side score
+    * vector + argmax + confusion rollup) is the production pipeline. */
+  val t04LangId: Q = Q.noOracle("t04_langid") { (s, d) =>
+    import s.implicits._
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "fast", "row"),
+      "de" -> Seq("table", "batch", "key"),
+      "es" -> Seq("query", "merge", "line"),
+      "fr" -> Seq("column", "part", "join"),
+      "zh" -> Seq("value", "agg", "small"))
+    val t = toks($"text")
+    val scored = Tables.documents(s, d).select($"doc_id", $"lang",
+      array(profiles.map { case (lg, words) =>
+        struct(
+          size(filter(t, x => x.isInCollection(words))).as("score"),
+          lit(lg).as("plang"))
+      }: _*).as("scores"))
+    scored
+      .select($"doc_id", $"lang",
+        array_max($"scores").getField("plang").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** t05: winnowing fingerprints (Schleimer et al. MOSS scheme): rolling
+    * char 8-gram hashes, min over each 4-gram window, distinct. Both
+    * engines use md5-derived ranks so the oracle matches exactly. */
+  val t05Fingerprint: Q = Q(
+    "t05_fingerprint",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [substr(md5(substr(text, i, 8)), 1, 8)
+      |     FOR i IN range(1, length(text) - 6)] AS grams
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_min(grams[j:j+3])
+      |                   FOR j IN range(1, len(grams) - 2)]) AS fps
+      |  FROM g)
+      |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp,
+      |       list_max(fps) AS max_fp
+      |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val grams = transform(sequence(lit(1), length($"text") - 7),
+      i => md5($"text".substr(i, lit(8))).substr(lit(1), lit(8)))
+    val fps = array_distinct(transform(sequence(lit(1), size(grams) - 3),
+      j => array_min(slice(grams, j, lit(4)))))
+    Tables.documents(s, d)
+      .select($"doc_id", fps.as("fps"))
+      .select($"doc_id", size($"fps").as("n_fp"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+  }
+
+  val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
+    t04LangId, t05Fingerprint)
+}

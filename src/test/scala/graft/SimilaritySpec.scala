@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import operators.Similarity
+
+  test("brute-force knn: k results per query, sims in [-1,1], ranked") {
+    val rows = SparkEntry.queries("s01_knn_brute")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      sims.foreach(x => assert(x >= -1.0 && x <= 1.0))
+    }
+  }
+
+  test("LSH knn prunes the candidate space and stays a subset-ranked list") {
+    val lsh = SparkEntry.queries("s02_knn_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every query returns at most k, correctly ranked
+    lsh.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 5)
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH recall on clustered vectors (synthetic planted neighbors)") {
+    import spark.implicits._
+    // plant 20 clusters of 10 near-identical vectors; LSH must bucket
+    // clustered vectors together (fixture embeddings are near-random,
+    // so recall there is data-limited — this pins the operator itself).
+    val dim = 64
+    def base(c: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(c * 31 + j * 7).toFloat)
+    val vecs = for {
+      c <- 0 until 20; m <- 0 until 10
+    } yield (c.toLong * 10 + m, base(c).zipWithIndex.map { case (x, j) =>
+      x + (if (m == 0) 0f else 0.01f * ((j + m) % 3 - 1))
+    }.toSeq)
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val sk = df.select($"vec_id",
+      Similarity.hyperplaneSketch($"embedding", 16, dim).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // same-cluster vectors should share (nearly) all sign bits
+    val agree = (0 until 20).flatMap { c =>
+      (1 until 10).map { m =>
+        sk(c * 10L).zip(sk(c * 10L + m)).count { case (a, b) => a == b }
+      }
+    }
+    assert(agree.forall(_ >= 14), s"cluster bit agreement too low: ${agree.min}/16")
+  }
+
+  test("cosine is exact against a hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 0f, 1f), Seq(1f, 1f, 0f))).toDF("a", "b")
+    val sim = df.select(Similarity.cosine($"a", $"b").as("s"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(sim - 0.5) < 1e-12)
+  }
+}
