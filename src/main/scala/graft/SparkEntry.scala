@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Subqueries.all ++ operators.Generators.all ++
       operators.Analytics.all ++ operators.Functions.all ++
       operators.Dedup.all ++ operators.TextAnalysis.all ++
-      operators.Similarity.all ++ operators.Multimodal.all
+      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Batch twins of the streaming transformations (graft.streaming.Streams)
+  * — identical code paths run over the batch events table so the DuckDB
+  * oracle checks the streaming semantics (SURVEY.md §2.9 batch-first
+  * rule). StreamingSpec proves stream == twin under chunked replay. */
+object StreamingQueries {
+
+  val st01Tumbling: Q = Q(
+    "st01_tumbling_window",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+      |    AS window_end,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    Streams.tumblingCounts(Tables.events(s, d))
+  }
+
+  val st02Sliding: Q = Q(
+    "st02_sliding_window",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+      |        - k.k * INTERVAL '15 minutes' AS window_start
+      |      FROM e, (SELECT unnest(range(0, 4)) AS k) k)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  count(*) AS n
+      |FROM w GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Streams.slidingCounts(Tables.events(s, d))
+  }
+
+  val st03Sessions: Q = Q(
+    "st03_session_window",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events),
+      |m AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '30 minutes' AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+    Streams.sessionize(Tables.events(s, d))
+  }
+
+  val st04Dedup: Q = Q(
+    "st04_stream_dedup",
+    """SELECT event_type, count(DISTINCT event_id) AS n_unique
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Streams.dedupEvents(Tables.events(s, d))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup)
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming operators over the events table (SURVEY.md §2.9:
+  * the reference has NO stream engine — its streaming story is ACID
+  * micro-batch ingest; the north star directs Structured Streaming).
+  *
+  * Batch-twin pattern: every transformation here takes a DataFrame that
+  * may be a stream (`readStream`) or a batch (`read`) of the same
+  * schema and applies IDENTICAL logic — `withWatermark` is a no-op on
+  * batch inputs, so the batch run is the oracle-checkable twin of the
+  * streaming run (FIXTURES.md replay pattern; StreamingSpec replays
+  * chunks through MemoryStream and asserts equality with the twin).
+  *
+  * Scale notes: watermarks bound all state (window and dedup state is
+  * dropped once the watermark passes); session-window merges are
+  * per-key and spill via the state store (RocksDB provider in
+  * production); no operator holds unbounded driver or executor state.
+  */
+object Streams {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("window_start"), $"w.end".as("window_end"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  /** Sliding 1-hour windows every 15 minutes (each event lands in 4). */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"n")
+  }
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"sum_value")
+  }
+
+  /** Streaming dedup on event_id within the watermark horizon — returns
+    * the deduplicated stream (append-safe); aggregate on top as needed. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the events fixture through a MemoryStream in ts-ordered
+  * chunks (FIXTURES.md replay pattern) and asserts the streaming result
+  * equals the batch twin. A far-future sentinel chunk advances the
+  * watermark past every real window so append-mode output is complete. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val batchEvents: Seq[Ev] = {
+    import spark.implicits._
+    sources.Tables.events(spark, sf).as[Ev].collect().sortBy(_.ts.getTime).toSeq
+  }
+
+  private def sentinel: Ev = {
+    val maxTs = batchEvents.map(_.ts.getTime).max
+    Ev(-1L, new Timestamp(maxTs + 36L * 3600 * 1000), -1L, "__sentinel",
+      0.0, "{}")
+  }
+
+  /** Run `xform` over the chunked replay in append mode; collect rows. */
+  private def runStream(xform: DataFrame => DataFrame,
+      name: String): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = xform(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  private def canon(rows: Seq[org.apache.spark.sql.Row]): Set[String] =
+    rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("tumbling window stream equals batch twin") {
+    val got = runStream(streaming.Streams.tumblingCounts, "tumbling_out")
+      .filter(_.getString(2) != "__sentinel")
+    val want = streaming.Streams
+      .tumblingCounts(sources.Tables.events(spark, sf)).collect().toSeq
+    assert(canon(got) == canon(want))
+  }
+
+  test("session window stream equals batch twin") {
+    val got = runStream(streaming.Streams.sessionize, "session_out")
+      .filter(_.getLong(0) != -1L)
+    val want = streaming.Streams
+      .sessionize(sources.Tables.events(spark, sf)).collect().toSeq
+    assert(canon(got) == canon(want))
+  }
+
+  test("streaming dedup drops replayed duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val chunk = batchEvents.take(100)
+      mem.addData(chunk)
+      q.processAllAvailable()
+      mem.addData(chunk) // exact duplicates within the watermark horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 100)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      val t0 = batchEvents.head.ts.getTime
+      def ev(id: Long, offsetMin: Long) =
+        Ev(id, new Timestamp(t0 + offsetMin * 60000), 1L, "click", 1.0, "{}")
+      mem.addData(Seq(ev(1, 0), ev(2, 30)))
+      q.processAllAvailable()
+      // jump 6 hours ahead: watermark = t+6h - 1h, first window closed
+      mem.addData(Seq(ev(3, 360)))
+      q.processAllAvailable()
+      // this event is 6h late, far beyond the 1h watermark: dropped
+      mem.addData(Seq(ev(4, 10)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(5, 1000))) // flush
+      q.processAllAvailable()
+      val firstWindow = spark.table("late_out").collect()
+        .filter(_.getTimestamp(0).getTime == t0 - t0 % 3600000)
+      assert(firstWindow.map(_.getLong(3)).sum == 2,
+        "late event must not be counted")
+    } finally q.stop()
+  }
+}
