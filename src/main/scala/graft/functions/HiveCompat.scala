@@ -137,6 +137,10 @@ object HiveCompat {
     reg(spark, "sort_array_by") { es => SortArrayByField(es) }
     reg(spark, "in_file") { es => InFile(es.head, es(1)) }
 
+    // graft vector kernels (similarity operators; vector.scala)
+    reg(spark, "vec_dot") { es => FloatVecDot(es.head, es(1)) }
+    reg(spark, "vec_norm") { es => FloatVecNorm(es.head) }
+
     NGrams.register(spark)
   }
 }

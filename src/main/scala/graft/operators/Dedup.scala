@@ -101,11 +101,21 @@ object Dedup {
       bands: Int): DataFrame = {
     import s.implicits._
     val r = numHashes / bands
+    // Shingles are exploded ONCE and the signature built as 64 min
+    // aggregates — an array formulation (minhashSignature) would be
+    // re-inlined per hash by CollapseProject, recomputing the shingle
+    // array numHashes times. One shuffle on doc_id, linear hashing.
+    val shingleRows = Tables.documents(s, d)
+      .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
+    val sigs = shingleRows.groupBy($"doc_id")
+      .agg(min(xxhash64(lit(0), $"g")).as("h0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), $"g")).as(s"h$i")): _*)
+      .select($"doc_id",
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val docs = Tables.documents(s, d)
       .select($"doc_id", shingles(toks($"text")).as("sh"))
-      .select($"doc_id", $"sh",
-        minhashSignature($"sh", numHashes).as("sig"))
-    val banded = docs
+    val banded = sigs
       .select($"doc_id", explode(lshBands($"sig", bands, r)).as("b"))
       .select($"doc_id", $"b.band", $"b.bh")
     val cands = banded.as("x")
@@ -183,13 +193,32 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** SimHash via explode + 64 signed-bit-vote sums (same CollapseProject
+    * rationale as the minhash signature: the array-aggregate
+    * formulation [[simhash]] re-evaluates per-token work per bit). */
+  def simhashByExplode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokenRows = Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    tokenRows.groupBy($"doc_id")
+      .agg(sum(when(shiftright($"h", 0).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)).as(s"v$b")): _*)
+      .select($"doc_id",
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh64"))
+  }
+
   /** d05: SimHash near-dup buckets — documents sharing a 16-bit simhash
     * band (4 bands ⇒ catches pairs with hamming distance ≤ 3 in at least
     * one band with high probability). Rows-only check + DedupSpec. */
   val d05Simhash: Q = Q.noOracle("d05_simhash") { (s, d) =>
     import s.implicits._
-    val withHash = Tables.documents(s, d)
-      .select($"doc_id", simhash(toks($"text")).as("sh64"))
+    val withHash = simhashByExplode(s, d)
     val banded = withHash.select($"doc_id", $"sh64",
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright($"sh64", b * 16).bitwiseAND(0xFFFF).as("bh"))): _*))

@@ -24,17 +24,23 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double with deterministic element order. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x =>
-      x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x =>
-      x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Dot product of two float-array columns in double precision with
+    * deterministic left-to-right summation — the codegen'd
+    * [[graft.functions.FloatVecDot]] kernel (no per-pair allocation,
+    * bit-identical to the HOF formulation and DuckDB list_dot_product). */
+  def dot(a: Column, b: Column): Column =
+    column(graft.functions.FloatVecDot(expression(a), expression(b)))
+
+  /** Euclidean norm of a float-array column (double). */
+  def norm(a: Column): Column =
+    column(graft.functions.FloatVecNorm(expression(a)))
+
+  /** Cosine similarity — for one-off pair scoring. For joins, precompute
+    * [[norm]] per side once and divide a single [[dot]] (see s03): norm
+    * recomputation per candidate pair triples the array traversals. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def queriesSet(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -64,10 +70,13 @@ object Similarity {
     (s, d) =>
       import s.implicits._
       val corpus = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding".as("vec"))
-      val scored = queriesSet(s, d).crossJoin(corpus)
+        .select($"vec_id", $"embedding".as("vec"), norm($"embedding").as("cn"))
+      val scored = queriesSet(s, d)
+        .withColumn("qn", norm($"q_vec"))
+        .crossJoin(corpus)
         .filter($"q_id" =!= $"vec_id")
-        .select($"q_id", $"vec_id", cosine($"q_vec", $"vec").as("sim0"))
+        .select($"q_id", $"vec_id",
+          (dot($"q_vec", $"vec") / ($"qn" * $"cn")).as("sim0"))
       val w = Window.partitionBy($"q_id").orderBy($"sim0".desc, $"vec_id")
       scored.withColumn("rk", row_number().over(w))
         .filter($"rk" <= 5)
@@ -144,14 +153,18 @@ object Similarity {
       |     sqrt(list_dot_product(b.vec, b.vec))) > 0.42""".stripMargin) {
     (s, d) =>
       import s.implicits._
+      // Precompute each vector's norm ONCE (map-side) — the pair-level
+      // work is then a single dot product instead of three array
+      // traversals; same arithmetic as the oracle: dot / (na * nb).
       val c = Tables.embeddings(s, d)
-        .select($"vec_id", $"label", $"embedding")
+        .select($"vec_id", $"label", $"embedding",
+          norm($"embedding").as("nrm"))
       val a = c.select($"vec_id".as("id_a"), $"label".as("label_a"),
-        $"embedding".as("va"))
+        $"embedding".as("va"), $"nrm".as("na"))
       val b = c.select($"vec_id".as("id_b"), $"label".as("label_b"),
-        $"embedding".as("vb"))
+        $"embedding".as("vb"), $"nrm".as("nb"))
       a.join(b, $"id_a" < $"id_b")
-        .withColumn("sim0", cosine($"va", $"vb"))
+        .withColumn("sim0", dot($"va", $"vb") / ($"na" * $"nb"))
         .filter($"sim0" > 0.42)
         .select($"id_a", $"id_b", $"label_a", $"label_b",
           round($"sim0", 6).as("sim"))

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators (reference `FileSinkOperator`, SURVEY.md §2.1-2.2):
+  * dynamic-partitioned writes, bucketed+sorted tables, and the
+  * shuffle-free sort-merge-bucket join they enable (reference
+  * `SMBMapJoinOperator`).
+  *
+  * 100 TB notes:
+  *   - Dynamic partition writes sort within partitions by the partition
+  *     key first (the reference's `SortedDynPartitionOptimizer`) so each
+  *     task writes each partition file once instead of keeping one open
+  *     writer per key.
+  *   - Bucketed tables co-locate join keys at write time; a join of two
+  *     tables bucketed by the same key into the same bucket count plans
+  *     as SortMergeJoin with ZERO Exchange — the shuffle is paid once at
+  *     write, amortized over every subsequent join.
+  */
+object Writers {
+
+  /** Dynamic-partitioned parquet write, partition-sorted. */
+  def writePartitioned(df: DataFrame, partCol: String, dest: String): Unit =
+    df.sortWithinPartitions(partCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(dest)
+
+  /** Bucketed + sorted managed table (bucket pruning + SMB joins). */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Bucket both join sides once, then join shuffle-free. The `merge`
+    * hint pins SortMergeJoin (at fixture scale the size estimator would
+    * otherwise broadcast, hiding the property under test); at 100 TB
+    * fact-fact scale SMJ is what the planner picks anyway. PlanSpec
+    * asserts the executed plan contains zero exchanges. */
+  def smbJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    import spark.implicits._
+    writeBucketed(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey",
+      $"o_totalprice"), "o_orderkey", buckets, "orders_b")
+    writeBucketed(Tables.lineitem(spark, dir).select($"l_orderkey",
+      $"l_quantity", $"l_extendedprice"), "l_orderkey", buckets, "lineitem_b")
+    spark.table("lineitem_b").hint("merge")
+      .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_quantity", $"l_extendedprice",
+        $"o_totalprice")
+  }
+}
