@@ -29,6 +29,10 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // CBO parity with the reference's Calcite cost model (SURVEY.md §4.1):
+    // ANALYZE-collected stats drive join reorder + build-side selection.
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.cbo.joinReorder.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
 

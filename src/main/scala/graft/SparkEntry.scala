@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Analytics.all ++ operators.Functions.all ++
       operators.Dedup.all ++ operators.TextAnalysis.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
-      operators.StreamingQueries.all
+      operators.StreamingQueries.all ++ operators.Formats.all ++
+      operators.AsofJoin.all ++ operators.Script.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.sources.Tables
+
+/** As-of (temporal) join — an operator the reference LACKS entirely
+  * (SURVEY.md §2.1: "No range/as-of/interval join exists in the
+  * reference") but that time-series/event pipelines need constantly.
+  *
+  * Per the decision ladder (SURVEY.md §7.3 / guide preference (a)):
+  * composition expresses the semantics exactly, so no custom physical
+  * operator is needed. The implementation is the production
+  * union-and-carry pattern:
+  *
+  *   1. tag right rows (side=0) and left rows (side=1), union
+  *   2. one shuffle+sort on (key, ts, side)
+  *   3. carry the last non-null right payload forward with
+  *      last(ignoreNulls) over an unbounded-preceding window
+  *   4. keep left rows with a carried match
+  *
+  * Cost: ONE shuffle of |L|+|R| and a partition-local sort — the same
+  * lower bound a dedicated as-of merge operator pays. At equal
+  * timestamps the right row sorts first, giving `>=` (inclusive)
+  * semantics — identical to DuckDB's native ASOF JOIN, which is the
+  * oracle. */
+object AsofJoin {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` on the same key. Right must be unique per
+    * (key, ts) — pre-aggregate it otherwise. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val s = left.sparkSession
+    import s.implicits._
+    val rightPayloadCols = right.columns.filter(c => c != key && c != rightTs)
+    val rightTagged = right.select(
+      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct(col(rightTs).as(rightTs) +:
+        rightPayloadCols.map(col): _*).as("_rpay"))
+    val leftTagged = left.select(
+      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
+      lit(null).cast(rightTagged.schema("_rpay").dataType).as("_rpay"),
+      struct(left.columns.map(col): _*).as("_lpay"))
+    val unioned = rightTagged
+      .withColumn("_lpay", lit(null).cast(leftTagged.schema("_lpay").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy($"_k").orderBy($"_ts".asc, $"_side".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_carried", last($"_rpay", ignoreNulls = true).over(w))
+      .filter($"_side" === 1 && $"_carried".isNotNull)
+      .select(col("_lpay.*") +: Seq(col("_carried")): _*)
+  }
+
+  /** a01: for each event, the user's most recent order at event time.
+    * Oracle = DuckDB's native ASOF JOIN over the same tables. */
+  val a01EventOrderAsof: Q = Q(
+    "a01_asof_join",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    max(o_orderkey) AS last_orderkey, count(*) AS n_same_ts
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |  r.o_orderdate AS asof_orderdate, r.last_orderkey
+      |FROM l ASOF JOIN r
+      |  ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      // right side made unique per (key, ts): latest orderkey wins
+      val rightUnique = Tables.orders(s, d)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("last_orderkey"))
+        .select($"o_custkey".as("user_id"), $"o_orderdate",
+          $"last_orderkey")
+      val left = Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      asofJoin(left, rightUnique, key = "user_id", leftTs = "ts",
+        rightTs = "o_orderdate")
+        .select($"event_id", $"user_id", $"ts",
+          $"_carried.o_orderdate".as("asof_orderdate"),
+          $"_carried.last_orderkey".as("last_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(a01EventOrderAsof)
+}

@@ -7,7 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * cheap smoke-level checks — the deep correctness gate is the driver's
   * DuckDB differential run over SparkEntry.oracleSql). */
 object SparkTestSession {
-  lazy val spark: SparkSession = GraftSession.local("4", "graft-test")
+  lazy val spark: SparkSession = {
+    val s = GraftSession.configure(SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(s)
+    s
+  }
   val sf: String = "/root/testdata/sf0.001"
   def register(): Unit = graft.sources.Tables.registerAll(spark, sf)
 }
