@@ -21,14 +21,22 @@ import org.apache.spark.sql.functions.udaf
   */
 object NGrams {
 
-  type Buf = Map[Seq[String], Long]
+  type Buf = scala.collection.mutable.HashMap[Seq[String], Long]
 
   final case class NGramFreq(ngram: Seq[String], estfrequency: Double)
 
-  private def prune(b: Buf, k: Int): Buf =
-    if (b.size <= 2 * k) b
-    else b.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
-      .take(2 * k).toMap
+  /** Keep at most 2·k entries per partial buffer: bounded-memory,
+    * spill-safe partials. Mutates in place (Aggregator contract allows
+    * buffer mutation — no per-gram map copying). */
+  private def prune(b: Buf, k: Int): Buf = {
+    if (b.size > 4 * math.max(k, 1)) {
+      val keep = b.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
+        .take(2 * k)
+      b.clear()
+      b ++= keep
+    }
+    b
+  }
 
   private def top(b: Buf, k: Int): Seq[NGramFreq] =
     b.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
@@ -37,22 +45,21 @@ object NGrams {
 
   /** ngrams(tokens, n, k): top-k n-grams of each group's token arrays. */
   class NGramsAgg extends Aggregator[(Seq[String], Int, Int), (Buf, Int), Seq[NGramFreq]] {
-    override def zero: (Buf, Int) = (Map.empty, 10)
+    override def zero: (Buf, Int) = (new Buf, 10)
     override def reduce(b: (Buf, Int), in: (Seq[String], Int, Int)): (Buf, Int) = {
       val (tokens, n, k) = in
       if (tokens == null || tokens.size < n) (b._1, k)
       else {
-        val grams = tokens.sliding(n).filter(_.size == n)
-        val merged = grams.foldLeft(b._1) { (m, g) =>
-          m.updated(g, m.getOrElse(g, 0L) + 1L)
+        val m = b._1
+        tokens.sliding(n).filter(_.size == n).foreach { g =>
+          m.update(g, m.getOrElse(g, 0L) + 1L)
         }
-        (prune(merged, k), k)
+        (prune(m, k), k)
       }
     }
     override def merge(a: (Buf, Int), b: (Buf, Int)): (Buf, Int) = {
-      val m = b._1.foldLeft(a._1) { case (acc, (g, c)) =>
-        acc.updated(g, acc.getOrElse(g, 0L) + c)
-      }
+      val m = a._1
+      b._1.foreach { case (g, c) => m.update(g, m.getOrElse(g, 0L) + c) }
       val k = math.max(a._2, b._2)
       (prune(m, k), k)
     }
@@ -67,30 +74,29 @@ object NGrams {
     * positions; null slots are the wildcards being counted. */
   class ContextNGramsAgg
       extends Aggregator[(Seq[String], Seq[String], Int), (Buf, Int), Seq[NGramFreq]] {
-    override def zero: (Buf, Int) = (Map.empty, 10)
+    override def zero: (Buf, Int) = (new Buf, 10)
     override def reduce(b: (Buf, Int), in: (Seq[String], Seq[String], Int)): (Buf, Int) = {
       val (tokens, context, k) = in
       if (tokens == null || context == null || tokens.size < context.size)
         (b._1, k)
       else {
         val n = context.size
-        val matches = tokens.sliding(n).filter(_.size == n).flatMap { win =>
+        val m = b._1
+        tokens.sliding(n).filter(_.size == n).foreach { win =>
           val ok = win.zip(context).forall { case (tok, ctx) =>
             ctx == null || ctx == tok
           }
-          if (ok) Some(win.zip(context).collect { case (tok, null) => tok })
-          else None
+          if (ok) {
+            val g = win.zip(context).collect { case (tok, null) => tok }
+            m.update(g, m.getOrElse(g, 0L) + 1L)
+          }
         }
-        val merged = matches.foldLeft(b._1) { (m, g) =>
-          m.updated(g, m.getOrElse(g, 0L) + 1L)
-        }
-        (prune(merged, k), k)
+        (prune(m, k), k)
       }
     }
     override def merge(a: (Buf, Int), b: (Buf, Int)): (Buf, Int) = {
-      val m = b._1.foldLeft(a._1) { case (acc, (g, c)) =>
-        acc.updated(g, acc.getOrElse(g, 0L) + c)
-      }
+      val m = a._1
+      b._1.foreach { case (g, c) => m.update(g, m.getOrElse(g, 0L) + c) }
       val k = math.max(a._2, b._2)
       (prune(m, k), k)
     }

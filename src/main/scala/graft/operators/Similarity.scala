@@ -170,5 +170,53 @@ object Similarity {
           round($"sim0", 6).as("sim"))
   }
 
-  val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup)
+  /** s04: IVF (inverted-file) ANN — coarse quantizer + probed buckets.
+    *
+    * Centroids are a deterministic sample of the corpus (every 100th
+    * vector — stands in for k-means centroids, which would be trained
+    * offline at scale). Every vector is assigned to its nearest
+    * centroid (broadcast nested-loop over the small centroid set, one
+    * map-side pass); queries probe the `nprobe`=2 nearest centroid
+    * buckets and re-rank exactly within them. Candidate work per query
+    * is bounded by the probed buckets — the 100 TB path where brute
+    * force (s01) is quadratic. Recall measured vs s01 in SimilaritySpec. */
+  val s04KnnIvf: Q = Q.noOracle("s04_knn_ivf") { (s, d) =>
+    import s.implicits._
+    val nprobe = 2
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val centroids = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    // assign: nearest centroid per vector (broadcast the centroid set)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id")
+    val assigned = emb.join(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"nrm", $"c_id",
+        (dot($"embedding", $"c_vec") / ($"nrm" * $"c_nrm")).as("c_sim"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"c_id")
+    // queries probe their nprobe nearest centroids
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"nrm".as("q_nrm"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"c_id")
+    val probes = qs.join(broadcast(centroids))
+      .select($"q_id", $"q_vec", $"q_nrm", $"c_id",
+        (dot($"q_vec", $"c_vec") / ($"q_nrm" * $"c_nrm")).as("c_sim"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter($"crk" <= nprobe)
+      .select($"q_id", $"q_vec", $"q_nrm", $"c_id")
+    // candidates = vectors in probed buckets; exact re-rank
+    val wRank = Window.partitionBy($"q_id").orderBy($"sim0".desc, $"vec_id")
+    probes.join(assigned, "c_id")
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        (dot($"q_vec", $"embedding") / ($"q_nrm" * $"nrm")).as("sim0"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
+  }
+
+  val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf)
 }

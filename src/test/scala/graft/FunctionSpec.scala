@@ -101,6 +101,32 @@ class FunctionSpec extends AnyFunSuite {
     assert(r.getString(2) == "x=1")
   }
 
+  test("xpath family") {
+    assert(one("xpath_string('<a><b>bb</b></a>', 'a/b')") == "bb")
+    assert(one("xpath_int('<a><b>3</b></a>', 'a/b')") == 3)
+    val arr = spark.sql(
+      "SELECT xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()') AS v")
+      .collect()(0).getSeq[String](0)
+    assert(arr == Seq("1", "2"))
+  }
+
+  test("sentences splits into words per sentence") {
+    val r = spark.sql(
+      "SELECT sentences('Hello there! How are you') AS s")
+      .collect()(0).getSeq[scala.collection.Seq[String]](0)
+    assert(r.length == 2 && r.head == Seq("Hello", "there"))
+  }
+
+  test("histogram_numeric bin counts sum to row count") {
+    SparkTestSession.register()
+    val r = spark.sql(
+      """SELECT histogram_numeric(l_quantity, 5) AS h, count(*) AS n
+        |FROM lineitem""".stripMargin).collect()(0)
+    val bins = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(bins.length == 5)
+    assert(math.round(bins.map(_.getDouble(1)).sum) == r.getLong(1))
+  }
+
   test("interval constructors") {
     assert(one("CAST(interval_year_month('1-2') AS STRING)").toString
       .contains("1-2"))

@@ -56,6 +56,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree.forall(_ >= 14), s"cluster bit agreement too low: ${agree.min}/16")
   }
 
+  test("IVF knn: bounded candidates, ranked, and k-capped per query") {
+    val ivf = SparkEntry.queries("s04_knn_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 5)
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("cosine is exact against a hand-computed value") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f, 1f), Seq(1f, 1f, 0f))).toDF("a", "b")
