@@ -63,5 +63,22 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_unique"))
   }
 
-  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup)
+  /** st05: batch twin of the stateful per-user totals (summation order
+    * inside a group follows input order — rounded on output for
+    * cross-engine stability). */
+  val st05Stateful: Q = Q(
+    "st05_stateful_totals",
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Streams.userTotalsStateful(
+      Tables.events(s, d).as[graft.streaming.Event])
+      .toDF()
+      .select($"user_id", $"n_events",
+        round($"total_value", 2).as("total_value"))
+  }
+
+  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
+    st05Stateful)
 }

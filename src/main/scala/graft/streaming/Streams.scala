@@ -1,7 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Row type for typed stateful processing over the events table. */
+final case class Event(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double, props: String)
+
+/** Per-user accumulated state emitted by [[Streams.userTotalsStateful]]. */
+final case class UserTotals(user_id: Long, n_events: Long,
+    total_value: Double)
 
 /** Structured-Streaming operators over the events table (SURVEY.md §2.9:
   * the reference has NO stream engine — its streaming story is ACID
@@ -54,6 +63,30 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events", $"sum_value")
+  }
+
+  /** Arbitrary stateful processing (the reference's closest analogue is
+    * a custom PTF — SURVEY.md §2.8 maps that surface to
+    * `flatMapGroupsWithState`): per-user running totals held in explicit
+    * GroupState. Works identically over a stream (update mode, state
+    * persists across micro-batches, store-backed and spillable) and a
+    * batch Dataset (each group processed once from empty state — the
+    * oracle-checkable twin). */
+  def userTotalsStateful(events: Dataset[Event]): Dataset[UserTotals] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserTotals(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
   }
 
   /** Streaming dedup on event_id within the watermark horizon — returns

@@ -83,6 +83,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful user totals: final stream state equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams.userTotalsStateful(mem.toDS())
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("update").start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // last update per user == batch aggregate
+      val finalState = spark.table("stateful_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (uid, rows) => uid -> rows.maxBy(_.getLong(1)) }
+      val batch = sources.Tables.events(spark, sf)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("t"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(finalState.keySet == batch.keySet)
+      finalState.foreach { case (uid, row) =>
+        assert(row.getLong(1) == batch(uid).getLong(1))
+        assert(math.abs(row.getDouble(2) - batch(uid).getDouble(2)) < 1e-6)
+      }
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
