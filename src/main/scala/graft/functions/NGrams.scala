@@ -45,7 +45,7 @@ object NGrams {
 
   /** ngrams(tokens, n, k): top-k n-grams of each group's token arrays. */
   class NGramsAgg extends Aggregator[(Seq[String], Int, Int), (Buf, Int), Seq[NGramFreq]] {
-    override def zero: (Buf, Int) = (new Buf, 10)
+    override def zero: (Buf, Int) = (new Buf, -1) // -1 = k unset
     override def reduce(b: (Buf, Int), in: (Seq[String], Int, Int)): (Buf, Int) = {
       val (tokens, n, k) = in
       if (tokens == null || tokens.size < n) (b._1, k)
@@ -63,7 +63,8 @@ object NGrams {
       val k = math.max(a._2, b._2)
       (prune(m, k), k)
     }
-    override def finish(r: (Buf, Int)): Seq[NGramFreq] = top(r._1, r._2)
+    override def finish(r: (Buf, Int)): Seq[NGramFreq] =
+      top(r._1, if (r._2 > 0) r._2 else 10)
     override def bufferEncoder: Encoder[(Buf, Int)] =
       Encoders.tuple(Encoders.kryo[Buf], Encoders.scalaInt)
     override def outputEncoder: Encoder[Seq[NGramFreq]] =
@@ -74,7 +75,7 @@ object NGrams {
     * positions; null slots are the wildcards being counted. */
   class ContextNGramsAgg
       extends Aggregator[(Seq[String], Seq[String], Int), (Buf, Int), Seq[NGramFreq]] {
-    override def zero: (Buf, Int) = (new Buf, 10)
+    override def zero: (Buf, Int) = (new Buf, -1) // -1 = k unset
     override def reduce(b: (Buf, Int), in: (Seq[String], Seq[String], Int)): (Buf, Int) = {
       val (tokens, context, k) = in
       if (tokens == null || context == null || tokens.size < context.size)
@@ -100,7 +101,8 @@ object NGrams {
       val k = math.max(a._2, b._2)
       (prune(m, k), k)
     }
-    override def finish(r: (Buf, Int)): Seq[NGramFreq] = top(r._1, r._2)
+    override def finish(r: (Buf, Int)): Seq[NGramFreq] =
+      top(r._1, if (r._2 > 0) r._2 else 10)
     override def bufferEncoder: Encoder[(Buf, Int)] =
       Encoders.tuple(Encoders.kryo[Buf], Encoders.scalaInt)
     override def outputEncoder: Encoder[Seq[NGramFreq]] =

@@ -64,22 +64,26 @@ object Windows {
           .as("moving_avg3"))
   }
 
-  /** RANGE frame over a numeric ordering: orders within 10k price below
-    * each order. Value-bounded frames are deterministic under ties. */
+  /** RANGE frame over a numeric ordering: per customer, that customer's
+    * other orders within 10k price below each order. Value-bounded
+    * frames are deterministic under ties. Partitioning is per-customer
+    * (fine-grained) — a low-cardinality partition key (e.g. the 3-value
+    * order status) would serialize the whole table through a handful of
+    * window partitions at scale. */
   val q15WindowRange: Q = Q(
     "q15_window_range",
-    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+    """SELECT o_orderkey, o_custkey, o_totalprice,
       |  count(*) OVER (w RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
       |    AS n_in_band,
       |  round(sum(o_totalprice) OVER (w RANGE BETWEEN 10000 PRECEDING
       |    AND CURRENT ROW), 2) AS band_spend
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""".stripMargin) {
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)""".stripMargin) {
     (s, d) =>
       import s.implicits._
-      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
         .rangeBetween(-10000, Window.currentRow)
-      Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+      Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
         $"o_totalprice",
         count(lit(1)).over(w).as("n_in_band"),
         round(sum($"o_totalprice").over(w), 2).as("band_spend"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the rows-only (no-oracle) queries the driver
+  * can't differential-test. */
+class MiscSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("v01 virtual columns: row counts reconcile with the table") {
+    val rows = SparkEntry.queries("v01_virtual_cols")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == 500)
+    rows.foreach { r =>
+      assert(r.getString(0).contains("documents.parquet"))
+      assert(r.getLong(1) > 0) // file_size
+    }
+  }
+
+  test("v02 histogram bins cover all rows per group") {
+    val rows = SparkEntry.queries("v02_histogram")(spark, sf).collect()
+    rows.foreach { r =>
+      val bins = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(bins.length == 5)
+      assert(math.round(bins.map(_.getDouble(1)).sum) == r.getLong(2))
+    }
+  }
+
+  test("t04 langid confusion counts cover the corpus") {
+    val rows = SparkEntry.queries("t04_langid")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == 500)
+    val langs = Set("de", "en", "es", "fr", "zh")
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(0)))
+      assert(langs.contains(r.getString(1)))
+    }
+  }
+
+  test("q33 sample is ~10% and deterministic per seed") {
+    val a = SparkEntry.queries("q33_sample")(spark, sf).collect()(0)
+    val b = SparkEntry.queries("q33_sample")(spark, sf).collect()(0)
+    assert(a.getLong(0) == b.getLong(0))
+    assert(a.getLong(0) > 300 && a.getLong(0) < 900) // 6000 rows * 0.1
+  }
+
+  test("f04 binaryFile reads whole parquet files as bytes") {
+    val r = SparkEntry.queries("f04_binaryfile")(spark, sf).collect()(0)
+    assert(r.getLong(0) >= 1)
+    assert(r.getLong(1) > 1000)
+  }
+
+  test("q44 ngrams returns top bigrams per language") {
+    val rows = SparkEntry.queries("q44_ngrams_docs")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val grams = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(grams.nonEmpty && grams.length <= 5)
+      val freqs = grams.map(_.getDouble(1))
+      assert(freqs.zip(freqs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
