@@ -97,31 +97,45 @@ object TextAnalysis {
       ceil(length($"text") / 4.0).as("subword_est"))
   }
 
-  /** t04: n-gram language ID. Scores each candidate language's profile
-    * (discriminative character bigrams for real corpora; here a
-    * word-marker profile over the synthetic vocabulary) and predicts the
-    * argmax, then cross-tabulates against the declared lang. The
-    * profiles are a stand-in — the operator shape (map-side score
-    * vector + argmax + confusion rollup) is the production pipeline. */
+  /** t04: n-gram language ID, trained in-pipeline. A deterministic
+    * train split (even doc_ids) builds per-language token log-lift
+    * profiles (P(token|lang) vs P(token) with add-one smoothing); the
+    * held-out split is scored by summing lifts of its tokens per
+    * language (one inverted-index join + argmax) and the result is
+    * cross-tabulated against the declared lang.
+    *
+    * Fully distributed: the profile is a (token, lang, lift) table
+    * joined token-wise — no driver-side model object, so vocabulary
+    * size is unbounded. (On this synthetic fixture the text is
+    * vocabulary-identical across langs, so accuracy hovers at chance —
+    * the mechanism, not the fixture, is what production reuses.) */
   val t04LangId: Q = Q.noOracle("t04_langid") { (s, d) =>
     import s.implicits._
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "fast", "row"),
-      "de" -> Seq("table", "batch", "key"),
-      "es" -> Seq("query", "merge", "line"),
-      "fr" -> Seq("column", "part", "join"),
-      "zh" -> Seq("value", "agg", "small"))
-    val t = toks($"text")
-    val scored = Tables.documents(s, d).select($"doc_id", $"lang",
-      array(profiles.map { case (lg, words) =>
-        struct(
-          size(filter(t, x => x.isInCollection(words))).as("score"),
-          lit(lg).as("plang"))
-      }: _*).as("scores"))
+    val docs = Tables.documents(s, d)
+    val tokens = docs.select($"doc_id", $"lang",
+      explode(toks($"text")).as("tok"))
+    val train = tokens.filter($"doc_id" % 2 === 0)
+    val langTotals = train.groupBy($"lang")
+      .agg(count(lit(1)).as("lang_n"))
+    val tokTotals = train.groupBy($"tok").agg(count(lit(1)).as("tok_n"))
+    val counts = train.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+    val profile = counts
+      .join(broadcast(langTotals), "lang")
+      .join(tokTotals, "tok")
+      .select($"tok".as("p_tok"), $"lang".as("cand_lang"),
+        log((($"c" + 1.0) / ($"lang_n" + 1.0)) /
+          (($"tok_n" + 1.0) / lit(1.0))).as("lift"))
+    val test = tokens.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"lang".as("true_lang"), $"tok")
+    val scored = test.join(profile, $"tok" === $"p_tok")
+      .groupBy($"doc_id", $"true_lang", $"cand_lang")
+      .agg(sum($"lift").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
     scored
-      .select($"doc_id", $"lang",
-        array_max($"scores").getField("plang").as("predicted"))
-      .groupBy($"lang", $"predicted")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"true_lang".as("lang"), $"cand_lang".as("predicted"))
       .agg(count(lit(1)).as("n"))
   }
 

@@ -36,6 +36,18 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction — the reference's `ALTER TABLE …
+    * CONCATENATE` (`OrcFileMergeOperator`/`RCFileMergeOperator`,
+    * SURVEY.md §2.1): rewrite a directory of many small parquet files
+    * into `targetFiles` larger ones. Data-preserving (same rows, new
+    * layout); at scale run per-partition-directory so each compaction
+    * task is bounded. */
+  def compact(spark: SparkSession, src: String, dest: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(src)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would
     * otherwise broadcast, hiding the property under test); at 100 TB

@@ -25,9 +25,11 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
-  test("t04 langid confusion counts cover the corpus") {
+  test("t04 langid confusion counts cover the held-out split") {
     val rows = SparkEntry.queries("t04_langid")(spark, sf).collect()
-    assert(rows.map(_.getLong(2)).sum == 500)
+    // odd doc_ids form the held-out half; every held-out doc gets
+    // exactly one prediction
+    assert(rows.map(_.getLong(2)).sum == 250)
     val langs = Set("de", "en", "es", "fr", "zh")
     rows.foreach { r =>
       assert(langs.contains(r.getString(0)))

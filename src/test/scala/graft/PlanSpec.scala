@@ -65,6 +65,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in SMB join:\n$p")
   }
 
+  test("compaction rewrites many small files into the target count") {
+    val src = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    sources.Tables.orders(spark, sf).repartition(20).write
+      .mode("overwrite").parquet(src)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(src) == 20)
+    sources.Writers.compact(spark, src, dest, targetFiles = 2)
+    assert(parts(dest) == 2)
+    assert(spark.read.parquet(dest).count() ==
+      sources.Tables.orders(spark, sf).count())
+  }
+
   test("partitioned write produces partition directories") {
     val dest = java.nio.file.Files.createTempDirectory("graft_part").toString
     sources.Writers.writePartitioned(
