@@ -101,6 +101,73 @@ class FunctionSpec extends AnyFunSuite {
     assert(r.getString(2) == "x=1")
   }
 
+  test("string-family builtins match Hive semantics") {
+    assert(one("elt(2, 'a', 'b', 'c')") == "b")
+    assert(one("find_in_set('b', 'a,b,c')") == 2)
+    assert(one("initcap('hello world')") == "Hello World")
+    assert(one("soundex('Robert')") == "R163")
+    assert(one("levenshtein('kitten', 'sitting')") == 3)
+    assert(one("substring_index('a.b.c', '.', 2)") == "a.b")
+    assert(one("format_number(1234567.891, 2)") == "1,234,567.89")
+    assert(one("concat_ws('-', 'a', NULL, 'b')") == "a-b")
+    assert(one("space(3)") == "   ")
+    assert(one("repeat('ab', 3)") == "ababab")
+    assert(one("ascii('A')") == 65)
+    assert(one("chr(66)") == "B")
+    assert(one("str_to_map('a:1,b:2', ',', ':')['b']") == "2")
+    assert(one("translate('abcd', 'ad', 'xy')") == "xbcy")
+  }
+
+  test("math-family builtins match Hive semantics") {
+    assert(one("conv('ff', 16, 10)") == "255")
+    assert(one("bin(13)") == "1101")
+    assert(one("hex(255)") == "FF")
+    assert(one("factorial(5)") == 120L)
+    assert(one("CAST(bround(2.5) AS DOUBLE)") == 2.0) // banker's rounding
+    assert(one("CAST(bround(3.5) AS DOUBLE)") == 4.0)
+    assert(one("CAST(round(2.5) AS DOUBLE)") == 3.0)  // half-up
+    assert(one("pmod(-7, 3)") == 2)
+    assert(one("shiftrightunsigned(-8, 2)") == 1073741822) // 32-bit input
+    assert(one("shiftrightunsigned(CAST(-8 AS BIGINT), 2)")
+      == 4611686018427387902L)
+    assert(one("cbrt(27.0)") == 3.0)
+    assert(one("degrees(pi())") == 180.0)
+  }
+
+  test("date-family builtins match Hive semantics") {
+    assert(one("CAST(add_months(DATE '2024-01-31', 1) AS STRING)")
+      == "2024-02-29")
+    assert(one("CAST(next_day(DATE '2024-01-01', 'FRIDAY') AS STRING)")
+      == "2024-01-05")
+    assert(one("CAST(last_day(DATE '2024-02-10') AS STRING)") == "2024-02-29")
+    assert(one("months_between(DATE '2024-03-15', DATE '2024-01-15')") == 2.0)
+    assert(one("datediff(DATE '2024-01-10', DATE '2024-01-01')") == 9)
+    assert(one("CAST(trunc(DATE '2024-03-15', 'MM') AS STRING)")
+      == "2024-03-01")
+    assert(one("dayofweek(DATE '2024-01-01')") == 2) // Monday
+    assert(one("weekofyear(DATE '2024-01-04')") == 1)
+    assert(one("quarter(DATE '2024-05-05')") == 2)
+    assert(one("from_unixtime(0, 'yyyy-MM-dd')") == "1970-01-01")
+  }
+
+  test("json and url builtins") {
+    assert(one("get_json_object('{\"a\": {\"b\": 7}}', '$.a.b')") == "7")
+    val jt = spark.sql(
+      "SELECT json_tuple('{\"x\": 1, \"y\": \"z\"}', 'x', 'y')").collect()(0)
+    assert(jt.getString(0) == "1" && jt.getString(1) == "z")
+    assert(one("parse_url('http://h.io/p?a=1', 'QUERY', 'a')") == "1")
+  }
+
+  test("approx_count_distinct is within HLL error bounds") {
+    SparkTestSession.register()
+    val r = spark.sql(
+      """SELECT approx_count_distinct(o_orderkey) AS a,
+        |       count(DISTINCT o_orderkey) AS e FROM orders""".stripMargin)
+      .collect()(0)
+    // default rsd 5% -> allow 3 sigma
+    assert(math.abs(r.getLong(0) - r.getLong(1)).toDouble / r.getLong(1) < 0.15)
+  }
+
   test("xpath family") {
     assert(one("xpath_string('<a><b>bb</b></a>', 'a/b')") == "bb")
     assert(one("xpath_int('<a><b>3</b></a>', 'a/b')") == 3)
