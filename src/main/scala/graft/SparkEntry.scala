@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Dedup.all ++ operators.TextAnalysis.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.StreamingQueries.all ++ operators.Formats.all ++
-      operators.AsofJoin.all ++ operators.Script.all ++ operators.Misc.all
+      operators.AsofJoin.all ++ operators.Script.all ++
+      operators.Misc.all ++ operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

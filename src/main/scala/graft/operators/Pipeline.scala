@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** End-to-end corpus-cleaning pipeline — the composition a real
+  * training-data run executes: quality filter → near-duplicate removal
+  * (keep the lowest doc_id of each pair) → per-language corpus stats.
+  * Composes the t02 quality scorer and d04 exact-Jaccard pair operators
+  * unchanged; the oracle chains the same CTEs, so the WHOLE pipeline is
+  * differential-tested, not just its stages.
+  *
+  * At 100 TB the only change is swapping the d04 ground-truth stage for
+  * d03's MinHash+LSH candidates — same pair schema, same removal rule. */
+object Pipeline {
+
+  val c01CorpusClean: Q = Q(
+    "c01_corpus_clean",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    length(text) AS n_chars_actual,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    round(
+      |      0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+      |      + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0)
+      |      + 0.3 * (CAST(n_types AS DOUBLE) / n_tokens), 6) AS quality
+      |  FROM f),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |dupes AS (SELECT DISTINCT doc_b FROM pairs p
+      |          JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |          JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |          WHERE 2 * inter >= (s1.n + s2.n - inter))
+      |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |  round(avg(quality), 6) AS avg_quality
+      |FROM q
+      |WHERE quality >= 0.5
+      |  AND doc_id NOT IN (SELECT doc_b FROM dupes)
+      |GROUP BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val quality = TextAnalysis.t02QualityScore.build(s, d)
+      .select($"doc_id", $"lang", $"n_tokens", $"quality")
+    val dupes = Dedup.d04NgramJaccard.build(s, d)
+      .select($"doc_b").distinct()
+    quality
+      .filter($"quality" >= 0.5)
+      .join(dupes, quality("doc_id") === dupes("doc_b"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("total_tokens"),
+        round(avg($"quality"), 6).as("avg_quality"))
+  }
+
+  val all: Seq[Q] = Seq(c01CorpusClean)
+}
