@@ -137,11 +137,42 @@ object Dedup {
         round($"inter" / $"uni", 6).as("jaccard"))
   }
 
-  /** d04: EXACT n-gram Jaccard pairs via inverted shingle index —
-    * the ground truth d03 approximates. Self-join on shingle, count
-    * intersections, integer-arithmetic threshold. At 100 TB: add a
-    * document-frequency cap on shingles (stop-shingle removal) to bound
-    * join skew; omitted here because semantics must match the oracle. */
+  /** Exact n-gram Jaccard pairs via inverted shingle index, with an
+    * optional document-frequency cap: shingles appearing in more than
+    * `maxDocFreq` documents are dropped from the INDEX side before the
+    * self-join (stop-shingle removal — the standard skew guard at
+    * corpus scale; a shingle in 1M docs would otherwise produce 10¹²
+    * join pairs). Sizes are computed on the same capped shingle set so
+    * the Jaccard denominator stays consistent. */
+  def ngramJaccardPairs(s: SparkSession, d: String,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    import s.implicits._
+    val shAll = Tables.documents(s, d)
+      .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
+    val sh =
+      if (maxDocFreq == Long.MaxValue) shAll
+      else {
+        val rare = shAll.groupBy($"g").agg(count(lit(1)).as("df"))
+          .filter($"df" <= maxDocFreq).select($"g")
+        shAll.join(rare, "g")
+      }
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"inter",
+        ($"na" + $"nb" - $"inter").as("uni"),
+        round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+      .filter(lit(2) * $"inter" >= $"uni")
+  }
+
+  /** d04: EXACT n-gram Jaccard pairs — the ground truth d03
+    * approximates. Uncapped (the oracle computes every pair); at corpus
+    * scale call [[ngramJaccardPairs]] with a finite `maxDocFreq`. */
   val d04NgramJaccard: Q = Q(
     "d04_ngram_jaccard",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -158,21 +189,7 @@ object Dedup {
       |JOIN sizes s1 ON p.doc_a = s1.doc_id
       |JOIN sizes s2 ON p.doc_b = s2.doc_id
       |WHERE 2 * inter >= (s1.n + s2.n - inter)""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .select($"doc_a", $"doc_b", $"inter",
-        ($"na" + $"nb" - $"inter").as("uni"),
-        round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
-      .filter(lit(2) * $"inter" >= $"uni")
+    ngramJaccardPairs(s, d)
   }
 
   /** 64-bit SimHash, fully map-side: per-token xxhash64 → per-bit ±1

@@ -95,4 +95,15 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
+
+  /** Watermark-bounded dedup (Spark 3.5+ `dropDuplicatesWithinWatermark`):
+    * unlike [[dedupEvents]], dedup keys NEED NOT include the event-time
+    * column in state — duplicates arriving within the watermark delay of
+    * the first sighting are dropped and state is evicted afterwards. The
+    * right tool when the duplicate horizon (delivery retries) is shorter
+    * than the stream's lifetime: state stays O(events per horizon). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -34,6 +34,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("frequency-capped jaccard pairs are a subset of the uncapped pairs") {
+    val capped = operators.Dedup.ngramJaccardPairs(spark, sf, maxDocFreq = 20)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = SparkEntry.queries("d04_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capping drops stop-shingles from numerator AND denominator; pairs
+    // that survive are still near-dups under the reduced shingle set,
+    // and heavily-overlapping pairs survive capping
+    assert(capped.nonEmpty)
+    assert(capped.intersect(full).size >= capped.size / 2)
+  }
+
   test("exact dedup counts are consistent") {
     val r = SparkEntry.queries("d01_dedup_exact")(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum

@@ -113,6 +113,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedupes retries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+    try {
+      val chunk = batchEvents.take(50)
+      mem.addData(chunk)
+      q.processAllAvailable()
+      mem.addData(chunk.take(20)) // delivery retries, within the horizon
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_out").count() == 50)
+    } finally q.stop()
+  }
+
+  test("session windows run on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("rocksdb_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    try {
+      val evs = batchEvents.take(200)
+      mem.addData(evs)
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      assert(spark.table("rocksdb_out").count() > 0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
