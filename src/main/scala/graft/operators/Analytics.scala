@@ -57,16 +57,21 @@ object Analytics {
   }
 
   /** Ordered collect_list + deduplicated collect_set (sorted for
-    * determinism — collect order is partition-dependent otherwise). */
+    * determinism — collect order is partition-dependent otherwise).
+    * The list is serialized to a CSV string on output: the driver's
+    * comparator sorts rows in pandas, which cannot hash array cells —
+    * scalar columns keep the query fully oracle-checkable. */
   val q37Collect: Q = Q(
     "q37_collect",
     """SELECT s_nationkey,
-      |  list(s_suppkey ORDER BY s_suppkey) AS supps,
+      |  string_agg(s_suppkey::VARCHAR, ',' ORDER BY s_suppkey) AS supps,
+      |  count(DISTINCT s_suppkey) AS n_set,
       |  count(*) AS n
       |FROM supplier GROUP BY s_nationkey""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.supplier(s, d).groupBy($"s_nationkey")
-      .agg(sort_array(collect_list($"s_suppkey")).as("supps"),
+      .agg(concat_ws(",", sort_array(collect_list($"s_suppkey"))).as("supps"),
+        size(collect_set($"s_suppkey")).cast("long").as("n_set"),
         count(lit(1)).as("n"))
   }
 

@@ -70,13 +70,17 @@ object Dedup {
     * normalized-content hash (lower + trim + whitespace collapse). */
   val d02NormalizedDedup: Q = Q(
     "d02_dedup_normalized",
-    """SELECT count(*) AS n_groups, sum(group_sz) AS n_docs,
+    """SELECT count(*) AS n_groups, CAST(sum(group_sz) AS BIGINT) AS n_docs,
       |  min(keeper) AS first_keeper, max(keeper) AS last_keeper
       |FROM (
-      |  SELECT md5(lower(trim(regexp_replace(text, ' +', ' ')))) AS h,
+      |  SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h,
       |    min(doc_id) AS keeper, count(*) AS group_sz
       |  FROM documents GROUP BY h
       |)""".stripMargin) { (s, d) =>
+    // Oracle notes: DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-ALL semantics (PG-style first-match otherwise),
+    // and sum(int) is CAST to BIGINT (DuckDB returns HUGEINT → float64
+    // in pandas, a dtype mismatch vs Spark's int64).
     import s.implicits._
     Tables.documents(s, d)
       .groupBy(md5(lower(trim(regexp_replace($"text", " +", " ")))).as("h"))

@@ -29,12 +29,13 @@ object Formats {
     val back = (if (fmt == "csv" || fmt == "json")
       r.schema(src.schema) else r).load(dest)
     back.groupBy($"s_nationkey")
-      .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("bal"),
+      .agg(count(lit(1)).as("n"), Exact.dsum($"s_acctbal").as("bal"),
         min($"s_name").as("first_name"))
   }
 
   private val oracleAgg =
-    """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal,
+    """SELECT s_nationkey, count(*) AS n,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal,
       |  min(s_name) AS first_name
       |FROM supplier GROUP BY s_nationkey""".stripMargin
 

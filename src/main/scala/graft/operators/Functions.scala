@@ -144,14 +144,21 @@ object Functions {
   }
 
   /** ngrams aggregator over real text (graft custom Aggregator — no
-    * cross-engine oracle; exact-value unit tests in FunctionSpec). */
+    * cross-engine oracle since partial-buffer pruning is partition-
+    * dependent; exact-value unit tests in FunctionSpec). The struct
+    * array is flattened to one scalar row per (lang, ngram): the
+    * driver's comparator sorts rows in pandas and cannot hash array
+    * cells. */
   val q44NgramsDocs: Q = Q.noOracle("q44_ngrams_docs") { (s, d) =>
     import s.implicits._
     graft.functions.GraftFunctions.registerAll(s)
     Tables.documents(s, d).createOrReplaceTempView("documents_v")
     s.sql(
-      """SELECT lang, ngrams(split(text, ' '), 2, 5) AS top_bigrams
-        |FROM documents_v GROUP BY lang""".stripMargin)
+      """SELECT lang, concat_ws(' ', b.ngram) AS bigram,
+        |  b.estfrequency AS freq
+        |FROM (SELECT lang, ngrams(split(text, ' '), 2, 5) AS top_bigrams
+        |      FROM documents_v GROUP BY lang)
+        |LATERAL VIEW explode(top_bigrams) t AS b""".stripMargin)
   }
 
   val all: Seq[Q] = Seq(q39StringFuncs, q40DateFuncs, q41MathFuncs,

@@ -17,14 +17,14 @@ object Grouping {
     "q19_rollup",
     """SELECT l_returnflag, l_linestatus,
       |  grouping_id(l_returnflag, l_linestatus) AS gid,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.lineitem(s, d)
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(grouping_id().as("gid"),
-        round(sum($"l_quantity"), 2).as("sum_qty"),
+        Exact.dsum($"l_quantity").as("sum_qty"),
         count(lit(1)).as("n"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n")
   }
@@ -33,14 +33,14 @@ object Grouping {
     "q20_cube",
     """SELECT l_returnflag, l_linestatus,
       |  grouping_id(l_returnflag, l_linestatus) AS gid,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.lineitem(s, d)
       .cube($"l_returnflag", $"l_linestatus")
       .agg(grouping_id().as("gid"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
           .as("revenue"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"revenue")
   }
@@ -51,7 +51,7 @@ object Grouping {
     val sql =
       """SELECT o_orderstatus, o_orderpriority,
         |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
     Q("q21_grouping_sets", sql) { (s, d) =>
@@ -62,13 +62,15 @@ object Grouping {
 
   val q22Having: Q = Q(
     "q22_having",
-    """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    / count(p_retailprice) AS avg_price
       |FROM part GROUP BY p_brand HAVING count(*) >= 50""".stripMargin) {
     (s, d) =>
       import s.implicits._
       Tables.part(s, d).groupBy($"p_brand")
         .agg(count(lit(1)).as("n"),
-          round(avg($"p_retailprice"), 4).as("avg_price"))
+          Exact.davg($"p_retailprice").as("avg_price"))
         .filter($"n" >= 50)
   }
 
@@ -77,15 +79,15 @@ object Grouping {
   val q23Pivot: Q = Q(
     "q23_pivot",
     """SELECT o_orderpriority,
-      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS P
       |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum($"o_totalprice"), 2))
+      .agg(Exact.dsum($"o_totalprice"))
   }
 
   val all: Seq[Q] = Seq(q19Rollup, q20Cube, q21GroupingSets, q22Having,

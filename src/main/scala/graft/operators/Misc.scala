@@ -23,13 +23,20 @@ object Misc {
   }
 
   /** v02: histogram_numeric sketch (reference GenericUDAFHistogramNumeric
-    * — same builtin name in Spark). */
+    * — same builtin name in Spark). Bins are exploded to one scalar row
+    * per (flag, bin) — the driver's comparator sorts rows in pandas and
+    * cannot hash array cells. Stays rows-only: the Ben-Haim/Tom-Tov
+    * sketch's bin centers are merge-order-dependent, so no cross-engine
+    * oracle exists; MiscSpec pins exact bin values on a fixed input. */
   val v02Histogram: Q = Q.noOracle("v02_histogram") { (s, d) =>
     import s.implicits._
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(expr("histogram_numeric(l_quantity, 5)").as("hist"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag", $"n", posexplode($"hist").as(Seq("bin", "b")))
+      .select($"l_returnflag", $"n", $"bin",
+        $"b.x".as("bin_center"), $"b.y".as("bin_count"))
   }
 
   val all: Seq[Q] = Seq(v01VirtualCols, v02Histogram)

@@ -42,13 +42,20 @@ object Pipeline {
       |          JOIN sizes s1 ON p.doc_a = s1.doc_id
       |          JOIN sizes s2 ON p.doc_b = s2.doc_id
       |          WHERE 2 * inter >= (s1.n + s2.n - inter))
-      |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-      |  round(avg(quality), 6) AS avg_quality
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(quality)
+      |    AS avg_quality
       |FROM q
       |WHERE quality >= 0.5
       |  AND doc_id NOT IN (SELECT doc_b FROM dupes)
       |GROUP BY lang""".stripMargin) { (s, d) =>
     import s.implicits._
+    // total_tokens CAST to BIGINT in the oracle (DuckDB sum(int) is
+    // HUGEINT → float64 in pandas, a dtype mismatch vs Spark's int64);
+    // avg_quality summed exactly in decimal space (quality is rounded
+    // to 6 dp per row, so the decimal(18,6) cast is lossless) — double
+    // summation order would otherwise jitter the mean's last ulp.
     val quality = TextAnalysis.t02QualityScore.build(s, d)
       .select($"doc_id", $"lang", $"n_tokens", $"quality")
     val dupes = Dedup.d04NgramJaccard.build(s, d)
@@ -59,7 +66,7 @@ object Pipeline {
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens".cast("long")).as("total_tokens"),
-        round(avg($"quality"), 6).as("avg_quality"))
+        Exact.davg($"quality").as("avg_quality"))
   }
 
   val all: Seq[Q] = Seq(c01CorpusClean)

@@ -18,11 +18,12 @@ import graft.sources.Tables
   *   - Fact-fact joins (`lineitem ⋈ orders`) stay as shuffle joins on the
   *     join key; AQE converts to broadcast at runtime when a filtered side
   *     collapses below the threshold, and splits skewed partitions.
-  *   - Double-typed aggregates are rounded in BOTH the Spark builder and
-  *     the oracle SQL: summation order across partitions is
-  *     non-associative in IEEE754, so un-rounded sums are not
-  *     hash-stable. Rounding at 2 (sums) / 4 (avgs) decimals absorbs the
-  *     ulp jitter deterministically on both engines.
+  *   - Money sums/averages go through [[Exact]]: per-row cast to
+  *     decimal(18,6), exact decimal sum, cast back to double. IEEE754
+  *     double summation is order-dependent, so `round(sum(double))` is
+  *     only hash-stable when the jitter misses a rounding boundary —
+  *     exact decimal summation removes that lottery entirely and is the
+  *     correct money arithmetic at 100 TB.
   */
 object Relational {
 
@@ -44,13 +45,13 @@ object Relational {
   val q01PricingSummary: Q = Q(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,15 +61,15 @@ object Relational {
       .filter($"l_shipdate" <= ts("1998-09-02"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        Exact.dsum($"l_quantity").as("sum_qty"),
+        Exact.dsum($"l_extendedprice").as("sum_base_price"),
+        Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
           .as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") *
-          (lit(1) + $"l_tax")), 2).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount") *
+          (lit(1) + $"l_tax")).as("sum_charge"),
+        Exact.davg($"l_quantity").as("avg_qty"),
+        Exact.davg($"l_extendedprice").as("avg_price"),
+        Exact.davg($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -108,7 +109,7 @@ object Relational {
   val q04ShippingPriority: Q = Q(
     "q04_shipping_priority",
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -125,7 +126,7 @@ object Relational {
       .join(li(s, d).filter($"l_shipdate" > ts("1996-03-15")),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+      .agg(Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
         .as("revenue"))
       .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
       .orderBy($"revenue".desc, $"l_orderkey".asc)
@@ -137,7 +138,7 @@ object Relational {
   val q05LocalSupplierVolume: Q = Q(
     "q05_local_supplier_volume",
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -159,7 +160,7 @@ object Relational {
       .join(broadcast(reg(s, d).filter($"r_name" === "ASIA")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+      .agg(Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
         .as("revenue"))
   }
 
@@ -167,7 +168,7 @@ object Relational {
     * aggregate; the filter is fully pushed to the parquet scan. */
   val q06ForecastRevenue: Q = Q(
     "q06_forecast_revenue",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -179,7 +180,7 @@ object Relational {
       .filter($"l_shipdate" >= ts("1996-01-01") &&
         $"l_shipdate" < ts("1997-01-01") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
-      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+      .agg(Exact.dsum($"l_extendedprice" * $"l_discount").as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -190,25 +191,31 @@ object Relational {
     "q07_customer_orders_outer",
     """SELECT c_mktsegment,
       |  count(*) AS n_customers,
-      |  sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_inactive,
-      |  round(sum(spend), 2) AS total_spend
+      |  CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+      |  CAST(sum(spend) AS DOUBLE) AS total_spend
       |FROM (
       |  SELECT c.c_custkey, c.c_mktsegment,
       |    count(o.o_orderkey) AS n_orders,
-      |    coalesce(sum(o.o_totalprice), 0.0) AS spend
+      |    coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0) AS spend
       |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
       |  GROUP BY c.c_custkey, c.c_mktsegment
       |) GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
     import s.implicits._
+    // spend stays decimal through BOTH aggregation levels (exact,
+    // order-independent) and is cast to double only on output. The
+    // oracle's integer sum is CAST to BIGINT: DuckDB sum(int) returns
+    // HUGEINT, which pandas narrows to float64 — a driver-side dtype
+    // mismatch against Spark's int64 even when every value is equal.
     val per = cust(s, d)
       .join(ord(s, d), $"c_custkey" === $"o_custkey", "left_outer")
       .groupBy($"c_custkey", $"c_mktsegment")
       .agg(count($"o_orderkey").as("n_orders"),
-        coalesce(sum($"o_totalprice"), lit(0.0)).as("spend"))
+        coalesce(Exact.dsumDec($"o_totalprice"),
+          lit(BigDecimal(0)).cast("decimal(28,6)")).as("spend"))
     per.groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
         sum(when($"n_orders" === 0, 1).otherwise(0)).as("n_inactive"),
-        round(sum($"spend"), 2).as("total_spend"))
+        sum($"spend").cast("double").as("total_spend"))
   }
 
   /** Anti join: customers with no orders in a recent window (reference:

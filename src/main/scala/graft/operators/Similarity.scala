@@ -179,8 +179,45 @@ object Similarity {
     * map-side pass); queries probe the `nprobe`=2 nearest centroid
     * buckets and re-rank exactly within them. Candidate work per query
     * is bounded by the probed buckets — the 100 TB path where brute
-    * force (s01) is quadratic. Recall measured vs s01 in SimilaritySpec. */
-  val s04KnnIvf: Q = Q.noOracle("s04_knn_ivf") { (s, d) =>
+    * force (s01) is quadratic. Recall measured vs s01 in SimilaritySpec.
+    * Fully deterministic (sampled centroids, tie-broken windows), so it
+    * carries a complete DuckDB oracle mirroring every stage. */
+  val s04KnnIvf: Q = Q(
+    "s04_knn_ivf",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |    AS nrm FROM embeddings),
+      |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
+      |        FROM e WHERE vec_id % 100 = 7),
+      |assigned AS (
+      |  SELECT vec_id, vec, nrm, c_id FROM (
+      |    SELECT e.vec_id, e.vec, e.nrm, cen.c_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.vec, cen.c_vec) /
+      |          (e.nrm * cen.c_nrm) DESC, cen.c_id) AS crk
+      |    FROM e CROSS JOIN cen)
+      |  WHERE crk = 1),
+      |q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+      |      FROM e WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  SELECT q_id, q_vec, q_nrm, c_id FROM (
+      |    SELECT q.q_id, q.q_vec, q.q_nrm, cen.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_dot_product(q.q_vec, cen.c_vec) /
+      |          (q.q_nrm * cen.c_nrm) DESC, cen.c_id) AS crk
+      |    FROM q CROSS JOIN cen)
+      |  WHERE crk <= 2),
+      |ranked AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    round(list_dot_product(p.q_vec, a.vec) / (p.q_nrm * a.nrm), 6)
+      |      AS sim,
+      |    row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY list_dot_product(p.q_vec, a.vec) / (p.q_nrm * a.nrm)
+      |        DESC, a.vec_id) AS rk
+      |  FROM probes p JOIN assigned a USING (c_id)
+      |  WHERE p.q_id <> a.vec_id)
+      |SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin) {
+    (s, d) =>
     import s.implicits._
     val nprobe = 2
     val emb = Tables.embeddings(s, d)

@@ -16,7 +16,8 @@ object StreamingQueries {
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
       |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
       |    AS window_end,
-      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
     Streams.tumblingCounts(Tables.events(s, d))
   }
@@ -48,11 +49,19 @@ object StreamingQueries {
       |  FROM m)
       |SELECT user_id, min(ts) AS session_start,
       |  max(ts) + INTERVAL '30 minutes' AS session_end,
-      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
     Streams.sessionize(Tables.events(s, d))
   }
 
+  /** st04: state-bounded dedup. [[Streams.dedupEvents]] keys on
+    * (event_id, ts) so streaming state is evicted at the watermark
+    * (StreamingSpec asserts the eviction); on this batch twin it
+    * reduces to plain dropDuplicates, matching the count(DISTINCT)
+    * oracle. (`dropDuplicatesWithinWatermark` — the keys-without-ts
+    * variant — is streaming-only in Spark and is exercised in
+    * StreamingSpec instead.) */
   val st04Dedup: Q = Q(
     "st04_stream_dedup",
     """SELECT event_type, count(DISTINCT event_id) AS n_unique
@@ -63,20 +72,19 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_unique"))
   }
 
-  /** st05: batch twin of the stateful per-user totals (summation order
-    * inside a group follows input order — rounded on output for
-    * cross-engine stability). */
+  /** st05: batch twin of the stateful per-user totals. The stateful
+    * accumulator sums exactly at 6 dp, so its result is bit-identical
+    * to the oracle's decimal sum — no output rounding needed. */
   val st05Stateful: Q = Q(
     "st05_stateful_totals",
     """SELECT user_id, count(*) AS n_events,
-      |  round(sum(value), 2) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
     import s.implicits._
     Streams.userTotalsStateful(
       Tables.events(s, d).as[graft.streaming.Event])
       .toDF()
-      .select($"user_id", $"n_events",
-        round($"total_value", 2).as("total_value"))
+      .select($"user_id", $"n_events", $"total_value")
   }
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,

@@ -20,11 +20,16 @@ object TextAnalysis {
   val t01CorpusStats: Q = Q(
     "t01_corpus_stats",
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(string_split(text, ' '))) AS total_tokens,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
       |  round(avg(length(text)), 4) AS avg_chars,
       |  round(avg(n_chars), 4) AS avg_declared_chars
       |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+    // Oracle integer sums are CAST to BIGINT: DuckDB's sum(int) returns
+    // HUGEINT, which pandas narrows to float64 — a driver-side dtype
+    // mismatch vs Spark's int64 even when every value is identical. The
+    // int-valued averages are exact (integer sums are associative in
+    // doubles far below 2^53), so they need no decimal treatment.
     import s.implicits._
     Tables.documents(s, d).groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -108,8 +113,35 @@ object TextAnalysis {
     * joined token-wise — no driver-side model object, so vocabulary
     * size is unbounded. (On this synthetic fixture the text is
     * vocabulary-identical across langs, so accuracy hovers at chance —
-    * the mechanism, not the fixture, is what production reuses.) */
-  val t04LangId: Q = Q.noOracle("t04_langid") { (s, d) =>
+    * the mechanism, not the fixture, is what production reuses.)
+    *
+    * Oracle-safe: the per-doc argmax margin between the top-2 language
+    * scores is >= 5e-3 on this fixture — nine orders of magnitude above
+    * double-summation jitter — so the confusion matrix is stable
+    * cross-engine. (DuckDB `ln`, not `log`, which is log10 there.) */
+  val t04LangId: Q = Q(
+    "t04_langid",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      |lt AS (SELECT lang, count(*) AS lang_n FROM train GROUP BY lang),
+      |tt AS (SELECT tok, count(*) AS tok_n FROM train GROUP BY tok),
+      |c AS (SELECT lang, tok, count(*) AS c FROM train GROUP BY lang, tok),
+      |profile AS (
+      |  SELECT c.tok AS p_tok, c.lang AS cand_lang,
+      |    ln(((c.c + 1.0) / (lt.lang_n + 1.0)) / ((tt.tok_n + 1.0) / 1.0))
+      |      AS lift
+      |  FROM c JOIN lt USING (lang) JOIN tt ON c.tok = tt.tok),
+      |test AS (SELECT doc_id, lang AS true_lang, tok FROM tok
+      |         WHERE doc_id % 2 = 1),
+      |scored AS (
+      |  SELECT doc_id, true_lang, cand_lang, sum(lift) AS score
+      |  FROM test JOIN profile ON tok = p_tok
+      |  GROUP BY doc_id, true_lang, cand_lang),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, cand_lang) AS rk FROM scored)
+      |SELECT true_lang AS lang, cand_lang AS predicted, count(*) AS n
+      |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
     val tokens = docs.select($"doc_id", $"lang",

@@ -30,6 +30,15 @@ final case class UserTotals(user_id: Long, n_events: Long,
   */
 object Streams {
 
+  /** Exact order-independent sum of the (2-decimal) value column:
+    * decimal summation removes IEEE double-order jitter across
+    * micro-batch/partition merge orders (same device as
+    * graft.operators.Exact, local to avoid a batch->streaming
+    * package dependency). */
+  private def exactSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .cast("double")
+
   /** Tumbling 1-hour windows per event type. */
   def tumblingCounts(events: DataFrame): DataFrame = {
     val s = events.sparkSession
@@ -37,7 +46,7 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), exactSum($"value").as("sum_value"))
       .select($"w.start".as("window_start"), $"w.end".as("window_end"),
         $"event_type", $"n", $"sum_value")
   }
@@ -60,7 +69,7 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), exactSum($"value").as("sum_value"))
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events", $"sum_value")
   }
@@ -81,20 +90,38 @@ object Streams {
         (uid: Long, it: Iterator[Event], state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
           var n = prev.n_events
-          var total = prev.total_value
-          it.foreach { e => n += 1; total += e.value }
-          val next = UserTotals(uid, n, total)
+          // Accumulate exactly at 6 dp (inputs carry <= 2 dp): the
+          // running total is order-independent across micro-batches and
+          // bit-reproducible against a decimal-summing batch oracle.
+          // BigDecimal.valueOf + HALF_UP mirrors Spark's own
+          // double->decimal cast semantics.
+          var total = java.math.BigDecimal.valueOf(prev.total_value)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          it.foreach { e =>
+            n += 1
+            total = total.add(java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+          }
+          val next = UserTotals(uid, n, total.doubleValue)
           state.update(next)
           Iterator.single(next)
       }
   }
 
-  /** Streaming dedup on event_id within the watermark horizon — returns
-    * the deduplicated stream (append-safe); aggregate on top as needed. */
+  /** Streaming dedup on (event_id, ts) — the event-time column is IN the
+    * dedup keys, which is what lets Spark evict state once the watermark
+    * passes an event's timestamp. A bare `dropDuplicates("event_id")`
+    * under a watermark does NOT bound state (eviction requires the
+    * event-time column among the keys), so its state grows with the
+    * stream's lifetime — a scale hazard this helper deliberately avoids.
+    * Retried deliveries carry the same (event_id, ts), so dedup
+    * semantics are unchanged. For duplicate horizons shorter than the
+    * stream's lifetime without keying on ts, use
+    * [[dedupWithinWatermark]]. */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
 
   /** Watermark-bounded dedup (Spark 3.5+ `dropDuplicatesWithinWatermark`):
     * unlike [[dedupEvents]], dedup keys NEED NOT include the event-time

