@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Hive-metastore-backed catalog integration check (SURVEY.md §1.1 /
+  * §3.2: the reference IS a metastore service; Spark consumes that
+  * surface via `enableHiveSupport` → `HiveExternalCatalog` → embedded
+  * Derby here, a remote metastore in production with ZERO code change).
+  *
+  * Runs the same catalog surface CatalogSpec proves on the in-memory
+  * session catalog — database/table DDL + insert, ANALYZE → CBO column
+  * stats, SHOW PARTITIONS + partition pruning, persistent views — but
+  * against a real Hive metastore (Derby + DataNucleus), which requires
+  * its own JVM (Derby takes an exclusive lock; the test session owns a
+  * non-hive catalog): `sbt "runMain graft.HiveCatalogCheck"` (run/fork
+  * is on, so this is always a fresh JVM).
+  *
+  * Prints `[hive-catalog] PASS <name>` per check; exits 1 on any
+  * failure.
+  */
+object HiveCatalogCheck {
+
+  private var failures = 0
+
+  private def check(name: String)(body: => Unit): Unit =
+    try {
+      body
+      println(s"[hive-catalog] PASS $name")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        println(s"[hive-catalog] FAIL $name: $e")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_hive")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master("local[4]").appName("graft-hive-catalog")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore_db;create=true"))
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    check("catalog implementation is hive") {
+      assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+      val ext = spark.sessionState.catalog.externalCatalog
+      val impl = ext match {
+        case w: org.apache.spark.sql.catalyst.catalog.ExternalCatalogWithListener =>
+          w.unwrapped.getClass.getName
+        case other => other.getClass.getName
+      }
+      assert(impl.contains("HiveExternalCatalog"), s"catalog impl: $impl")
+    }
+
+    check("database + managed table DDL + insert") {
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_hcat")
+      spark.sql("DROP TABLE IF EXISTS graft_hcat.nation_t")
+      sources.Tables.nation(spark, sf).write
+        .saveAsTable("graft_hcat.nation_t")
+      assert(spark.catalog.tableExists("graft_hcat.nation_t"))
+      val before = spark.table("graft_hcat.nation_t").count()
+      spark.sql("INSERT INTO graft_hcat.nation_t VALUES (99, 'NATION_X', 0)")
+      assert(spark.table("graft_hcat.nation_t").count() == before + 1)
+      assert(spark.catalog.listTables("graft_hcat").collect()
+        .exists(_.name == "nation_t"))
+    }
+
+    check("ANALYZE TABLE persists CBO statistics in the metastore") {
+      spark.sql("DROP TABLE IF EXISTS graft_hcat.orders_t")
+      sources.Tables.orders(spark, sf).write
+        .saveAsTable("graft_hcat.orders_t")
+      spark.sql("ANALYZE TABLE graft_hcat.orders_t COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderkey, o_totalprice")
+      val stats = spark.table("graft_hcat.orders_t")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1500)), s"stats: $stats")
+      val desc = spark.sql(
+        "DESCRIBE EXTENDED graft_hcat.orders_t o_totalprice").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("distinct_count").toLong > 0)
+    }
+
+    check("partitioned table: SHOW PARTITIONS + pruning via metastore") {
+      spark.sql("DROP TABLE IF EXISTS graft_hcat.orders_p")
+      sources.Tables.orders(spark, sf).write
+        .partitionBy("o_orderstatus")
+        .saveAsTable("graft_hcat.orders_p")
+      val parts = spark.sql("SHOW PARTITIONS graft_hcat.orders_p")
+        .collect().map(_.getString(0)).toSet
+      assert(parts == Set("o_orderstatus=F", "o_orderstatus=O",
+        "o_orderstatus=P"), s"parts: $parts")
+      val pruned = spark.table("graft_hcat.orders_p")
+        .filter($"o_orderstatus" === "F")
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") &&
+        scan.contains("o_orderstatus"), s"no partition pruning:\n$scan")
+      // ALTER TABLE ... ADD/DROP PARTITION round-trips through the
+      // metastore (Thrift add_partition/drop_partition surface)
+      spark.sql("ALTER TABLE graft_hcat.orders_p " +
+        "ADD PARTITION (o_orderstatus='X')")
+      assert(spark.sql("SHOW PARTITIONS graft_hcat.orders_p").count() == 4)
+      spark.sql("ALTER TABLE graft_hcat.orders_p " +
+        "DROP PARTITION (o_orderstatus='X')")
+      assert(spark.sql("SHOW PARTITIONS graft_hcat.orders_p").count() == 3)
+    }
+
+    check("persistent view stored in the metastore") {
+      spark.sql("DROP VIEW IF EXISTS graft_hcat.big_orders_v")
+      spark.sql(
+        """CREATE VIEW graft_hcat.big_orders_v AS
+          |SELECT o_orderkey, o_totalprice FROM graft_hcat.orders_t
+          |WHERE o_totalprice > 300000""".stripMargin)
+      val n = spark.table("graft_hcat.big_orders_v").count()
+      assert(n > 0 && n < 1500)
+      assert(spark.catalog.getTable("graft_hcat", "big_orders_v")
+        .tableType == "VIEW")
+    }
+
+    check("metadata survives a catalog-session restart") {
+      // a fresh SparkSession over the SAME Derby metastore must still
+      // see every object — the property an in-memory catalog lacks.
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark.stop()
+      val spark2 = GraftSession.configure(SparkSession.builder()
+        .master("local[4]").appName("graft-hive-catalog-2")
+        .config("spark.sql.warehouse.dir", s"$base/warehouse")
+        .config("spark.sql.catalogImplementation", "hive")
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$base/metastore_db;create=true"))
+        .enableHiveSupport()
+        .getOrCreate()
+      try {
+        assert(spark2.catalog.tableExists("graft_hcat.orders_t"))
+        assert(spark2.catalog.tableExists("graft_hcat.orders_p"))
+        assert(spark2.catalog.tableExists("graft_hcat.big_orders_v"))
+        assert(spark2.table("graft_hcat.big_orders_v").count() > 0)
+        val stats = spark2.table("graft_hcat.orders_t")
+          .queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.contains(BigInt(1500)),
+          s"persisted stats lost: $stats")
+      } finally spark2.stop()
+    }
+
+    if (failures > 0) {
+      println(s"[hive-catalog] $failures FAILED")
+      sys.exit(1)
+    }
+    println("[hive-catalog] all checks passed")
+  }
+}

@@ -12,7 +12,16 @@ import graft.sources.Tables
   * the reference's `GenericUDAFEvaluator` PARTIAL1/FINAL split. */
 object Analytics {
 
-  /** Exact percentile (linear interpolation) = DuckDB quantile_cont. */
+  /** Exact percentile (linear interpolation) = DuckDB quantile_cont.
+    *
+    * SCALE HAZARD: Spark's exact `percentile` buffers EVERY value of a
+    * group in the aggregation buffer — with a 3-value grouping key this
+    * is an unbounded per-group memory cost, fine at fixture scale and
+    * lethal at 100 TB. Production uses [[q35aApproxPercentile]]
+    * (GK-sketch `percentile_approx`, bounded buffer, mergeable — the
+    * reference itself ships GenericUDAFPercentileApprox for exactly
+    * this reason, SURVEY.md §2.3); the exact form stays as the
+    * ground-truth twin the sketch is bounds-checked against. */
   val q35Percentiles: Q = Q(
     "q35_percentiles",
     """SELECT l_returnflag,
@@ -26,6 +35,29 @@ object Analytics {
         round(percentile($"l_quantity", lit(0.5)), 4).as("median_qty"),
         round(percentile($"l_extendedprice", lit(0.9)), 4).as("p90_price"),
         round(percentile($"l_extendedprice", lit(0.99)), 4).as("p99_price"))
+  }
+
+  /** q35a: the scale-safe percentile path — `percentile_approx` (GK
+    * sketch, bounded buffer) bounds-checked in-query against the exact
+    * percentile. Sketch values are merge-order-specific, so no value
+    * oracle exists cross-engine; instead the query OUTPUTS the bounds
+    * verdict and the oracle pins it true — driver-green means the
+    * approximation guarantee held. Exact values are additionally pinned
+    * in FunctionSpec. */
+  val q35aApproxPercentile: Q = Q(
+    "q35a_percentile_approx",
+    """SELECT l_returnflag, true AS median_ok, true AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("am"),
+        percentile($"l_quantity", lit(0.5)).as("em"),
+        percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("ap"),
+        percentile($"l_extendedprice", lit(0.9)).as("ep"))
+      .select($"l_returnflag",
+        (abs($"am" - $"em") <= lit(1.0)).as("median_ok"),
+        (abs($"ap" - $"ep") / $"ep" <= lit(0.02)).as("p90_ok"))
   }
 
   /** Correlation / covariance / stddev / variance + linear regression. */
@@ -93,5 +125,6 @@ object Analytics {
       count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(q35Percentiles, q36Stats, q37Collect, q38MinMax)
+  val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
+    q37Collect, q38MinMax)
 }

@@ -27,14 +27,25 @@ object Writers {
       .partitionBy(partCol)
       .parquet(dest)
 
-  /** Bucketed + sorted managed table (bucket pruning + SMB joins). */
+  /** Bucketed + sorted managed table (bucket pruning + SMB joins).
+    * Drops any prior table AND its orphaned warehouse directory first:
+    * with the in-memory session catalog, a previous JVM's managed-table
+    * directory survives while its metadata doesn't, and saveAsTable
+    * refuses to reuse the location. */
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
-      table: String): Unit =
+      table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Small-file compaction — the reference's `ALTER TABLE …
     * CONCATENATE` (`OrcFileMergeOperator`/`RCFileMergeOperator`,

@@ -6,8 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * inserts, column statistics (ANALYZE → CBO inputs), partitioned
   * tables with pruning, and views — the metastore capabilities the
   * reference exposes over Thrift, consumed here through Spark's catalog
-  * API (session catalog in tests; `enableHiveSupport` swaps in the Hive
-  * metastore with zero operator changes — SURVEY.md §7.3). */
+  * API. This spec runs on the in-memory session catalog; the SAME
+  * surface (plus ALTER PARTITION and cross-session persistence) runs
+  * against a real Hive metastore (enableHiveSupport + embedded Derby)
+  * in [[graft.HiveCatalogCheck]] — its own forked JVM, since Derby
+  * locks exclusively and catalogImplementation is session-static:
+  * `sbt "runMain graft.HiveCatalogCheck"`. */
 class CatalogSpec extends AnyFunSuite {
   import SparkTestSession._
 

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §7.1 step 4: the reference's primary user surface is SQL
+  * text, not a DataFrame API. Every inventory query whose oracle SQL is
+  * ANSI enough to parse on BOTH engines is executed here through
+  * `spark.sql` over the registered views and must return EXACTLY the
+  * DSL builder's rows — proving the engine's SQL front end end-to-end
+  * (parser → analyzer → same physical semantics). HiveQL-only text
+  * forms (LATERAL VIEW, DISTRIBUTE BY / SORT BY / CLUSTER BY,
+  * TABLESAMPLE) are covered with inline texts DuckDB can't host.
+  */
+class SqlParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def canon(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf))
+      .sortBy(_.mkString("|"))
+
+  /** Inventory queries whose oracle text is dual-dialect (ANSI subset
+    * parsed identically by Spark and DuckDB). */
+  private val dualDialect = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_topk_orders",
+    "q04_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q07_customer_orders_outer", "q08_anti_join",
+    "q09_semi_join", "q10_full_outer", "q11_cross_join",
+    // q14/q15 excluded: their oracle uses DuckDB's `OVER (w ROWS ...)`
+    // named-window-extension syntax, which Spark's parser rejects; the
+    // equivalent frame text is covered inline below.
+    "q12_count_distinct", "q13_window_rank",
+    "q16_lag_lead", "q18_first_last", "q19_rollup",
+    "q20_cube", "q21_grouping_sets", "q22_having", "q23_pivot",
+    "q24_union_all", "q25_union_distinct", "q26_intersect_except",
+    "q27_scalar_subquery", "q28_in_subquery", "q29_correlated_agg",
+    "q34_cluster_by", "q38_minmax", "q45_profit", "q46_large_orders",
+    "q47_waiting_supplier", "st05_stateful_totals", "w01_smb_join")
+
+  dualDialect.foreach { n =>
+    test(s"$n: SQL text == DSL builder") {
+      register()
+      val viaSql = spark.sql(SparkEntry.oracleSql(n))
+      val viaDsl = SparkEntry.queries(n)(spark, sf)
+      assert(viaSql.columns.sorted.sameElements(viaDsl.columns.sorted),
+        s"columns ${viaSql.columns.toSeq} vs ${viaDsl.columns.toSeq}")
+      assert(canon(viaSql) == canon(viaDsl))
+    }
+  }
+
+  test("LATERAL VIEW explode text form matches the DSL explode plan") {
+    register()
+    val viaSql = spark.sql(
+      """SELECT word, count(*) AS n FROM documents
+        |LATERAL VIEW explode(split(text, ' ')) t AS word
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)
+    val viaDsl = SparkEntry.queries("q30_explode_words")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("LATERAL VIEW posexplode text form matches the DSL plan") {
+    register()
+    val viaSql = spark.sql(
+      """SELECT word, round(avg(pos), 4) AS avg_pos, count(*) AS n
+        |FROM documents
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+        |GROUP BY word ORDER BY n DESC, word LIMIT 15""".stripMargin)
+    val viaDsl = SparkEntry.queries("q31_posexplode")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("DISTRIBUTE BY / SORT BY text: same content, partition-local order") {
+    register()
+    import spark.implicits._
+    val viaSql = spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag <> 'N'
+        |DISTRIBUTE BY l_returnflag SORT BY l_orderkey, l_linenumber"""
+        .stripMargin)
+    val viaDsl = SparkEntry.queries("q34_cluster_by")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+    // partition-local sortedness (the property DISTRIBUTE/SORT BY adds)
+    val perPart = viaSql
+      .select($"l_orderkey", $"l_linenumber").rdd
+      .mapPartitions { it =>
+        Iterator.single(it.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+      }.collect()
+    perPart.foreach(p => assert(p == p.sorted, "partition not sorted"))
+  }
+
+  test("CLUSTER BY text form: same content as DISTRIBUTE+SORT") {
+    register()
+    val viaSql = spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag <> 'N'
+        |CLUSTER BY l_orderkey""".stripMargin)
+    val viaDsl = SparkEntry.queries("q34_cluster_by")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("TABLESAMPLE text form samples a bounded fraction") {
+    register()
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE (10 PERCENT)")
+      .collect()(0).getLong(0)
+    val total = spark.table("lineitem").count()
+    assert(n > 0 && n < total / 2, s"10% sample returned $n of $total")
+  }
+
+  test("ROWS/RANGE frame SQL text matches the DSL window plans") {
+    register()
+    val running = spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_spend,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        |FROM orders""".stripMargin)
+    val viaDsl = SparkEntry.queries("q14_window_running")(spark, sf)
+    assert(canon(running) == canon(viaDsl))
+  }
+
+  test("windowed SQL with WINDOW clause parses and matches inline OVER") {
+    register()
+    val withClause = spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+        |             o_orderkey)""".stripMargin)
+    val inline = spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+        |               o_orderkey) AS rk
+        |FROM orders""".stripMargin)
+    assert(canon(withClause) == canon(inline))
+  }
+}
