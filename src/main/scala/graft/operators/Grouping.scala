@@ -21,10 +21,15 @@ object Grouping {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
     import s.implicits._
+    // The decimal cast is projected BEFORE the rollup: Expand replicates
+    // each input row once per grouping set, so casting inside the
+    // aggregate would run 3x per row — pre-projection pays it once.
     Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("decimal(18,6)").as("qty_d"))
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(grouping_id().as("gid"),
-        Exact.dsum($"l_quantity").as("sum_qty"),
+        sum($"qty_d").cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n")
   }
@@ -37,11 +42,15 @@ object Grouping {
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
     import s.implicits._
+    // revenue product + decimal cast computed once per input row, not
+    // once per Expand-replicated row (4 grouping sets) — see q19.
     Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_linestatus",
+        ($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,6)").as("rev_d"))
       .cube($"l_returnflag", $"l_linestatus")
       .agg(grouping_id().as("gid"),
-        Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
-          .as("revenue"))
+        sum($"rev_d").cast("double").as("revenue"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"revenue")
   }
 
