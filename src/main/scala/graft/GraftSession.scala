@@ -34,6 +34,9 @@ object GraftSession {
     .config("spark.sql.cbo.enabled", "true")
     .config("spark.sql.cbo.joinReorder.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // graft's Catalyst extension rules (stats-answered aggregates, all
+    // opt-in via their own flags) — see graft.plans.GraftExtensions.
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks; registers graft's SQL functions. */

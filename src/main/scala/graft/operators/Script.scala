@@ -29,6 +29,28 @@ object Script {
         |FROM lineitem_sc WHERE l_orderkey < 50""".stripMargin)
   }
 
+  /** sc05: TRANSFORM with an explicit ROW FORMAT DELIMITED serde — the
+    * reference's LazySimpleSerDe-backed script I/O (SURVEY.md §2.1):
+    * custom field delimiter on both the feed and the read side, plus a
+    * downstream shell command (cut) proving the delimiter actually
+    * crosses the process boundary. (Spark applies the OUTPUT field
+    * terminator as a regex — metachars like '|' split per character, so
+    * the delimiter here is ':'.) */
+  val sc05TransformSerde: Q = Q(
+    "sc05_transform_serde",
+    """SELECT CAST(l_orderkey AS VARCHAR) AS k,
+      |  CAST(l_linenumber AS VARCHAR) AS ln
+      |FROM lineitem WHERE l_orderkey < 50""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sc5")
+    s.sql(
+      """SELECT TRANSFORM(CAST(l_orderkey AS STRING),
+        |                 CAST(l_linenumber AS STRING))
+        |  ROW FORMAT DELIMITED FIELDS TERMINATED BY ':'
+        |  USING 'cut -d: -f1,2' AS (k, ln)
+        |  ROW FORMAT DELIMITED FIELDS TERMINATED BY ':'
+        |FROM lineitem_sc5 WHERE l_orderkey < 50""".stripMargin)
+  }
+
   /** sc02: stack() constant generator joined against real data. */
   val sc02Stack: Q = Q(
     "sc02_stack",
@@ -85,5 +107,6 @@ object Script {
       .agg(count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(sc01Transform, sc02Stack, sc03Inline, sc04StrToMap)
+  val all: Seq[Q] = Seq(sc01Transform, sc02Stack, sc03Inline, sc04StrToMap,
+    sc05TransformSerde)
 }

@@ -1,0 +1,15 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Engine extension entry point, registered via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (pinned in
+  * [[graft.GraftSession]]). Custom Catalyst rules live here — added
+  * only where built-in optimizer behavior genuinely lacks the
+  * reference's semantics (SURVEY.md §4.1); everything else rides the
+  * stock optimizer. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(StatsAnsweredAggregates.apply)
+  }
+}

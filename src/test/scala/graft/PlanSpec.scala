@@ -24,6 +24,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q03_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q13: per-key rank filter plans a WindowGroupLimit bounded heap") {
+    // The reference's ReduceSink keeps a bounded topN heap PER reducer
+    // key group (SURVEY.md §2.5). Spark 3.5+ expresses the same thing
+    // without a custom operator: a rank/row_number <= k filter inserts
+    // WindowGroupLimit (partial before the shuffle, final after), so
+    // only k rows per key survive into the window sort. This test pins
+    // that the optimization actually fires — writing a custom
+    // SparkStrategy here would duplicate a built-in.
+    val p = plan("q13_window_rank")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(p.contains("Partial") || p.contains("Final"),
+      s"expected partial+final group limit:\n$p")
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"))
