@@ -21,7 +21,8 @@ object SparkEntry {
       operators.AsofJoin.all ++ operators.Script.all ++
       operators.Misc.all ++ operators.Pipeline.all ++
       operators.TpchJoins.all ++ operators.WriterQueries.all ++
-      operators.RangeJoin.all ++ operators.ExportQueries.all
+      operators.RangeJoin.all ++ operators.ExportQueries.all ++
+      operators.Splits.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -254,6 +254,82 @@ object Dedup {
       .filter($"hamming" <= 8)
   }
 
+  /** d06: duplicate CLUSTERS — connected components over the d04
+    * near-dup pair graph, so "keep one doc per duplicate group" works
+    * even when A~B and B~C but A!~C (pairwise removal would keep A and
+    * C yet drop their shared link B's evidence).
+    *
+    * Algorithm: iterative min-label propagation over the symmetrized
+    * edge list — each round every node takes the min label among
+    * itself and its neighbors; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow in practice). Each round is
+    * one shuffle join; lineage is cut per round with localCheckpoint
+    * (cluster: use a checkpoint dir). At 100 TB the same loop runs
+    * unchanged; the known upgrade for adversarially deep graphs is the
+    * large-star/small-star contraction, which halves round count.
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure over the same
+    * pairs, min reachable id per node. */
+  val d06DupClusters: Q = Q(
+    "d06_dup_clusters",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |dup AS (SELECT doc_a, doc_b FROM pairs p
+      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |        UNION SELECT doc_b, doc_a FROM dup),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    connectedComponents(
+      ngramJaccardPairs(s, d).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** Min-label-propagation connected components over an undirected
+    * (src, dst)-pair edge list; returns (node, label) with label = min
+    * node id of the component. See [[d06DupClusters]] for scale notes. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq
+    val sym = pairs.select(col(ca).as("src"), col(cb).as("dst"))
+      .union(pairs.select(col(cb).as("src"), col(ca).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbrMin = sym.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"label").as("nbr"))
+      val next = labels.select($"node", $"label".as("old"))
+        .join(nbrMin, $"node" === $"src", "left")
+        .select($"node",
+          least($"old", coalesce($"nbr", $"old")).as("label"))
+        .localCheckpoint()
+      converged = next.join(
+        labels.select($"node", $"label".as("old")), "node")
+        .filter($"label" =!= $"old").isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
-    d04NgramJaccard, d05Simhash)
+    d04NgramJaccard, d05Simhash, d06DupClusters)
 }

@@ -220,6 +220,90 @@ object TextAnalysis {
         $"max_fp")
   }
 
+  /** t06: Gopher-style repetition filters — top-bigram fraction and
+    * duplicate-word fraction, the standard signals for boilerplate /
+    * generated-text removal. Linear: one explode of a transform-built
+    * bigram array (built once, exploded once — NOT sliced per index,
+    * which CollapseProject would turn quadratic) and two aggregations;
+    * shuffle volume is |distinct (doc, bigram)|. */
+  val t06GopherQuality: Q = Q(
+    "t06_gopher_quality",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |b AS (SELECT doc_id, len(t) AS n_tokens,
+      |        len(list_distinct(t)) AS n_types,
+      |        unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+      |      FROM toks),
+      |c AS (SELECT doc_id, n_tokens, n_types, bg, count(*) AS c
+      |      FROM b GROUP BY 1, 2, 3, 4),
+      |a AS (SELECT doc_id, n_tokens, n_types, max(c) AS top_bg,
+      |        CAST(sum(c) AS BIGINT) AS n_bg
+      |      FROM c GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(CAST(top_bg AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+      |  round(1 - CAST(n_types AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+      |  (CAST(top_bg AS DOUBLE) / n_bg <= 0.2
+      |   AND 1 - CAST(n_types AS DOUBLE) / n_tokens <= 0.3) AS keep_flag
+      |FROM a""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = toks($"text")
+    val bigrams = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    Tables.documents(s, d)
+      .select($"doc_id", size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).as("n_types"),
+        explode(bigrams).as("bg"))
+      .groupBy($"doc_id", $"n_tokens", $"n_types", $"bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"n_types")
+      .agg(max($"c").as("top_bg"), sum($"c").as("n_bg"))
+      .select($"doc_id", $"n_tokens",
+        round($"top_bg".cast("double") / $"n_bg", 6).as("top_bigram_frac"),
+        round(lit(1) - $"n_types".cast("double") / $"n_tokens", 6)
+          .as("dup_word_frac"),
+        ($"top_bg".cast("double") / $"n_bg" <= 0.2 &&
+          lit(1) - $"n_types".cast("double") / $"n_tokens" <= 0.3)
+          .as("keep_flag"))
+  }
+
+  /** t07: PII scrubbing — email/phone redaction with both the redacted
+    * content (md5-checked cross-engine) and per-doc redaction counts.
+    * The fixture text carries no PII, so a deterministic synthetic
+    * email+phone per doc is injected first; production points the same
+    * two regexp_replace calls at raw text. Map-only — embarrassingly
+    * parallel at any scale. */
+  val t07PiiScrub: Q = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+    Q(
+      "t07_pii_scrub",
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    'contact u' || doc_id || '@example.com ' || text ||
+         |    ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(raw, '$emailRe')) AS n_emails,
+         |  len(regexp_extract_all(raw, '$phoneRe')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(raw, '$emailRe', '[EMAIL]', 'g'),
+         |      '$phoneRe', '[PHONE]', 'g')) AS content_hash
+         |FROM inj""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          concat(lit("contact u"), $"doc_id", lit("@example.com "), $"text",
+            lit(" call 555-01"),
+            lpad(($"doc_id" % 100).cast("string"), 2, "0")).as("raw"))
+        .select($"doc_id",
+          size(regexp_extract_all($"raw", lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all($"raw", lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace($"raw", emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("content_hash"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
-    t04LangId, t05Fingerprint)
+    t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub)
 }

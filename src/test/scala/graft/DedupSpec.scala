@@ -48,6 +48,20 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.intersect(full).size >= capped.size / 2)
   }
 
+  test("connected components: chain, triangle, isolated edge, two comps") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain 1-2-3-4), {10,11,12} (triangle),
+    // {20,21} (single edge), {30,31,32} (star)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L), (30L, 32L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
   test("exact dedup counts are consistent") {
     val r = SparkEntry.queries("d01_dedup_exact")(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
