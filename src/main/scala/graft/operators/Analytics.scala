@@ -60,6 +60,29 @@ object Analytics {
         (abs($"ap" - $"ep") / $"ep" <= lit(0.02)).as("p90_ok"))
   }
 
+  /** q12a: HyperLogLog++ approximate distinct counts (the reference's
+    * compute-stats HLL path, SURVEY.md §2.3) bounds-checked in-query
+    * against exact countDistinct — same driver-visible-verdict pattern
+    * as q35a. Default rsd 5%; the gate allows 10%. At 100 TB the HLL
+    * sketch replaces the Expand-based exact distinct (one fixed-size
+    * buffer per group instead of a second shuffle of distinct keys). */
+  val q12aApproxDistinct: Q = Q(
+    "q12a_approx_distinct",
+    """SELECT l_returnflag, true AS nd_parts_ok, true AS nd_supps_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("ap"),
+        countDistinct($"l_partkey").as("ep"),
+        approx_count_distinct($"l_suppkey").as("as_"),
+        countDistinct($"l_suppkey").as("es"))
+      .select($"l_returnflag",
+        (abs($"ap" - $"ep").cast("double") / $"ep" <= 0.10)
+          .as("nd_parts_ok"),
+        (abs($"as_" - $"es").cast("double") / $"es" <= 0.10)
+          .as("nd_supps_ok"))
+  }
+
   /** Correlation / covariance / stddev / variance + linear regression. */
   val q36Stats: Q = Q(
     "q36_stats",
@@ -126,5 +149,5 @@ object Analytics {
   }
 
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
-    q37Collect, q38MinMax)
+    q37Collect, q38MinMax, q12aApproxDistinct)
 }

@@ -87,6 +87,27 @@ object StreamingQueries {
       .select($"user_id", $"n_events", $"total_value")
   }
 
+  /** st06: batch twin of the stream-stream interval join — per-user
+    * attributed purchase count + exact-decimal value total. */
+  val st06StreamJoin: Q = Q(
+    "st06_stream_join",
+    """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, count(*) AS n_attributed,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attr_value
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.purchase_ts >= v.view_ts
+      |  AND p.purchase_ts < v.view_ts + INTERVAL 30 MINUTE
+      |GROUP BY v.user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Streams.viewPurchaseAttribution(Tables.events(s, d), Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("attr_value"))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
-    st05Stateful)
+    st05Stateful, st06StreamJoin)
 }

@@ -151,5 +151,37 @@ object Windows {
   }
 
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
-    q16LagLead, q17NtileStats, q18FirstLast)
+    q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast)
+
+  /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
+    * without any global window. Boundaries come from one bounded-memory
+    * `approx_percentile` aggregate (a 3-value row, broadcast); the
+    * assignment is a map-only comparison. q17's total-order window
+    * serializes the table through one reducer (documented conscious
+    * trade-off); this formulation is O(n) map work + one sketch
+    * aggregate at any scale. Sketch boundaries are engine-specific, so
+    * the oracle pins the distribution VERDICT (each quartile holds
+    * 15-35% of rows) rather than values — driver-green means the
+    * bucketing works. */
+  lazy val q17aQuartileBucketed: Q = Q(
+    "q17a_quartile_bucketed",
+    """SELECT CAST(unnest(range(1, 5)) AS INT) AS quartile,
+      |  true AS size_ok FROM (SELECT 1)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val bounds = cust.agg(percentile_approx($"c_acctbal",
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("b"))
+    val totals = cust.agg(count(lit(1)).as("total"))
+    cust.crossJoin(broadcast(bounds))
+      .select($"c_custkey",
+        (lit(1) + ($"c_acctbal" > element_at($"b", 1)).cast("int")
+          + ($"c_acctbal" > element_at($"b", 2)).cast("int")
+          + ($"c_acctbal" > element_at($"b", 3)).cast("int"))
+          .as("quartile"))
+      .groupBy($"quartile")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .select($"quartile",
+        ($"n" >= $"total" * 0.15 && $"n" <= $"total" * 0.35).as("size_ok"))
+  }
 }

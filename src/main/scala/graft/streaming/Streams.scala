@@ -108,6 +108,33 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to a view by the
+    * same user within 30 minutes. Both sides carry watermarks and the
+    * join condition bounds event-time distance in BOTH directions, so
+    * each side's buffered state is evicted once the other stream's
+    * watermark passes the interval — bounded state, the requirement for
+    * stream-stream joins at scale. Works identically on batch inputs
+    * (the oracle-checkable twin). */
+  def viewPurchaseAttribution(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val s = views.sparkSession
+    import s.implicits._
+    val v = views.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"),
+        $"event_id".as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"value", $"event_id".as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" < $"view_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"user_id", $"view_id", $"purchase_id", $"view_ts",
+        $"purchase_ts", $"value")
+  }
+
   /** Streaming dedup on (event_id, ts) — the event-time column is IN the
     * dedup keys, which is what lets Spark evict state once the watermark
     * passes an event's timestamp. A bare `dropDuplicates("event_id")`

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape assertions (SURVEY.md §5.2 "plan tests" — the
@@ -77,6 +78,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
     // bucketing co-partitions both sides: the whole plan is exchange-free
     assert(!p.contains("Exchange"), s"unexpected shuffle in SMB join:\n$p")
+  }
+
+  test("selective join injects a runtime bloom filter on the big side") {
+    // The reference prunes probe-side rows with a bloom filter built
+    // from the build side (bloom-join). Spark's InjectRuntimeFilter
+    // does the same when the creation side is filtered/selective and
+    // the application side is large — assert the rewrite fires rather
+    // than reimplementing it.
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    // fixture sizes sit below the size gates tuned for real clusters
+    // (10MB creation side, 10GB application-side scan) — widen them so
+    // the rewrite is judged on SHAPE here; production keeps defaults
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    spark.conf.set(
+      "spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    try {
+      val big = sources.Tables.lineitem(spark, sf)
+      val sel = sources.Tables.orders(spark, sf)
+        .filter($"o_totalprice" > 400000.0)
+      // disable broadcast so the shuffle-join path (where the bloom
+      // filter pays) is planned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = big.join(sel, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") ||
+        optimized.contains("BloomFilter") || optimized.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$optimized")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      }
+    }
   }
 
   test("compaction rewrites many small files into the target count") {

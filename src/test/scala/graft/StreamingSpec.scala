@@ -130,6 +130,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    val q = streaming.Streams
+      .viewPurchaseAttribution(vMem.toDF(), pMem.toDF())
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { c =>
+        vMem.addData(c); pMem.addData(c)
+        q.processAllAvailable()
+      }
+      vMem.addData(Seq(sentinel)); pMem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect().toSeq
+      val want = streaming.Streams.viewPurchaseAttribution(
+        sources.Tables.events(spark, sf),
+        sources.Tables.events(spark, sf)).collect().toSeq
+      assert(want.nonEmpty, "fixture produced no attributed purchases")
+      assert(canon(got) == canon(want))
+    } finally q.stop()
+  }
+
   test("dedup state is evicted once the watermark passes (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
