@@ -65,6 +65,34 @@ object Formats {
         sum(octet_length($"content")).as("total_bytes"))
   }
 
+  /** f06: parquet compression codecs (reference table-property codec
+    * surface, SURVEY.md §2.2): write gzip/snappy/zstd, read each back,
+    * and prove via input_file_name that the codec actually landed in
+    * the file names — content identical across codecs per the oracle. */
+  val f06ParquetCodecs: Q = Q(
+    "f06_parquet_codecs",
+    """SELECT codec, count(*) AS n,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal,
+      |  true AS ext_ok
+      |FROM supplier
+      |CROSS JOIN (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+      |GROUP BY codec""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ext = Map("gzip" -> ".gz.parquet", "snappy" -> ".snappy.parquet",
+      "zstd" -> ".zstd.parquet")
+    Seq("gzip", "snappy", "zstd").map { c =>
+      val dest = tmp(d, s"parquet_$c")
+      Tables.supplier(s, d).write.option("compression", c)
+        .mode("overwrite").parquet(dest)
+      s.read.parquet(dest)
+        .select($"s_acctbal", lit(c).as("codec"),
+          input_file_name().endsWith(ext(c)).as("has_ext"))
+    }.reduce(_ unionByName _)
+      .groupBy($"codec")
+      .agg(count(lit(1)).as("n"), Exact.dsum($"s_acctbal").as("bal"),
+        min($"has_ext").as("ext_ok"))
+  }
+
   /** f05: text-format read (the reference's LazySimpleSerDe delimited
     * path): write lineitem keys as delimited text lines, read with
     * spark.read.text + split. */
@@ -82,5 +110,6 @@ object Formats {
       .agg(count(lit(1)).as("n"), min($"value").as("first_line"))
   }
 
-  val all: Seq[Q] = Seq(f01Csv, f02Json, f03Orc, f04BinaryFile, f05Text)
+  val all: Seq[Q] = Seq(f01Csv, f02Json, f03Orc, f04BinaryFile, f05Text,
+    f06ParquetCodecs)
 }

@@ -161,6 +161,24 @@ object Functions {
         |LATERAL VIEW explode(top_bigrams) t AS b""".stripMargin)
   }
 
+  /** context_ngrams: most frequent words following 'the' per language
+    * (reference GenericUDAFContextNGrams — null slots are the counted
+    * wildcards). Same partial-pruning caveat as q44 → rows-only;
+    * exact values pinned in FunctionSpec. */
+  val q44bContextNgrams: Q = Q.noOracle("q44b_context_ngrams") { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents_vb")
+    s.sql(
+      """SELECT lang, concat_ws(' ', b.ngram) AS follower,
+        |  b.estfrequency AS freq
+        |FROM (SELECT lang,
+        |        context_ngrams(split(text, ' '),
+        |                       array('the', CAST(NULL AS STRING)), 5) AS cg
+        |      FROM documents_vb GROUP BY lang)
+        |LATERAL VIEW explode(cg) t AS b""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q39StringFuncs, q40DateFuncs, q41MathFuncs,
-    q42Conditionals, q43Hash, q44NgramsDocs)
+    q42Conditionals, q43Hash, q44NgramsDocs, q44bContextNgrams)
 }

@@ -108,6 +108,51 @@ object Streams {
       }
   }
 
+  /** Spark 4 arbitrary-state API (`transformWithState`, the successor
+    * to flatMapGroupsWithState): the same per-user running totals as
+    * [[Streams.userTotalsStateful]], held in a typed [[ValueState]]
+    * through the StatefulProcessor handle. State lives in the RocksDB
+    * store (the API requires that provider when streaming), is
+    * per-key-partitioned and spillable; TTLConfig.NONE here because the
+    * key space is bounded — attach a TTL for unbounded key domains. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserTotals] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotals(uid, 0L, 0.0)
+      var n = prev.n_events
+      var total = java.math.BigDecimal.valueOf(prev.total_value)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      rows.foreach { e =>
+        n += 1
+        total = total.add(java.math.BigDecimal.valueOf(e.value)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      }
+      val next = UserTotals(uid, n, total.doubleValue)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user totals through [[UserTotalsProcessor]]. */
+  def userTotalsTws(events: Dataset[Event]): Dataset[UserTotals] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases attributed to a view by the
     * same user within 30 minutes. Both sides carry watermarks and the
     * join condition bounds event-time distance in BOTH directions, so

@@ -188,6 +188,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals equal the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // the transformWithState operator requires the RocksDB provider
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams.userTotalsTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_tws").toString)
+      .start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val finalState = spark.table("tws_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (uid, rows) => uid -> rows.maxBy(_.getLong(1)) }
+      val batch = sources.Tables.events(spark, sf)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("t"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(finalState.keySet == batch.keySet)
+      finalState.foreach { case (uid, row) =>
+        assert(row.getLong(1) == batch(uid).getLong(1))
+        assert(math.abs(row.getDouble(2) - batch(uid).getDouble(2)) < 1e-6)
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session windows run on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
