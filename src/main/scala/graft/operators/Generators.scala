@@ -66,6 +66,60 @@ object Generators {
         count(lit(1)).as("n"))
   }
 
+  /** q32b: json_tuple — the reference's multi-path JSON UDTF (one parse
+    * per row for several paths, vs one parse PER PATH with repeated
+    * get_json_object). Exercised through the SQL LATERAL VIEW form. */
+  val q32bJsonTuple: Q = Q(
+    "q32b_json_tuple",
+    """SELECT event_type,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+      |    AS avg_k,
+      |  count(DISTINCT json_extract_string(props, '$.source')) AS n_sources
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d).createOrReplaceTempView("events_jt")
+    s.sql(
+      """SELECT event_type, round(avg(CAST(k AS BIGINT)), 4) AS avg_k,
+        |  count(DISTINCT source) AS n_sources
+        |FROM events_jt
+        |LATERAL VIEW json_tuple(props, 'k', 'source') jt AS k, source
+        |GROUP BY event_type""".stripMargin)
+  }
+
+  /** q48: array/collection function family (§2.7 collection UDFs) —
+    * construction, membership, dedup, sort, slice, flatten, zip — the
+    * whole family in one differential-checked projection. */
+  val q48Collections: Q = Q(
+    "q48_collection_funcs",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+      |           FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  len(a) AS n,
+      |  list_contains(a, 'the') AS has_the,
+      |  len(list_distinct(a)) AS n_distinct,
+      |  list_sort(list_distinct(a))[1] AS first_sorted,
+      |  list_sort(list_distinct(a))[-1] AS last_sorted,
+      |  array_to_string(a[2:4], ',') AS mid3,
+      |  CAST(coalesce(list_position(a, 'the'), 0) AS BIGINT) AS the_pos,
+      |  array_to_string(a[1:3], '-') AS head3
+      |FROM t""".stripMargin) { (s, d) =>
+    import s.implicits._
+    // cross-engine notes: slices are scalarized (the driver comparator
+    // can't sort array cells); Spark's array_position yields 0 for
+    // missing where DuckDB's list_position yields NULL (coalesced).
+    val a = split($"text", " ")
+    Tables.documents(s, d).filter($"doc_id" < 100)
+      .select($"doc_id",
+        size(a).cast("long").as("n"),
+        array_contains(a, "the").as("has_the"),
+        size(array_distinct(a)).cast("long").as("n_distinct"),
+        element_at(sort_array(array_distinct(a)), 1).as("first_sorted"),
+        element_at(sort_array(array_distinct(a)), -1).as("last_sorted"),
+        concat_ws(",", slice(a, 2, 3)).as("mid3"),
+        array_position(a, "the").as("the_pos"),
+        concat_ws("-", slice(a, 1, 3)).as("head3"))
+  }
+
   /** TABLESAMPLE — no cross-engine oracle (sampling is engine-seeded);
     * driver records a rows-only check. Deterministic for a fixed seed. */
   val q33Sample: Q = Q.noOracle("q33_sample") { (s, d) =>
@@ -91,6 +145,6 @@ object Generators {
       .sortWithinPartitions($"l_orderkey", $"l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q30ExplodeWords, q31Posexplode, q32Json, q33Sample,
-    q34ClusterBy)
+  val all: Seq[Q] = Seq(q30ExplodeWords, q31Posexplode, q32Json,
+    q32bJsonTuple, q33Sample, q34ClusterBy, q48Collections)
 }

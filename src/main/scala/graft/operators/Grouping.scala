@@ -17,19 +17,16 @@ object Grouping {
     "q19_rollup",
     """SELECT l_returnflag, l_linestatus,
       |  grouping_id(l_returnflag, l_linestatus) AS gid,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
     import s.implicits._
-    // The decimal cast is projected BEFORE the rollup: Expand replicates
-    // each input row once per grouping set, so casting inside the
-    // aggregate would run 3x per row — pre-projection pays it once.
+    // l_quantity is integer-valued → plain double sums are exact and
+    // order-independent (see q01); no decimal buffer needed here.
     Tables.lineitem(s, d)
-      .select($"l_returnflag", $"l_linestatus",
-        $"l_quantity".cast("decimal(18,6)").as("qty_d"))
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(grouping_id().as("gid"),
-        sum($"qty_d").cast("double").as("sum_qty"),
+        sum($"l_quantity").as("sum_qty"),
         count(lit(1)).as("n"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n")
   }
@@ -43,7 +40,8 @@ object Grouping {
       |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
     import s.implicits._
     // revenue product + decimal cast computed once per input row, not
-    // once per Expand-replicated row (4 grouping sets) — see q19.
+    // once per Expand-replicated row (4 grouping sets) — hoist computed
+    // aggregate inputs ABOVE rollup/cube/grouping-sets Expand.
     Tables.lineitem(s, d)
       .select($"l_returnflag", $"l_linestatus",
         ($"l_extendedprice" * (lit(1) - $"l_discount"))

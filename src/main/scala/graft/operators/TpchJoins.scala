@@ -55,17 +55,17 @@ object TpchJoins {
     "q46_large_orders",
     """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
       |FROM (
-      |  SELECT l_orderkey,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+      |  HAVING sum(l_quantity) > 300)
       |JOIN orders   ON o_orderkey = l_orderkey
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
     import s.implicits._
+    // integer-valued quantities sum exactly in doubles (see q01)
     val big = Tables.lineitem(s, d)
       .groupBy($"l_orderkey")
-      .agg(Exact.dsum($"l_quantity").as("sum_qty"))
+      .agg(sum($"l_quantity").as("sum_qty"))
       .filter($"sum_qty" > 300)
     big
       .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
