@@ -113,5 +113,32 @@ object TpchJoins {
       .agg(countDistinct($"l_orderkey").as("numwait"))
   }
 
-  val all: Seq[Q] = Seq(q45Profit, q46LargeOrders, q47WaitingSupplier)
+  /** q49: null-safe equality join (`<=>` / IS NOT DISTINCT FROM — the
+    * reference CommonJoinOperator's null-safe key mode). Null keys are
+    * derived deterministically (priority 3-URGENT → NULL on both
+    * sides) so the null<=>null matches are exercised and counted. */
+  val q49NullSafeJoin: Q = Q(
+    "q49_nullsafe_join",
+    """WITH o AS (SELECT o_orderkey,
+      |             nullif(o_orderpriority, '3-URGENT') AS pr
+      |           FROM orders),
+      |d AS (SELECT DISTINCT nullif(o_orderpriority, '3-URGENT') AS pr2
+      |      FROM orders)
+      |SELECT coalesce(pr, '<null>') AS priority, count(*) AS n
+      |FROM o JOIN d ON pr IS NOT DISTINCT FROM pr2
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey",
+        nullif($"o_orderpriority", lit("3-URGENT")).as("pr"))
+    val dim = Tables.orders(s, d)
+      .select(nullif($"o_orderpriority", lit("3-URGENT")).as("pr2"))
+      .distinct()
+    o.join(dim, $"pr" <=> $"pr2")
+      .groupBy(coalesce($"pr", lit("<null>")).as("priority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(q45Profit, q46LargeOrders, q47WaitingSupplier,
+    q49NullSafeJoin)
 }
