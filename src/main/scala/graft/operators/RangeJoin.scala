@@ -37,32 +37,43 @@ object RangeJoin {
       .drop("_bin")
   }
 
-  /** r01: per-order count of lineitems (ANY order's items, no key) that
-    * shipped within 7 days of the order date — a genuine both-sides-
-    * large range join; the naive formulation is a 60k x 15k nested
-    * loop at sf0.01 and quadratic at scale. */
+  /** r01: per-high-value-order count and value of lineitems (ANY
+    * order's items — no equi key) shipped the day of the order date.
+    * A genuine no-equi-key range join; the naive plan is a nested loop
+    * (6k x 600k at sf0.1).
+    *
+    * Range joins are only cheap when SPARSE: the match count is
+    * |L|·|R|·(window/domain), so window width and interval-side
+    * selectivity — not the algorithm — decide the cost. An earlier
+    * 7-day/all-orders variant of this query was semantically DENSE
+    * (~2.5e8 genuine matches at sf0.1, 193 s) — no join algorithm
+    * fixes a dense range join; narrow the window or pre-filter the
+    * interval side (here: 1 day, high-value orders → 1.4M matches). */
   val r01RangeJoin: Q = Q(
     "r01_range_join",
     """SELECT o_orderkey,
       |  count(*) AS n_shipped,
-      |  count(DISTINCT l_returnflag) AS n_flags
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS shipped_value
       |FROM orders JOIN lineitem
       |  ON l_shipdate >= o_orderdate
-      | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+      | AND l_shipdate < o_orderdate + INTERVAL 1 DAY
+      |WHERE o_totalprice > 480000
       |GROUP BY o_orderkey""".stripMargin) { (s, d) =>
     import s.implicits._
     val day = 86400L
     val li = Tables.lineitem(s, d)
-      .select($"l_returnflag",
+      .select($"l_extendedprice",
         (unix_timestamp($"l_shipdate") / day).cast("long").as("ship_d"))
     val ord = Tables.orders(s, d)
+      .filter($"o_totalprice" > 480000)
       .select($"o_orderkey",
         (unix_timestamp($"o_orderdate") / day).cast("long").as("lo_d"))
-      .withColumn("hi_d", $"lo_d" + 7)
-    binned(li, $"ship_d", ord, $"lo_d", $"hi_d", binWidth = 7)
+      .withColumn("hi_d", $"lo_d" + 1)
+    binned(li, $"ship_d", ord, $"lo_d", $"hi_d", binWidth = 1)
       .groupBy($"o_orderkey")
       .agg(count(lit(1)).as("n_shipped"),
-        countDistinct($"l_returnflag").as("n_flags"))
+        Exact.dsum($"l_extendedprice").as("shipped_value"))
   }
 
   val all: Seq[Q] = Seq(r01RangeJoin)

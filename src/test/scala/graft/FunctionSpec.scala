@@ -61,6 +61,24 @@ class FunctionSpec extends AnyFunSuite {
     assert(tag == 0)
   }
 
+  test("union type cast rules: tag dispatch to a common type") {
+    // The reference's UNIONTYPE cast path: consuming a union coerces the
+    // ACTIVE branch (by tag) to the target type. Expressed over the
+    // struct encoding as tag-dispatched CASE + CAST — both branches of
+    // a uniontype<string,int> land as STRING here.
+    def dispatch(tag: Int) =
+      one(s"""CASE create_union($tag, 'x', 42).tag
+             |  WHEN 0 THEN extract_union(create_union($tag, 'x', 42), 0)
+             |  ELSE CAST(extract_union(create_union($tag, 'x', 42), 1)
+             |            AS STRING)
+             |END""".stripMargin)
+    assert(dispatch(0) == "x")
+    assert(dispatch(1) == "42")
+    // casting a whole union to string = struct cast (tag + all branches)
+    val s = one("CAST(create_union(1, 'x', 42) AS STRING)")
+    assert(s.toString.contains("42"))
+  }
+
   test("bloom_filter / in_bloom_filter") {
     SparkTestSession.register()
     val r = spark.sql(
