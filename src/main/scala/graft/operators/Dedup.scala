@@ -316,15 +316,16 @@ object Dedup {
     while (!converged && iter < 25) {
       val nbrMin = sym.join(labels, $"dst" === $"node")
         .groupBy($"src").agg(min($"label").as("nbr"))
+      // carry the previous label through the update so convergence is
+      // read off the SAME checkpointed result — one join + one count
+      // per round instead of a second change-detection join
       val next = labels.select($"node", $"label".as("old"))
         .join(nbrMin, $"node" === $"src", "left")
-        .select($"node",
+        .select($"node", $"old",
           least($"old", coalesce($"nbr", $"old")).as("label"))
         .localCheckpoint()
-      converged = next.join(
-        labels.select($"node", $"label".as("old")), "node")
-        .filter($"label" =!= $"old").isEmpty
-      labels = next
+      converged = next.filter($"label" =!= $"old").isEmpty
+      labels = next.select($"node", $"label")
       iter += 1
     }
     labels
