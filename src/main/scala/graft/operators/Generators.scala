@@ -120,6 +120,45 @@ object Generators {
         concat_ws("-", slice(a, 1, 3)).as("head3"))
   }
 
+  /** q50: map function family (§2.7 map UDFs) — construction (from
+    * text via str_to_map), map_keys/map_values, element_at lookup,
+    * map_concat, map_filter. Map cells never cross the driver
+    * comparator (scalarized); the DuckDB oracle recomputes the same
+    * scalars from the source columns, so values are differential-
+    * checked while the map machinery runs on the Spark side. */
+  val q50MapFuncs: Q = Q(
+    "q50_map_funcs",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  min('k,type') AS keys_csv,
+      |  count(DISTINCT json_extract_string(props, '$.k')
+      |        || '|' || event_type) AS n_value_combos,
+      |  count(DISTINCT CASE WHEN CAST(json_extract_string(props, '$.k')
+      |        AS BIGINT) > 5 THEN json_extract_string(props, '$.k') END)
+      |    AS n_high_k
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    // props carries only the "k" key; "type" joins in from the column
+    // via map_concat so construction, merge, lookup and filter all run
+    val m = map_concat(
+      str_to_map(concat(lit("k:"),
+        get_json_object($"props", "$.k")), lit(","), lit(":")),
+      map(lit("type"), $"event_type"))
+    Tables.events(s, d)
+      .select($"event_type", m.as("m"))
+      .select($"event_type",
+        concat_ws(",", sort_array(map_keys($"m"))).as("keys_csv"),
+        concat_ws("|", element_at($"m", "k"), element_at($"m", "type"))
+          .as("combo"),
+        map_filter($"m", (k, v) =>
+          k === "k" && v.cast("bigint") > 5).as("high"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"keys_csv").as("keys_csv"),
+        countDistinct($"combo").as("n_value_combos"),
+        countDistinct(element_at($"high", "k")).as("n_high_k"))
+  }
+
   /** TABLESAMPLE — no cross-engine oracle (sampling is engine-seeded);
     * driver records a rows-only check. Deterministic for a fixed seed. */
   val q33Sample: Q = Q.noOracle("q33_sample") { (s, d) =>
@@ -146,5 +185,5 @@ object Generators {
   }
 
   val all: Seq[Q] = Seq(q30ExplodeWords, q31Posexplode, q32Json,
-    q32bJsonTuple, q33Sample, q34ClusterBy, q48Collections)
+    q32bJsonTuple, q33Sample, q34ClusterBy, q48Collections, q50MapFuncs)
 }
