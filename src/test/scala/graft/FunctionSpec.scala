@@ -21,6 +21,89 @@ class FunctionSpec extends AnyFunSuite {
       == "2024-01-01 00:00:00")
   }
 
+  test("floor_<unit>: remaining units (quarter/week/minute/second)") {
+    assert(one("CAST(floor_quarter(TIMESTAMP '2024-05-15 13:45:12') AS STRING)")
+      == "2024-04-01 00:00:00")
+    assert(one("CAST(floor_week(TIMESTAMP '2024-03-15 13:45:12') AS STRING)")
+      == "2024-03-11 00:00:00") // Monday
+    assert(one("CAST(floor_minute(TIMESTAMP '2024-03-15 13:45:12') AS STRING)")
+      == "2024-03-15 13:45:00")
+    assert(one("CAST(floor_second(TIMESTAMP '2024-03-15 13:45:12.789') AS STRING)")
+      == "2024-03-15 13:45:12")
+  }
+
+  test("Appendix A long tail: remaining builtin names all evaluate") {
+    // every remaining reference function name not exercised elsewhere
+    // (SURVEY.md Appendix A audit) — exact values where deterministic
+    assert(one("round(acos(0.5), 4)") == 1.0472)
+    assert(one("CAST(aes_decrypt(aes_encrypt('secret', '0000111122223333'), " +
+      "'0000111122223333') AS STRING)") == "secret")
+    assert(one("assert_true(1 < 2)") == null)
+    assert(one("CAST(ceiling(3.2) AS INT)") == 4)
+    assert(one("char_length('abc')") == 3)
+    assert(one("character_length('abc')") == 3)
+    assert(one("crc32(CAST('abc' AS BINARY))") == 891568578L)
+    assert(one("current_database()") != null)
+    assert(one("current_date() >= DATE '2026-01-01'") == true)
+    assert(one("current_timestamp() > TIMESTAMP '2026-01-01 00:00:00'")
+      == true)
+    assert(one("current_user()") != null)
+    assert(one("CAST(date_add(DATE '2024-01-31', 1) AS STRING)")
+      == "2024-02-01")
+    assert(one("CAST(date_sub(DATE '2024-03-01', 1) AS STRING)")
+      == "2024-02-29")
+    assert(one("date_format(TIMESTAMP '2024-03-15 13:45:12', 'yyyy/MM/dd')")
+      == "2024/03/15")
+    assert(one("CAST(from_utc_timestamp(TIMESTAMP '2024-01-01 00:00:00', " +
+      "'America/Los_Angeles') AS STRING)") == "2023-12-31 16:00:00")
+    assert(one("CAST(to_utc_timestamp(TIMESTAMP '2023-12-31 16:00:00', " +
+      "'America/Los_Angeles') AS STRING)") == "2024-01-01 00:00:00")
+    assert(one("java_method('java.lang.Math', 'abs', -3)") == "3")
+    assert(one("lcase('AbC')") == "abc")
+    assert(one("ucase('AbC')") == "ABC")
+    assert(one("log2(8.0)") == 3.0)
+    assert(one("ltrim('  x ')") == "x ")
+    assert(one("rtrim('  x ')") == "  x")
+    assert(one("nvl(NULL, 'd')") == "d")
+    assert(one("power(2, 10)") == 1024.0)
+    assert(one("printf('%d-%s', 7, 'x')") == "7-x")
+    assert(one("round(radians(180.0), 6)") == 3.141593)
+    assert(one("'abc' rlike '^a'") == true)
+    assert(one("rpad('x', 3, '_')") == "x__")
+    assert(one("sha1('abc')") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one("CAST(smallint(70000 % 32768) AS INT)") == 4464)
+    assert(one("CAST(tinyint(100) AS INT)") == 100)
+    assert(one("CAST(to_date('2024-03-15 10:00:00') AS STRING)")
+      == "2024-03-15")
+    assert(one("to_unix_timestamp('2024-01-01', 'yyyy-MM-dd')")
+      == 1704067200L)
+    assert(one("CAST(unbase64('YWJj') AS STRING)") == "abc")
+    assert(one("CAST(unhex('414243') AS STRING)") == "ABC")
+    assert(one("length(uuid())") == 36)
+    val x = "'<a><b>1</b><b>2.5</b></a>'"
+    assert(one(s"xpath_boolean($x, 'a/b')") == true)
+    assert(one(s"xpath_double($x, 'sum(a/b)')") == 3.5)
+    assert(one(s"xpath_float($x, 'sum(a/b)')") == 3.5f)
+    assert(one(s"xpath_long($x, 'sum(a/b)')") == 3L)
+    assert(one(s"xpath_number($x, 'sum(a/b)')") == 3.5)
+    assert(one(s"xpath_short($x, 'sum(a/b)')") == 3)
+    // remaining UDAF names over a tiny inline relation
+    val r = spark.sql(
+      """SELECT round(regr_avgx(y, x), 4) AS ax,
+        |  round(regr_avgy(y, x), 4) AS ay,
+        |  round(regr_sxx(y, x), 4) AS sxx,
+        |  round(regr_sxy(y, x), 4) AS sxy,
+        |  round(regr_syy(y, x), 4) AS syy,
+        |  round(stddev_pop(x), 4) AS sp
+        |FROM (SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+        |      FROM VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 7.0) AS v(x, y))"""
+        .stripMargin).collect()(0)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 4.3333)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 12.6667)
+    assert(r.getDouble(5) == 0.8165)
+  }
+
   test("field returns 1-based index or 0") {
     assert(one("field('b', 'a', 'b', 'c')") == 1 + 1)
     assert(one("field('z', 'a', 'b', 'c')") == 0)
