@@ -97,6 +97,23 @@ object Grouping {
       .agg(Exact.dsum($"o_totalprice"))
   }
 
+  /** q51: UNPIVOT — the inverse of q23's pivot (reference: explode of
+    * conditional-aggregation columns back to rows). The SQL-standard
+    * text parses identically on Spark and DuckDB, so the SAME string is
+    * the engine query and the oracle (the q21 shared-text pattern). */
+  val q51Unpivot: Q = {
+    val sql =
+      """WITH a AS (SELECT s_nationkey, count(*) AS n_rows,
+        |           count(DISTINCT s_name) AS n_names
+        |           FROM supplier GROUP BY s_nationkey)
+        |SELECT s_nationkey, metric, val
+        |FROM a UNPIVOT (val FOR metric IN (n_rows, n_names))""".stripMargin
+    Q("q51_unpivot", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(q19Rollup, q20Cube, q21GroupingSets, q22Having,
-    q23Pivot)
+    q23Pivot, q51Unpivot)
 }

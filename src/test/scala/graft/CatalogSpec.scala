@@ -71,6 +71,32 @@ class CatalogSpec extends AnyFunSuite {
       scan.contains("o_orderstatus"), s"no partition pruning:\n$scan")
   }
 
+  test("CTAS, INSERT OVERWRITE, TRUNCATE") {
+    ensureDb()
+    SparkTestSession.register() // fixture temp views
+    spark.sql("DROP TABLE IF EXISTS graft_cat.cust_ctas")
+    spark.sql(
+      """CREATE TABLE graft_cat.cust_ctas AS
+        |SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    val n1 = spark.table("graft_cat.cust_ctas").count()
+    assert(n1 > 0)
+    // INSERT OVERWRITE replaces, not appends
+    spark.sql(
+      """INSERT OVERWRITE TABLE graft_cat.cust_ctas
+        |SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)
+    val n2 = spark.table("graft_cat.cust_ctas").count()
+    assert(n2 > n1, s"overwrite should widen: $n1 -> $n2")
+    spark.sql(
+      """INSERT OVERWRITE TABLE graft_cat.cust_ctas
+        |SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    assert(spark.table("graft_cat.cust_ctas").count() == n1)
+    spark.sql("TRUNCATE TABLE graft_cat.cust_ctas")
+    assert(spark.table("graft_cat.cust_ctas").count() == 0)
+  }
+
   test("persistent view over catalog tables") {
     ensureOrdersT()
     spark.sql("DROP VIEW IF EXISTS graft_cat.big_orders_v")
