@@ -261,6 +261,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch sink writes each micro-batch transactionally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dest = java.nio.file.Files.createTempDirectory("graft_febatch")
+      .toString
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.tumblingCounts(mem.toDF())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the standard exactly-once-per-batch pattern: idempotent
+        // overwrite into a batch-id partition directory
+        batch.write.mode("overwrite").parquet(s"$dest/batch_id=$id")
+      }
+      .start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+      val written = spark.read.parquet(dest)
+        .filter($"event_type" =!= "__sentinel")
+      val want = streaming.Streams
+        .tumblingCounts(sources.Tables.events(spark, sf))
+      // append-mode emits each closed window exactly once across batches
+      assert(canon(written.drop("batch_id").collect().toSeq) ==
+        canon(want.collect().toSeq))
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
