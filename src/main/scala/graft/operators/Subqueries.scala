@@ -73,5 +73,30 @@ object Subqueries {
         .select($"s_suppkey", $"s_name", $"s_acctbal")
   }
 
-  val all: Seq[Q] = Seq(q27ScalarSubquery, q28InSubquery, q29CorrelatedAgg)
+  /** q52: NOT IN under NULL — SQL's three-valued-logic trap. A single
+    * NULL in the NOT IN subquery makes every predicate UNKNOWN (zero
+    * rows survive), while the same list without the NULL excludes
+    * normally and NOT EXISTS is unaffected by NULLs. The reference's
+    * Calcite rewrite (null-aware anti join) and Spark's
+    * NullAwareAntiJoin implement exactly these semantics; the shared
+    * ANSI text runs verbatim on both engines. */
+  val q52NotInNulls: Q = {
+    val sql =
+      """SELECT
+        |  (SELECT count(*) FROM part WHERE p_size NOT IN
+        |    (SELECT CASE WHEN o_orderkey = 1 THEN NULL ELSE 999 END
+        |     FROM orders WHERE o_orderkey <= 5)) AS n_null_poisoned,
+        |  (SELECT count(*) FROM part WHERE p_size NOT IN
+        |    (SELECT 999 FROM orders WHERE o_orderkey <= 5)) AS n_clean,
+        |  (SELECT count(*) FROM part p WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = p.p_size
+        |     AND o_orderkey > 999999)) AS n_not_exists""".stripMargin
+    Q("q52_not_in_nulls", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[Q] = Seq(q27ScalarSubquery, q28InSubquery, q29CorrelatedAgg,
+    q52NotInNulls)
 }
