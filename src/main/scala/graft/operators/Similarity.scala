@@ -255,5 +255,58 @@ object Similarity {
       .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
   }
 
-  val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf)
+  /** s05: symmetric int8 embedding quantization — the standard 4×
+    * storage/bandwidth shrink before ANN indexing (scale = 127/max|x|
+    * per vector, values rounded into [-127, 127]). Emits per-vector
+    * audit scalars: the quantized-sum checksum (cross-engine content
+    * proof without array columns) and the worst-case reconstruction
+    * error, whose bound is 0.5/scale by construction.
+    *
+    * Map-only over the corpus — no shuffle at any scale; all arithmetic
+    * in double via codegen'd higher-order expressions, bit-identical to
+    * the oracle's list comprehensions. */
+  val s05Quantize: Q = Q(
+    "s05_quantize",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        127.0 / list_max([abs(x) FOR x IN v]) AS scale FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |        [CAST(round(x * scale) AS BIGINT) FOR x IN v] AS qv FROM s)
+      |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+      |  round(scale, 6) AS scale,
+      |  CAST(floor(list_max([abs(v[i] - qv[i] / scale)
+      |                       FOR i IN range(1, len(v) + 1)]) * 1e8)
+      |       AS BIGINT) AS max_err_e8
+      |FROM q""".stripMargin) { (s, d) =>
+    import s.implicits._
+    // max_err is emitted as floor(err * 1e8): the doubles are
+    // bit-identical cross-engine (IEEE ops on identical inputs), but
+    // decimal ROUNDING of a continuum value is not — Spark rounds the
+    // full binary expansion via BigDecimal while DuckDB multiplies-and-
+    // rounds, and a value near a tie (…4499999…) splits them. floor of
+    // the identical double is deterministic.
+    val v = transform($"embedding", x => x.cast("double"))
+    Tables.embeddings(s, d)
+      .select($"vec_id", v.as("v"),
+        (lit(127.0) / array_max(transform(v, abs(_)))).as("scale"))
+      .select($"vec_id", $"v", $"scale",
+        transform($"v", x => round(x * $"scale").cast("long")).as("qv"))
+      .select($"vec_id",
+        size($"v").cast("long").as("n_dims"),
+        aggregate($"qv", lit(0L), _ + _).as("q_checksum"),
+        $"scale",
+        floor(array_max(zip_with($"v", $"qv",
+          (x, q) => abs(x - q / $"scale"))) * 1e8).as("max_err_e8"))
+      // Rounding `scale` for display happens one select DOWNSTREAM of
+      // every use: Spark 4's lateral-column-alias resolution makes a
+      // same-select `round(scale,6).as("scale")` shadow the child's
+      // `scale` inside sibling lambda expressions — the error divisor
+      // silently became the 6-dp value and moved floor(err*1e8) by one.
+      .select($"vec_id", $"n_dims", $"q_checksum",
+        round($"scale", 6).as("scale"), $"max_err_e8")
+  }
+
+  val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
+    s05Quantize)
 }

@@ -38,5 +38,60 @@ object Splits {
         max($"doc_id").as("max_doc"))
   }
 
-  val all: Seq[Q] = Seq(p01TrainSplit)
+  /** p02: stratified training-mix rebalancing — downsample every
+    * language stratum to the smallest stratum's size (an equal-count
+    * mix), deterministically. The per-language keep rate is
+    * min(n)/n(lang); a row is kept when the first 4 hex chars of
+    * md5(doc_id || ':mix') fall below the rate's 16-bit hex threshold
+    * (the ':mix' salt decorrelates this decision from p01's split
+    * assignment). No rand(), no per-partition state: the same document
+    * survives on any cluster shape, and re-running the pipeline after
+    * appending data only re-decides rows whose stratum rate changed.
+    *
+    * 100 TB shape: one count per stratum (tiny aggregate), broadcast
+    * back as a rate table; the keep decision is map-only. Expected kept
+    * count is rate*n with binomial jitter — the point is determinism
+    * and one-pass scalability, not exact-n sampling (which needs a
+    * per-stratum global sort/rank: a total order per language, the
+    * documented non-scalable alternative). */
+  val p02TrainingMix: Q = Q(
+    "p02_training_mix",
+    """WITH counts AS (SELECT lang, count(*) AS n_orig
+      |               FROM documents GROUP BY lang),
+      |rates AS (SELECT lang, n_orig,
+      |            CAST((SELECT min(n_orig) FROM counts) AS DOUBLE) / n_orig
+      |              AS rate
+      |          FROM counts),
+      |kept AS (
+      |  SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+      |  WHERE r.rate >= 1.0
+      |     OR substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 4) <
+      |        lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))),
+      |             4, '0'))
+      |SELECT r.lang, r.n_orig, count(k.lang) AS n_kept,
+      |  round(r.rate, 6) AS target_rate,
+      |  round(CAST(count(k.lang) AS DOUBLE) / r.n_orig, 6) AS achieved_rate
+      |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+      |GROUP BY r.lang, r.n_orig, r.rate""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_orig"))
+    val minN = counts.agg(min($"n_orig").as("mn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select($"lang", $"n_orig",
+        ($"mn".cast("double") / $"n_orig").as("rate"))
+    val kept = docs.join(broadcast(rates), "lang")
+      .filter($"rate" >= 1.0 ||
+        substring(md5(concat($"doc_id".cast("string"), lit(":mix"))), 1, 4) <
+          lpad(lower(hex(floor($"rate" * 65536).cast("bigint"))), 4, "0"))
+      .select($"lang".as("k_lang"))
+    rates.join(kept, $"lang" === $"k_lang", "left")
+      .groupBy($"lang", $"n_orig", $"rate")
+      .agg(count($"k_lang").as("n_kept"))
+      .select($"lang", $"n_orig", $"n_kept",
+        round($"rate", 6).as("target_rate"),
+        round($"n_kept".cast("double") / $"n_orig", 6).as("achieved_rate"))
+  }
+
+  val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix)
 }

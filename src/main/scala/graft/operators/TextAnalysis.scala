@@ -304,6 +304,106 @@ object TextAnalysis {
     }
   }
 
+  /** t08: benchmark decontamination — the eval-leakage gate every
+    * training pipeline runs before a corpus ships. A held-out
+    * "benchmark" split (deterministic id slice, standing in for the
+    * eval sets) contributes its distinct 5-token shingles; every
+    * remaining document reports how many of its distinct shingles
+    * appear in that set and is flagged when any do.
+    *
+    * 100 TB shape: the benchmark shingle set is tiny relative to the
+    * corpus (eval suites are MBs, corpora are TBs) — broadcast it; the
+    * corpus side is one explode + map-side distinct + broadcast left
+    * join + re-aggregate keyed by doc_id. No corpus-sized shuffle of
+    * anything but (doc_id, shingle) pairs. */
+  val t08Decontaminate: Q = Q(
+    "t08_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |                t[i+3] || ' ' || t[i+4]
+      |                FOR i IN range(1, len(t) - 3)]) AS g5
+      |      FROM toks),
+      |bench AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 50 = 13),
+      |corpus AS (SELECT doc_id, g5, (bench.g5 IS NOT NULL)::INT AS hit
+      |           FROM g LEFT JOIN bench USING (g5)
+      |           WHERE doc_id % 50 <> 13)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+      |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS contam_frac,
+      |  (sum(hit) = 0) AS keep_flag
+      |FROM corpus GROUP BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = toks($"text")
+    val g5 = transform(sequence(lit(1), size(t) - 4),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(g5).as("g5")).distinct()
+    val bench = grams.filter($"doc_id" % 50 === 13)
+      .select($"g5").distinct().withColumn("hit", lit(1))
+    grams.filter($"doc_id" % 50 =!= 13)
+      .join(broadcast(bench), Seq("g5"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"hit", lit(0))).as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        round($"n_contaminated".cast("double") / $"n_shingles", 6)
+          .as("contam_frac"),
+        ($"n_contaminated" === 0).as("keep_flag"))
+  }
+
+  /** t09: corpus-boilerplate coverage — the C4 "remove any line seen
+    * more than once" pass, at shingle granularity (this corpus has no
+    * line structure). 3-token shingles occurring in >= 5 distinct
+    * documents are boilerplate (headers, footers, navigation chrome in
+    * real crawls); each document reports what fraction of its shingle
+    * instances are boilerplate and a cleaned token estimate.
+    *
+    * Two corpus passes, both linear: (1) explode → distinct(doc, gram)
+    * → document-frequency count; (2) explode again, join the (small,
+    * heavy-hitter) boilerplate set broadcast, re-aggregate per doc.
+    * The df table never materializes rare grams onto the join side —
+    * only the >= 5 survivors travel. */
+  val t09Boilerplate: Q = Q(
+    "t09_boilerplate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                FOR i IN range(1, len(t) - 1)]) AS g3
+      |      FROM toks),
+      |df AS (SELECT g3, count(DISTINCT doc_id) AS df FROM g GROUP BY g3),
+      |bp AS (SELECT g3 FROM df WHERE df >= 5),
+      |j AS (SELECT doc_id, (bp.g3 IS NOT NULL)::INT AS hit
+      |      FROM g LEFT JOIN bp USING (g3))
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(hit) AS BIGINT) AS n_boiler,
+      |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS boiler_frac,
+      |  (CAST(sum(hit) AS DOUBLE) / count(*) <= 0.1) AS keep_flag
+      |FROM j GROUP BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = toks($"text")
+    val g3 = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(g3).as("g3"))
+    val boiler = grams.distinct()
+      .groupBy($"g3").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 5)
+      .select($"g3").withColumn("hit", lit(1))
+    grams.join(broadcast(boiler), Seq("g3"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0))).as("n_boiler"))
+      .select($"doc_id", $"n_grams", $"n_boiler",
+        round($"n_boiler".cast("double") / $"n_grams", 6).as("boiler_frac"),
+        ($"n_boiler".cast("double") / $"n_grams" <= 0.1).as("keep_flag"))
+  }
+
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
-    t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub)
+    t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub,
+    t08Decontaminate, t09Boilerplate)
 }
