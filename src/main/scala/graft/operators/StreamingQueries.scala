@@ -108,6 +108,23 @@ object StreamingQueries {
         sum($"value".cast("decimal(18,6)")).cast("double").as("attr_value"))
   }
 
+  /** st07: batch twin of the stream-static broadcast join — hourly
+    * per-segment event counts and exact-decimal value totals, the
+    * dimension joined statelessly per micro-batch. */
+  val st07StreamStatic: Q = Q(
+    "st07_stream_static",
+    """WITH dim AS (SELECT c_custkey AS user_id, c_mktsegment AS segment
+      |             FROM customer)
+      |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+      |    AS window_end,
+      |  coalesce(segment, 'unknown') AS segment, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events LEFT JOIN dim USING (user_id)
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    Streams.segmentCounts(Tables.events(s, d), Tables.customer(s, d))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
-    st05Stateful, st06StreamJoin)
+    st05Stateful, st06StreamJoin, st07StreamStatic)
 }

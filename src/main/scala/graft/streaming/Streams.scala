@@ -180,6 +180,29 @@ object Streams {
         $"purchase_ts", $"value")
   }
 
+  /** Stream-static join: events enriched with the (static) customer
+    * dimension, then windowed per market segment. The static side is
+    * stateless — Spark re-plans it per micro-batch (picking up file
+    * changes under the same path) and broadcasts it when small, so the
+    * stream side never shuffles for the join; only the windowed
+    * aggregate keeps (watermark-bounded) state. Left join + coalesce:
+    * enrichment must never DROP events whose key is missing from the
+    * dimension. Works identically on batch inputs (the oracle twin). */
+  def segmentCounts(events: DataFrame, customers: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dim = customers.select($"c_custkey".as("user_id"),
+      $"c_mktsegment".as("segment"))
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window($"ts", "1 hour").as("w"),
+        coalesce($"segment", lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n"), exactSum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"w.end".as("window_end"),
+        $"segment", $"n", $"sum_value")
+  }
+
   /** Streaming dedup on (event_id, ts) — the event-time column is IN the
     * dedup keys, which is what lets Spark evict state once the watermark
     * passes an event's timestamp. A bare `dropDuplicates("event_id")`

@@ -291,6 +291,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = sources.Tables.customer(spark, sf)
+    val mem = MemoryStream[Ev]
+    val q = streaming.Streams.segmentCounts(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("sstatic_out")
+      .outputMode("append").start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { c =>
+        mem.addData(c)
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      // drop the sentinel's own window (its user_id misses the dim)
+      val got = spark.table("sstatic_out").collect().toSeq
+        .filter(_.getLong(3) > 0)
+        .filterNot(r => r.getString(2) == "unknown" && r.getLong(3) == 1)
+      val want = streaming.Streams.segmentCounts(
+        sources.Tables.events(spark, sf), dim).collect().toSeq
+      assert(want.nonEmpty)
+      assert(canon(got) == canon(want))
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
