@@ -121,6 +121,44 @@ object HiveCatalogCheck {
         .tableType == "VIEW")
     }
 
+    check("MSCK REPAIR discovers externally-added partitions") {
+      // The reference's metastore partition-discovery surface (Thrift
+      // add_partitions via `msck`): files land on storage OUTSIDE any
+      // engine write path (an ingest job, a distcp), and MSCK REPAIR
+      // reconciles the metastore with the directory layout.
+      val loc = s"$base/nation_ext"
+      val df = sources.Tables.nation(spark, sf)
+      df.write.partitionBy("n_regionkey").mode("overwrite").parquet(loc)
+      val dataCols = df.schema.fields.filter(_.name != "n_regionkey")
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      val partType = df.schema("n_regionkey").dataType.sql
+      spark.sql("DROP TABLE IF EXISTS graft_hcat.nation_ext")
+      spark.sql(s"""CREATE TABLE graft_hcat.nation_ext ($dataCols)
+        |USING parquet PARTITIONED BY (n_regionkey $partType)
+        |LOCATION '$loc'""".stripMargin)
+      // the metastore knows the table but none of its partitions yet
+      assert(spark.sql("SHOW PARTITIONS graft_hcat.nation_ext").count() == 0)
+      spark.sql("MSCK REPAIR TABLE graft_hcat.nation_ext")
+      val n0 = spark.sql("SHOW PARTITIONS graft_hcat.nation_ext").count()
+      assert(n0 == 5, s"expected 5 discovered partitions, got $n0")
+      val rows0 = spark.table("graft_hcat.nation_ext").count()
+      assert(rows0 == df.count(), s"row count after repair: $rows0")
+      // external ingest: clone a partition directory behind Spark's back
+      val src = java.nio.file.Paths.get(loc, "n_regionkey=0")
+      val dst = java.nio.file.Paths.get(loc, "n_regionkey=99")
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, dst.resolve(name))
+      }
+      assert(spark.sql("SHOW PARTITIONS graft_hcat.nation_ext").count() == 5)
+      spark.sql("MSCK REPAIR TABLE graft_hcat.nation_ext")
+      assert(spark.sql("SHOW PARTITIONS graft_hcat.nation_ext").count() == 6)
+      assert(spark.table("graft_hcat.nation_ext")
+        .filter($"n_regionkey" === 99).count() > 0)
+    }
+
     check("metadata survives a catalog-session restart") {
       // a fresh SparkSession over the SAME Derby metastore must still
       // see every object — the property an in-memory catalog lacks.
