@@ -83,6 +83,39 @@ object Analytics {
           .as("nd_supps_ok"))
   }
 
+  /** q12b: mergeable-sketch rollup — the pattern that makes distinct
+    * counting tractable at 100 TB: build DataSketches HLL sketches once
+    * at a fine grain (per flag+status), then answer coarser grains by
+    * UNIONING the stored sketches (`hll_union_agg`) without rescanning
+    * the fact table — exactly how per-partition stats roll up to table
+    * stats in the reference's metastore compute-stats path. Both levels
+    * are bounds-checked in-query against exact countDistinct (same
+    * verdict-oracle device as q12a/q35a: sketch bytes are merge-order-
+    * specific, so the oracle pins the GUARANTEE, not the bits). */
+  val q12bSketchRollup: Q = Q(
+    "q12b_sketch_rollup",
+    """SELECT l_returnflag, true AS fine_ok, true AS rollup_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val fine = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"),
+        countDistinct($"l_partkey").as("exact_fine"))
+    val fineOk = fine
+      .select($"l_returnflag",
+        (abs(hll_sketch_estimate($"sk") - $"exact_fine").cast("double") /
+          $"exact_fine" <= 0.1).as("ok"))
+      .groupBy($"l_returnflag").agg(bool_and($"ok").as("fine_ok"))
+    val rolled = fine.groupBy($"l_returnflag")
+      .agg(hll_union_agg($"sk").as("sku"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_flag"))
+    rolled.join(exact, "l_returnflag").join(fineOk, "l_returnflag")
+      .select($"l_returnflag", $"fine_ok",
+        (abs(hll_sketch_estimate($"sku") - $"exact_flag").cast("double") /
+          $"exact_flag" <= 0.1).as("rollup_ok"))
+  }
+
   /** Correlation / covariance / stddev / variance + linear regression. */
   val q36Stats: Q = Q(
     "q36_stats",
@@ -149,5 +182,5 @@ object Analytics {
   }
 
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
-    q37Collect, q38MinMax, q12aApproxDistinct)
+    q37Collect, q38MinMax, q12aApproxDistinct, q12bSketchRollup)
 }
