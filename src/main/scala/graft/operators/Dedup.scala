@@ -31,12 +31,17 @@ object Dedup {
   /** Tokens column. */
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-word shingles, map-side, guarded for short docs. */
+  /** Distinct 3-word shingles, map-side, guarded for short docs. The
+    * token array is lambda-bound (functions.Grams.bindArray): with a
+    * plain outer reference, alias inlining re-evaluates the split once
+    * per position — the O(L²) trap measured at 17× on sf0.1. */
   def shingles(tokens: Column, n: Int = 3): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", tokens)))
+    graft.functions.Grams.bindArray(tokens) { t =>
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+        .otherwise(array(concat_ws(" ", t)))
+    }
 
   /** MinHash signature as array<long>: sig[i] = min over shingles of
     * xxhash64(i, shingle). One map-side expression per hash — the

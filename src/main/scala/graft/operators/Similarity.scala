@@ -108,14 +108,18 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
         hyperplaneSketch($"embedding", nPlanes, dim).as("bits"))
+    // bits is lambda-bound: with a plain column reference, projection
+    // inlining re-evaluates the 16-plane sketch once PER BAND.
     val banded = emb.select($"vec_id", $"embedding",
-      explode(array((0 until nBands).map(b => struct(
-        lit(b).as("band"),
-        aggregate(zip_with(
-          slice($"bits", lit(b * bandBits + 1), lit(bandBits)),
-          sequence(lit(0), lit(bandBits - 1)),
-          (bit, i) => bit * call_function("shiftleft", lit(1), i)),
-          lit(0), (acc, v) => acc + v).as("sig"))): _*)).as("bb"))
+      explode(graft.functions.Grams.bindArray($"bits") { bits =>
+        array((0 until nBands).map(b => struct(
+          lit(b).as("band"),
+          aggregate(zip_with(
+            slice(bits, lit(b * bandBits + 1), lit(bandBits)),
+            sequence(lit(0), lit(bandBits - 1)),
+            (bit, i) => bit * call_function("shiftleft", lit(1), i)),
+            lit(0), (acc, v) => acc + v).as("sig"))): _*)
+      }).as("bb"))
       .select($"vec_id", $"embedding", $"bb.band", $"bb.sig")
     val qs = banded.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),

@@ -201,11 +201,12 @@ object TextAnalysis {
     // j, 4) re-evaluates the WHOLE md5 array, turning O(L) hashing into
     // O(L²). Generate the grams once with posexplode and take the
     // 4-window min with a window function instead: linear work, one
-    // shuffle bounded by |shingles|.
-    val t = toks($"text")
-    val grams = transform(sequence(lit(1), size(t) - 2),
-      i => md5(concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2))).substr(lit(1), lit(8)))
+    // shuffle bounded by |shingles|. (The shingle array itself is built
+    // via the lambda-bound token array — functions.Grams — so the split
+    // also evaluates once.)
+    val grams = transform(
+      graft.functions.Grams.wordGrams(toks($"text"), 3),
+      g => md5(g).substr(lit(1), lit(8)))
     val exploded = Tables.documents(s, d)
       .select($"doc_id", posexplode(grams).as(Seq("pos", "g")))
     val w = org.apache.spark.sql.expressions.Window
@@ -247,8 +248,7 @@ object TextAnalysis {
       |FROM a""".stripMargin) { (s, d) =>
     import s.implicits._
     val t = toks($"text")
-    val bigrams = transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val bigrams = graft.functions.Grams.wordGrams(t, 2)
     Tables.documents(s, d)
       .select($"doc_id", size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).as("n_types"),
@@ -335,10 +335,7 @@ object TextAnalysis {
       |  (sum(hit) = 0) AS keep_flag
       |FROM corpus GROUP BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val t = toks($"text")
-    val g5 = transform(sequence(lit(1), size(t) - 4),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))
+    val g5 = graft.functions.Grams.wordGrams(toks($"text"), 5)
     val grams = Tables.documents(s, d)
       .select($"doc_id", explode(g5).as("g5")).distinct()
     val bench = grams.filter($"doc_id" % 50 === 13)
@@ -361,11 +358,12 @@ object TextAnalysis {
     * real crawls); each document reports what fraction of its shingle
     * instances are boilerplate and a cleaned token estimate.
     *
-    * Two corpus passes, both linear: (1) explode → distinct(doc, gram)
-    * → document-frequency count; (2) explode again, join the (small,
-    * heavy-hitter) boilerplate set broadcast, re-aggregate per doc.
-    * The df table never materializes rare grams onto the join side —
-    * only the >= 5 survivors travel. */
+    * ONE corpus explode, reused: per-(doc, gram) instance counts are
+    * aggregated first (the explode's only shuffle); document frequency
+    * is a second, much smaller aggregate OVER those pairs; the (tiny,
+    * heavy-hitter) boilerplate survivors broadcast back onto the same
+    * pair table. The raw gram stream is never shuffled twice, and
+    * rare grams never travel to the join. */
   val t09Boilerplate: Q = Q(
     "t09_boilerplate",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -384,20 +382,18 @@ object TextAnalysis {
       |  (CAST(sum(hit) AS DOUBLE) / count(*) <= 0.1) AS keep_flag
       |FROM j GROUP BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val t = toks($"text")
-    val g3 = transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2)))
-    val grams = Tables.documents(s, d)
+    val g3 = graft.functions.Grams.wordGrams(toks($"text"), 3)
+    val pairCounts = Tables.documents(s, d)
       .select($"doc_id", explode(g3).as("g3"))
-    val boiler = grams.distinct()
+      .groupBy($"doc_id", $"g3").agg(count(lit(1)).as("c"))
+    val boiler = pairCounts
       .groupBy($"g3").agg(count(lit(1)).as("df"))
       .filter($"df" >= 5)
       .select($"g3").withColumn("hit", lit(1))
-    grams.join(broadcast(boiler), Seq("g3"), "left")
+    pairCounts.join(broadcast(boiler), Seq("g3"), "left")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce($"hit", lit(0))).as("n_boiler"))
+      .agg(sum($"c").as("n_grams"),
+        sum(when($"hit".isNotNull, $"c").otherwise(0L)).as("n_boiler"))
       .select($"doc_id", $"n_grams", $"n_boiler",
         round($"n_boiler".cast("double") / $"n_grams", 6).as("boiler_frac"),
         ($"n_boiler".cast("double") / $"n_grams" <= 0.1).as("keep_flag"))
