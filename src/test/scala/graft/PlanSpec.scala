@@ -51,6 +51,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q55: derived revenue view is computed once and reused for its max") {
+    // Q15 shape: the naive two-reference CTE form scans the fact table
+    // twice (AQE can't reuse — see the builder's scaladoc). The window
+    // form must scan lineitem exactly ONCE and take the max via rank.
+    val p = plan("q55_top_supplier")
+    assert(p.split("lineitem.parquet", -1).length - 1 == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("Window"), s"no window max:\n$p")
+  }
+
+  test("q57: nested IN + HAVING plans as two semi joins, part side broadcast") {
+    val p = plan("q57_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part list not broadcast:\n$p")
+  }
+
   test("q28: IN-subquery plans as broadcast semi join") {
     val p = plan("q28_in_subquery")
     assert(p.contains("LeftSemi"))

@@ -35,7 +35,9 @@ class SqlParitySpec extends AnyFunSuite {
     "q24_union_all", "q25_union_distinct", "q26_intersect_except",
     "q27_scalar_subquery", "q28_in_subquery", "q29_correlated_agg",
     "q34_cluster_by", "q38_minmax", "q45_profit", "q46_large_orders",
-    "q47_waiting_supplier", "st05_stateful_totals", "w01_smb_join")
+    "q47_waiting_supplier", "q53_volume_shipping", "q54_market_share",
+    "q55_top_supplier", "q56_small_qty_revenue", "q57_excess_suppliers",
+    "q58_idle_customers", "st05_stateful_totals", "w01_smb_join")
 
   dualDialect.foreach { n =>
     test(s"$n: SQL text == DSL builder") {
