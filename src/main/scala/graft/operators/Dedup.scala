@@ -269,9 +269,12 @@ object Dedup {
     * itself and its neighbors; converges in O(component diameter)
     * rounds (near-dup clusters are shallow in practice). Each round is
     * one shuffle join; lineage is cut per round with localCheckpoint
-    * (cluster: use a checkpoint dir). At 100 TB the same loop runs
-    * unchanged; the known upgrade for adversarially deep graphs is the
-    * large-star/small-star contraction, which halves round count.
+    * (cluster: use a checkpoint dir). The query runs on
+    * [[connectedComponentsStars]] — the large-star/small-star
+    * contraction whose round count is O(log² n) independent of
+    * component diameter — so adversarially deep duplicate chains can't
+    * stall it; the min-label variant below is the shallow-graph fast
+    * path and both are cross-checked for label equality in DedupSpec.
     *
     * Oracle: DuckDB recursive-CTE transitive closure over the same
     * pairs, min reachable id per node. */
@@ -297,9 +300,76 @@ object Dedup {
       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
       .stripMargin) { (s, d) =>
     import s.implicits._
-    connectedComponents(
+    connectedComponentsStars(
       ngramJaccardPairs(s, d).select($"doc_a", $"doc_b"))
       .select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14):
+    * converges in O(log² n) rounds REGARDLESS of component diameter,
+    * where [[connectedComponents]]' min-label propagation needs
+    * O(diameter) rounds — a 10⁶-doc near-dup CHAIN (each doc similar
+    * only to its neighbors, common in incrementally-crawled boilerplate)
+    * stalls label propagation at the iteration cap but contracts in
+    * ~20 star rounds. Same output contract: (node, label), label = min
+    * node id of the component.
+    *
+    * Each round is two groupBy-join passes (large-star hooks every
+    * node's larger neighbors onto its local min; small-star re-hangs
+    * the smaller neighbors), edge count never grows above the input
+    * edge count + node count, and lineage is cut per round with
+    * localCheckpoint (cluster: checkpoint dir). Used by d06; the
+    * min-label variant is kept for the shallow-graph fast path and
+    * cross-checked in DedupSpec. */
+  def connectedComponentsStars(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq
+    val nodes = pairs.select(col(ca).cast("long").as("n"))
+      .union(pairs.select(col(cb).cast("long").as("n"))).distinct()
+      .localCheckpoint()
+
+    // large-star: for each u, attach neighbors v > u to m = min(Γ(u)∪{u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u".as("mu"), least($"mn", $"u").as("m"))
+      sym.join(mins, $"u" === $"mu")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+    }
+
+    // small-star: orient u > v; re-hang Γ⁻(u) and u itself on the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val mins = or.groupBy($"u").agg(min($"v").as("m"))
+        .select($"u".as("mu"), $"m")
+      or.join(mins, $"u" === $"mu")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins.select($"mu".as("u"), $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+    }
+
+    var edges = pairs
+      .select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    // fixed point is a forest of depth-1 stars rooted at component minima
+    val roots = edges.select($"v").distinct()
+    edges.select($"u".as("node"), $"v".as("label"))
+      .union(roots.select($"v".as("node"), $"v".as("label")))
+      .union( // isolated nodes (none from a pair list, kept for contract)
+        nodes.join(edges.select($"u").union(edges.select($"v")).distinct(),
+          $"n" === $"u", "left_anti").select($"n".as("node"), $"n".as("label")))
   }
 
   /** Min-label-propagation connected components over an undirected

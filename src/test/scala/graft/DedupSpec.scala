@@ -62,6 +62,42 @@ class DedupSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("star-contraction CC matches min-label CC on every graph shape") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L), (30L, 32L))
+      .toDF("doc_a", "doc_b")
+    val stars = operators.Dedup.connectedComponentsStars(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = operators.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == prop)
+  }
+
+  test("star-contraction CC solves a 200-deep chain past label-prop's cap") {
+    import spark.implicits._
+    // A near-dup CHAIN (each doc similar only to its neighbor): min-label
+    // propagation moves the min ONE hop per round, so a 200-edge path
+    // needs 200 rounds — far past its 25-round cap. Star contraction's
+    // round count is O(log² n) regardless of diameter.
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.connectedComponentsStars(path).collect()
+    assert(got.length == 201)
+    assert(got.forall(_.getLong(1) == 0L),
+      "every node of the path must land in component 0")
+  }
+
+  test("star-contraction CC on the real d04 pair graph equals min-label CC") {
+    val pairs = operators.Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b")
+    val stars = operators.Dedup.connectedComponentsStars(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val prop = operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(stars.nonEmpty)
+    assert(stars == prop)
+  }
+
   test("exact dedup counts are consistent") {
     val r = SparkEntry.queries("d01_dedup_exact")(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
