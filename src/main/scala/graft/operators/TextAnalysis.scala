@@ -399,7 +399,49 @@ object TextAnalysis {
         ($"n_boiler".cast("double") / $"n_grams" <= 0.1).as("keep_flag"))
   }
 
+  /** t10: per-document salient terms — the TF-IDF keyword-extraction
+    * shape (term frequency per doc, document frequency across the
+    * corpus, top-k per doc). Ranking is by (tf DESC, df ASC, term ASC):
+    * integer-exact and bit-reproducible across engines, where the
+    * canonical tf·ln(N/df) double score is NOT — Java's Math.log and
+    * DuckDB's libm ln can disagree in the last ulp, and a hashed
+    * comparator turns that into a coin flip. The float score is a
+    * trivial per-row epilogue if a consumer wants it; the RANKING is
+    * what the operator is for.
+    *
+    * 100 TB: tf is one shuffle on (doc_id, term) with map-side combine;
+    * df is a vocabulary-sized re-aggregation of tf (NOT a second corpus
+    * scan); the tf⋈df join shuffles on term (vocab can be billions of
+    * rows at corpus scale — never broadcast it); the per-doc top-k is a
+    * rank window that plans as WindowGroupLimit (bounded heap per key,
+    * partial before the shuffle — asserted in PlanSpec). */
+  val t10SalientTerms: Q = Q(
+    "t10_salient_terms",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (SELECT doc_id, term, tf, df,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tf DESC, df ASC, term ASC) AS rk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df
+      |FROM ranked WHERE rk <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy($"tf".desc, $"df".asc, $"term".asc)).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df")
+  }
+
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
     t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub,
-    t08Decontaminate, t09Boilerplate)
+    t08Decontaminate, t09Boilerplate, t10SalientTerms)
 }

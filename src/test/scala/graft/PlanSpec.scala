@@ -67,6 +67,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part list not broadcast:\n$p")
   }
 
+  test("t10: per-doc top-k terms plans a WindowGroupLimit bounded heap") {
+    val p = plan("t10_salient_terms")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+  }
+
   test("q28: IN-subquery plans as broadcast semi join") {
     val p = plan("q28_in_subquery")
     assert(p.contains("LeftSemi"))
