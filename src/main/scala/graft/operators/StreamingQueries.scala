@@ -125,6 +125,36 @@ object StreamingQueries {
     Streams.segmentCounts(Tables.events(s, d), Tables.customer(s, d))
   }
 
+  /** st08: batch twin of the stream-stream LEFT OUTER interval join —
+    * per-user view counts with how many views went unattributed (the
+    * null-padded state-timeout rows) and the exact-decimal attributed
+    * value. */
+  val st08OuterJoin: Q = Q(
+    "st08_outer_stream_join",
+    """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unattributed,
+      |  CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS attr_value
+      |FROM v LEFT JOIN p ON v.user_id = p_user
+      |  AND purchase_ts >= view_ts
+      |  AND purchase_ts < view_ts + INTERVAL 30 MINUTE
+      |GROUP BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Streams.viewPurchaseAttributionOuter(
+      Tables.events(s, d), Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"purchase_ts".isNull, 1L).otherwise(0L))
+          .as("n_unattributed"),
+        sum(coalesce($"value", lit(0.0)).cast("decimal(18,6)"))
+          .cast("double").as("attr_value"))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
-    st05Stateful, st06StreamJoin, st07StreamStatic)
+    st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin)
 }

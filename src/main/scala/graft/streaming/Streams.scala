@@ -180,6 +180,36 @@ object Streams {
         $"purchase_ts", $"value")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every view row is emitted
+    * — joined to each purchase that followed it within 30 minutes, or
+    * null-padded once both watermarks pass the join window and the
+    * engine can PROVE no match will arrive. The null-padded rows are
+    * state-timeout output (they emit on watermark advance, not on
+    * data), which is what makes outer stream-stream joins strictly
+    * harder than inner ones and why the time-bound join condition is
+    * mandatory here, not just advisable: without it the view state
+    * could never be declared match-free and freed. Works identically
+    * on batch inputs (plain left outer join — the oracle twin). */
+  def viewPurchaseAttributionOuter(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val s = views.sparkSession
+    import s.implicits._
+    val v = views.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"value", $"event_id".as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" < $"view_ts" + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select($"user_id", $"view_id", $"purchase_id", $"view_ts",
+        $"purchase_ts", $"value")
+  }
+
   /** Stream-static join: events enriched with the (static) customer
     * dimension, then windowed per market segment. The static side is
     * stateless — Spark re-plans it per micro-batch (picking up file

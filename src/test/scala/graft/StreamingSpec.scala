@@ -155,6 +155,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join equals batch twin incl. null-padded rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    val q = streaming.Streams
+      .viewPurchaseAttributionOuter(vMem.toDF(), pMem.toDF())
+      .writeStream.format("memory").queryName("ssouter_out")
+      .outputMode("append").start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { c =>
+        vMem.addData(c); pMem.addData(c)
+        q.processAllAvailable()
+      }
+      // Null-padded rows emit on WATERMARK advance, not on data. The
+      // watermark nodes sit AFTER the event_type filters, so a
+      // "__sentinel"-typed row would be dropped before ever advancing
+      // them — the sentinels must survive as view/purchase rows
+      // (user -1, filtered from the output below). Two rounds: the
+      // first advances the watermark past every join window, the
+      // second lets the join evict (and null-emit) match-free views.
+      Seq(0L, 36L * 3600 * 1000).foreach { bump =>
+        val ts = new Timestamp(sentinel.ts.getTime + bump)
+        vMem.addData(Seq(sentinel.copy(event_type = "view", ts = ts)))
+        pMem.addData(Seq(sentinel.copy(event_type = "purchase", ts = ts)))
+        q.processAllAvailable()
+      }
+      val got = spark.table("ssouter_out").collect().toSeq
+        .filter(_.getLong(1) != -1L) // the sentinel views themselves
+      val want = streaming.Streams.viewPurchaseAttributionOuter(
+        sources.Tables.events(spark, sf),
+        sources.Tables.events(spark, sf)).collect().toSeq
+      assert(want.exists(_.isNullAt(2)),
+        "fixture must contain unattributed views for the outer case")
+      assert(canon(got) == canon(want))
+    } finally q.stop()
+  }
+
   test("dedup state is evicted once the watermark passes (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
