@@ -311,6 +311,104 @@ object Similarity {
         round($"scale", 6).as("scale"), $"max_err_e8")
   }
 
+  /** s06: distributed k-means (Lloyd) over the embedding corpus — the
+    * TRAINING side of the coarse quantizer s04 consumes (s04's
+    * every-100th "centroids" stand in for exactly this output).
+    *
+    * Deterministic end to end, no driver-side math: init picks the k
+    * vectors with the smallest xxhash64(vec_id) (data-derived,
+    * seed-stable); each Lloyd round is (1) a broadcast of the k-row
+    * centroid table against the corpus — squared-L2 via the precomputed
+    * point norm and one dot product per (point, centroid), argmin by
+    * row_number — and (2) a centroid update by posexplode to
+    * (cluster, dim) cells, partial-aggregated map-side, reassembled
+    * with array_sort∘collect_list over ≤ k·dims rows. Empty clusters
+    * carry their previous centroid forward. Centroids are
+    * localCheckpointed per round (k rows); the corpus is never
+    * materialized. At 100 TB each round is two linear passes — the
+    * standard scalable k-means shape (k-means∥ init would replace the
+    * hash-min seed, same round structure).
+    *
+    * All distances in full double precision (HOF dot — linear here, k
+    * products per point, not the N² pair case the FloatVecDot kernel
+    * exists for). Output is the bounds-verdict pattern (q35a): scalars
+    * the oracle can pin — corpus size and the Lloyd invariant that
+    * within-cluster SSE is non-increasing over rounds (exact in Lloyd;
+    * epsilon-guarded against last-ulp summation jitter at convergence).
+    * SimilaritySpec asserts the sharper facts: k clusters survive,
+    * assignments are stable across independent builds, SSE decreases
+    * strictly on round 1. */
+  /** Lloyd k-means internals: returns (final assignment with columns
+    * (vec_id, c_id, d2), per-round SSE 1-row frames). See [[s06Kmeans]]
+    * for the design rationale; exposed so SimilaritySpec can assert the
+    * sharper invariants the bounds-verdict output can't carry. */
+  def kmeans(s: SparkSession, d: String, k: Int = 8, rounds: Int = 3)
+      : (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    val dvec = transform($"embedding", x => x.cast("double"))
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+    val pts = Tables.embeddings(s, d)
+      .select($"vec_id", dvec.as("v"))
+      .withColumn("n2", ddot($"v", $"v"))
+
+    var cents = pts
+      .withColumn("hrk", row_number().over(
+        Window.orderBy(xxhash64($"vec_id"), $"vec_id")))
+      .filter($"hrk" <= k)
+      .select($"hrk".as("c_id"), $"v".as("c_vec"))
+      .withColumn("c_n2", ddot($"c_vec", $"c_vec"))
+      .localCheckpoint()
+
+    def assign(c: DataFrame): DataFrame = pts
+      .crossJoin(broadcast(c))
+      .withColumn("d2", $"n2" - lit(2.0) * ddot($"v", $"c_vec") + $"c_n2")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d2".asc, $"c_id".asc)))
+      .filter($"rk" === 1)
+
+    val sses = collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val a = assign(cents)
+      sses += a.agg(sum($"d2").as("sse"))
+      val updated = a
+        .select($"c_id", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"c_id", $"dim")
+        .agg((sum($"x") / count($"x")).as("m"))
+        .groupBy($"c_id")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pairs"))
+        .select($"c_id".as("u_id"),
+          expr("transform(pairs, p -> p.m)").as("u_vec"))
+      cents = cents
+        .join(updated, $"c_id" === $"u_id", "left")
+        .select($"c_id", coalesce($"u_vec", $"c_vec").as("c_vec"))
+        .withColumn("c_n2", ddot($"c_vec", $"c_vec"))
+        .localCheckpoint()
+    }
+    (assign(cents).select($"vec_id", $"c_id", $"d2"), sses.toSeq)
+  }
+
+  val s06Kmeans: Q = Q(
+    "s06_kmeans",
+    """SELECT (SELECT count(*) FROM embeddings) AS n_points,
+      |  true AS all_assigned, true AS sse_monotone,
+      |  true AS sse_positive""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (finalAssign, sses) = kmeans(s, d)
+    val Seq(s1, s2, s3) = sses.map(df => df.select($"sse".as("v")))
+    finalAssign.agg(count(lit(1)).as("n_assigned"))
+      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n_points")))
+      .crossJoin(broadcast(s1.select($"v".as("sse1"))))
+      .crossJoin(broadcast(s2.select($"v".as("sse2"))))
+      .crossJoin(broadcast(s3.select($"v".as("sse3"))))
+      .select($"n_points",
+        ($"n_assigned" === $"n_points").as("all_assigned"),
+        ($"sse2" <= $"sse1" * 1.000001 && $"sse3" <= $"sse2" * 1.000001)
+          .as("sse_monotone"),
+        ($"sse3" > 0.0).as("sse_positive"))
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
-    s05Quantize)
+    s05Quantize, s06Kmeans)
 }

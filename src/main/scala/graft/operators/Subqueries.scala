@@ -97,6 +97,43 @@ object Subqueries {
     }
   }
 
+  /** q59 (TPC-H Q2 shape): for each part of a size family, the
+    * supplier(s) with the MINIMUM account balance among that part's
+    * actual suppliers — a correlated scalar MIN whose correlation runs
+    * through a derived part↔supplier bridge (DISTINCT lineitem pairs,
+    * standing in for partsupp). The DSL builds the decorrelated form as
+    * a single pass: window min over the bridge⋈supplier relation
+    * partitioned by part (partition size = suppliers-per-part, bounded)
+    * instead of re-aggregating and re-joining the bridge. The equality
+    * compares RAW column doubles (no arithmetic) — identical bits in
+    * both engines. */
+  val q59MinCostSupplier: Q = Q(
+    "q59_min_cost_supplier",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_partkey, s_suppkey, s_name, s_acctbal
+      |FROM part
+      |JOIN ps ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_size = 10
+      |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+      |                   FROM ps ps2 JOIN supplier s2
+      |                     ON ps2.l_suppkey = s2.s_suppkey
+      |                   WHERE ps2.l_partkey = p_partkey)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val bridge = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_partkey")
+      bridge
+        .join(Tables.part(s, d).filter($"p_size" === 10),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .withColumn("mn", min($"s_acctbal").over(w))
+        .filter($"s_acctbal" === $"mn")
+        .select($"p_partkey", $"s_suppkey", $"s_name", $"s_acctbal")
+  }
+
   val all: Seq[Q] = Seq(q27ScalarSubquery, q28InSubquery, q29CorrelatedAgg,
-    q52NotInNulls)
+    q52NotInNulls, q59MinCostSupplier)
 }

@@ -73,4 +73,19 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(sim - 0.5) < 1e-12)
   }
+
+  test("k-means: k clusters survive, SSE drops, assignments reproducible") {
+    val (assign, sses) = operators.Similarity.kmeans(spark, sf)
+    val rows = assign.collect()
+    val byCluster = rows.groupBy(_.getInt(1))
+    assert(byCluster.keySet.size == 8,
+      s"expected 8 live clusters, got ${byCluster.keySet}")
+    val Seq(s1, s2, s3) = sses.map(_.collect()(0).getDouble(0))
+    assert(s2 < s1, s"round-1 SSE must strictly drop: $s1 -> $s2")
+    assert(s3 <= s2 * 1.000001, s"SSE must be non-increasing: $s2 -> $s3")
+    // deterministic: an independent build lands every point identically
+    val again = operators.Similarity.kmeans(spark, sf)._1.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
+  }
 }
