@@ -110,6 +110,42 @@ object Formats {
       .agg(count(lit(1)).as("n"), min($"value").as("first_line"))
   }
 
+  /** f07: parquet schema evolution — two writer generations under one
+    * table path (generation 2 adds a column), read back with
+    * `mergeSchema`: the union schema applies, old files surface NULL
+    * for the added column (the reference's ALTER TABLE ADD COLUMNS +
+    * schema-on-read contract). The oracle reproduces the same union
+    * from the source table. Footer merging is distributed (one task
+    * per footer) — safe at 100 TB file counts; production would pin
+    * the merged schema in the catalog instead of re-merging per read. */
+  val f07SchemaEvolution: Q = Q(
+    "f07_schema_evolution",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CASE WHEN has_priority THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_priority
+      |FROM (
+      |  SELECT o_orderstatus, false AS has_priority FROM orders
+      |  WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, true AS has_priority FROM orders
+      |  WHERE o_orderkey % 2 = 1)
+      |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dest = tmp(d, "evolve")
+    val o = Tables.orders(s, d)
+    o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_orderstatus")
+      .write.mode("overwrite").parquet(dest)
+    o.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      .write.mode("append").parquet(dest)
+    s.read.option("mergeSchema", "true").parquet(dest)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderpriority".isNotNull, 1L).otherwise(0L))
+          .as("n_with_priority"))
+  }
+
   val all: Seq[Q] = Seq(f01Csv, f02Json, f03Orc, f04BinaryFile, f05Text,
-    f06ParquetCodecs)
+    f06ParquetCodecs, f07SchemaEvolution)
 }
