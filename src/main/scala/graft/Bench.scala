@@ -59,7 +59,10 @@ object Bench {
     // warmup: touch every fixture table + one agg to JIT the scan path
     run("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // optional args: restrict to the named queries (bench iteration aid)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.contains(n))
+    val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -326,9 +326,6 @@ object Dedup {
     val s = pairs.sparkSession
     import s.implicits._
     val Seq(ca, cb) = pairs.columns.take(2).toSeq
-    val nodes = pairs.select(col(ca).cast("long").as("n"))
-      .union(pairs.select(col(cb).cast("long").as("n"))).distinct()
-      .localCheckpoint()
 
     // large-star: for each u, attach neighbors v > u to m = min(Γ(u)∪{u})
     def largeStar(e: DataFrame): DataFrame = {
@@ -355,11 +352,19 @@ object Dedup {
     var edges = pairs
       .select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
+    // derive the node universe from the CHECKPOINTED edges — deriving it
+    // from `pairs` would re-run the (possibly expensive) upstream pair
+    // computation a second time
+    val nodes = edges.select($"u".as("n"))
+      .union(edges.select($"v".as("n"))).distinct().localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // both sides are distinct sets: equal counts + one-way inclusion
+      // is full set equality at half the except() cost
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
       edges = next
       iter += 1
     }
