@@ -370,7 +370,9 @@ object Similarity {
 
     val sses = collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
-      val a = assign(cents)
+      // materialize the round's assignment once: both the SSE aggregate
+      // and the centroid update read it (on a cluster: persist(DISK))
+      val a = assign(cents).localCheckpoint()
       sses += a.agg(sum($"d2").as("sse"))
       val updated = a
         .select($"c_id", posexplode($"v").as(Seq("dim", "x")))
