@@ -93,5 +93,50 @@ object Splits {
         round($"n_kept".cast("double") / $"n_orig", 6).as("achieved_rate"))
   }
 
-  val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix)
+  /** p03: balanced shard packing — assign documents to 16 training
+    * shards so per-shard token totals are even: order by token count
+    * DESC (ties by doc_id) and deal round-robin, the distributed
+    * approximation of LPT bin packing (true LPT is inherently
+    * sequential; descending round-robin keeps the imbalance within the
+    * largest single document). Fully deterministic → fully oracled,
+    * including the exact max-min token imbalance.
+    *
+    * 100 TB: the global sort ranks only (doc_id, n_tokens) — a narrow
+    * doc-count-sized relation, range-partitioned by the sort, NOT the
+    * corpus text; the shard assignment then joins back by doc_id if the
+    * text is needed. For corpora where even that rank is too hot,
+    * the salted-striping fallback (hash(doc_id) % shards) trades the
+    * balance guarantee for zero coordination. */
+  val p03ShardPack: Q = Q(
+    "p03_shard_pack",
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      |      FROM t),
+      |s AS (SELECT CAST((rn - 1) % 16 AS BIGINT) AS shard_id,
+      |        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT)
+      |          AS shard_tokens
+      |      FROM r GROUP BY 1)
+      |SELECT shard_id, n_docs, shard_tokens,
+      |  CAST(max(shard_tokens) OVER () - min(shard_tokens) OVER ()
+      |    AS BIGINT) AS max_imbalance
+      |FROM s""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_tokens".desc, $"doc_id")
+    val shards = Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy((($"rn" - 1) % 16).cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("shard_tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    shards.withColumn("max_imbalance",
+      (max($"shard_tokens").over(wAll) - min($"shard_tokens").over(wAll))
+        .cast("long"))
+  }
+
+  val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack)
 }

@@ -361,7 +361,46 @@ object TpchJoins {
         Exact.dsum($"c_acctbal").as("totacctbal"))
   }
 
+  /** Q11 shape: value concentration — parts whose lineitem inventory
+    * value exceeds 1.5× the MEAN per-part value (mean-relative, so the
+    * predicate stays meaningful at every scale factor, unlike Q11's
+    * fixed global fraction whose selectivity collapses as |parts|
+    * grows). The oracle keeps the scalar-subquery-over-CTE text; the
+    * DSL aggregates per part ONCE and takes the global threshold as a
+    * window aggregate over the parts-sized relation (same
+    * single-fact-scan rationale as q55 — the twice-referenced CTE would
+    * scan lineitem twice). All sums in decimal space; the threshold is
+    * derived from the exact decimal by identical double ops in both
+    * engines. */
+  val q61ValueConcentration: Q = Q(
+    "q61_value_concentration",
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_quantity * p_retailprice AS DECIMAL(18,6))) AS v
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+      |FROM pv
+      |WHERE CAST(v AS DOUBLE) >
+      |  (SELECT CAST(sum(v) AS DOUBLE) / count(*) * 1.5 FROM pv)"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val pv = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey")
+      .agg(Exact.dsumDec($"l_quantity" * $"p_retailprice").as("v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    pv
+      .withColumn("thr",
+        sum($"v").over(wAll).cast("double")
+          / count(lit(1)).over(wAll) * 1.5)
+      .filter($"v".cast("double") > $"thr")
+      .select($"l_partkey".as("p_partkey"),
+        $"v".cast("double").as("part_value"))
+  }
+
   val all: Seq[Q] = Seq(q45Profit, q46LargeOrders, q47WaitingSupplier,
     q49NullSafeJoin, q53VolumeShipping, q54MarketShare, q55TopSupplier,
-    q56SmallQtyRevenue, q57ExcessSuppliers, q58IdleCustomers)
+    q56SmallQtyRevenue, q57ExcessSuppliers, q58IdleCustomers,
+    q61ValueConcentration)
 }
