@@ -32,7 +32,7 @@ object AsofJoin {
     * `right.ts <= left.ts` on the same key. Right must be unique per
     * (key, ts) — pre-aggregate it otherwise. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String, outer: Boolean = false): DataFrame = {
     val s = left.sparkSession
     import s.implicits._
     val rightPayloadCols = right.columns.filter(c => c != key && c != rightTs)
@@ -51,7 +51,8 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_carried", last($"_rpay", ignoreNulls = true).over(w))
-      .filter($"_side" === 1 && $"_carried".isNotNull)
+      .filter($"_side" === 1 &&
+        (if (outer) lit(true) else $"_carried".isNotNull))
       .select(col("_lpay.*") +: Seq(col("_carried")): _*)
   }
 
@@ -87,5 +88,47 @@ object AsofJoin {
           $"_carried.last_orderkey".as("last_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(a01EventOrderAsof)
+  /** a02: LEFT OUTER as-of join with a match TOLERANCE — the pandas
+    * `merge_asof(tolerance=...)` contract: every left row survives, and
+    * a carried match older than 30 days is nulled out (stale quotes
+    * must not attribute). The tolerance is a post-carry null-out — the
+    * shuffle/sort cost is identical to a01's inner form; only the final
+    * projection changes. Oracle: DuckDB ASOF LEFT JOIN + the same
+    * conditional null-out. */
+  val a02AsofTolerance: Q = Q(
+    "a02_asof_tolerance",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    max(o_orderkey) AS last_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |a AS (SELECT l.event_id, l.user_id, l.ts,
+      |        r.o_orderdate, r.last_orderkey
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate)
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN ts <= o_orderdate + INTERVAL 30 DAY
+      |       THEN o_orderdate END AS asof_orderdate,
+      |  CASE WHEN ts <= o_orderdate + INTERVAL 30 DAY
+      |       THEN last_orderkey END AS last_orderkey
+      |FROM a""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rightUnique = Tables.orders(s, d)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("last_orderkey"))
+      .select($"o_custkey".as("user_id"), $"o_orderdate", $"last_orderkey")
+    val left = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val fresh = $"_carried".isNotNull &&
+      $"ts" <= $"_carried.o_orderdate" + expr("INTERVAL 30 DAYS")
+    asofJoin(left, rightUnique, key = "user_id", leftTs = "ts",
+      rightTs = "o_orderdate", outer = true)
+      .select($"event_id", $"user_id", $"ts",
+        when(fresh, $"_carried.o_orderdate").as("asof_orderdate"),
+        when(fresh, $"_carried.last_orderkey").as("last_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(a01EventOrderAsof, a02AsofTolerance)
 }

@@ -150,8 +150,40 @@ object Windows {
         last_value($"s_acctbal").over(w).as("nation_max"))
   }
 
+  /** q62: time-INTERVAL range frame — 30-day trailing order count and
+    * exact-decimal spend per customer. The SQL text uses the standard
+    * `RANGE BETWEEN INTERVAL 30 DAY PRECEDING` (a WINDOW clause both
+    * engines parse); the DSL expresses the identical frame as
+    * rangeBetween over the epoch-seconds cast, Spark's canonical form
+    * for interval frames. RANGE includes order-date peers in both
+    * engines, so ties agree. Frame sums stay in decimal space →
+    * bit-identical trailing spend. */
+  val q62IntervalFrame: Q = Q(
+    "q62_interval_frame",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  count(*) OVER w AS n_trailing,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |    AS trailing_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+      |               AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    // TIMESTAMP_NTZ has no direct long cast; go via TIMESTAMP (session
+    // tz is pinned UTC in GraftSession, so the epoch mapping is fixed)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        count(lit(1)).over(w).as("n_trailing"),
+        sum($"o_totalprice".cast("decimal(18,6)")).over(w)
+          .cast("double").as("trailing_spend"))
+  }
+
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
-    q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast)
+    q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
+    q62IntervalFrame)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory
