@@ -181,6 +181,40 @@ object Analytics {
       count(lit(1)).as("n"))
   }
 
+  /** q64: max_by / min_by (argmax aggregates). Neither engine supports
+    * a composite ordering argument, and a bare `max_by(key, price)` is
+    * nondeterministic under price ties — so the ordering key is a
+    * fixed-width STRING composite (price*100 zero-padded ++ orderkey
+    * zero-padded): totally ordered, tie-free (orderkey is unique), and
+    * compared identically by both engines. price*100 is rounded before
+    * the integer cast — the 2-dp doubles sit a hair off the integer
+    * grid and a bare cast truncation would be a coin flip. */
+  val q64ArgMinMax: Q = Q(
+    "q64_arg_min_max",
+    """WITH o AS (SELECT o_orderpriority, o_orderkey,
+      |  lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR(12)),
+      |       12, '0')
+      |    || lpad(CAST(o_orderkey AS VARCHAR(12)), 12, '0') AS ck
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  max_by(o_orderkey, ck) AS priciest_order,
+      |  min_by(o_orderkey, ck) AS cheapest_order,
+      |  count(*) AS n
+      |FROM o GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ck = concat(
+      lpad(round($"o_totalprice" * 100).cast("long").cast("string"),
+        12, "0"),
+      lpad($"o_orderkey".cast("string"), 12, "0"))
+    Tables.orders(s, d)
+      .select($"o_orderpriority", $"o_orderkey", ck.as("ck"))
+      .groupBy($"o_orderpriority")
+      .agg(max_by($"o_orderkey", $"ck").as("priciest_order"),
+        min_by($"o_orderkey", $"ck").as("cheapest_order"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
-    q37Collect, q38MinMax, q12aApproxDistinct, q12bSketchRollup)
+    q37Collect, q38MinMax, q12aApproxDistinct, q12bSketchRollup,
+    q64ArgMinMax)
 }

@@ -306,8 +306,30 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** q63: explicit NULLS FIRST ordering through a top-k. The engines'
+    * DEFAULTS disagree (Spark sorts nulls first on ASC, DuckDB last),
+    * so any ORDER BY over a nullable key silently diverges unless the
+    * placement is pinned — this query pins it (and the oracle text
+    * carries the same pin), proving the engine honors the modifier
+    * through the TakeOrderedAndProject path. */
+  val q63NullsOrdering: Q = Q(
+    "q63_nulls_ordering",
+    """SELECT o_orderkey, pr FROM (
+      |  SELECT o_orderkey, nullif(o_orderpriority, '3-URGENT') AS pr
+      |  FROM orders)
+      |ORDER BY pr ASC NULLS FIRST, o_orderkey LIMIT 50""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          nullif($"o_orderpriority", lit("3-URGENT")).as("pr"))
+        .orderBy($"pr".asc_nulls_first, $"o_orderkey")
+        .limit(50)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03TopkOrders, q04ShippingPriority,
     q05LocalSupplierVolume, q06ForecastRevenue, q07CustomerOrders,
-    q08AntiJoin, q09SemiJoin, q10FullOuter, q11CrossJoin, q12CountDistinct)
+    q08AntiJoin, q09SemiJoin, q10FullOuter, q11CrossJoin, q12CountDistinct,
+    q63NullsOrdering)
 }

@@ -38,7 +38,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q47_waiting_supplier", "q53_volume_shipping", "q54_market_share",
     "q55_top_supplier", "q56_small_qty_revenue", "q57_excess_suppliers",
     "q58_idle_customers", "q59_min_cost_supplier", "q61_value_concentration",
-    "q62_interval_frame", "st05_stateful_totals", "w01_smb_join")
+    "q62_interval_frame", "q63_nulls_ordering", "q64_arg_min_max",
+    "st05_stateful_totals", "w01_smb_join")
 
   dualDialect.foreach { n =>
     test(s"$n: SQL text == DSL builder") {
