@@ -411,6 +411,41 @@ object Dedup {
     labels
   }
 
+  /** d07: SEMANTIC dedup (SemDeDup shape: Abbas et al. 2023) — embedding
+    * near-duplicates found by all-pairs cosine WITHIN k-means clusters
+    * only. The cluster assignment ([[Similarity.kmeans]]) bounds the
+    * quadratic term by the largest cluster instead of the corpus: at
+    * 100 TB with k sized so clusters hold ~10⁵ vectors, the pair work
+    * is Σ|cᵢ|² ≪ N², and each cluster's block self-join is an
+    * independent shuffle partition. s03's corpus-wide all-pairs is the
+    * ground truth this is recall-tested against in DedupSpec (a pair is
+    * only missable when k-means separates it — the SemDeDup trade-off).
+    *
+    * Rows-only for the driver (the assignment is not SQL-expressible);
+    * the spec pins the sharper facts: every emitted pair meets the
+    * threshold, appears in s03's ground truth, and shares a cluster. */
+  val d07SemanticDedup: Q = Q.noOracle("d07_semantic_dedup") { (s, d) =>
+    import s.implicits._
+    val threshold = 0.42
+    val (assign, _) = Similarity.kmeans(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+      .join(assign.select($"vec_id".as("a_id"), $"c_id"),
+        $"vec_id" === $"a_id")
+      .select($"vec_id", $"embedding", $"nrm", $"c_id")
+    val left = emb.select($"c_id".as("c1"), $"vec_id".as("doc_a"),
+      $"embedding".as("va"), $"nrm".as("na"))
+    val right = emb.select($"c_id".as("c2"), $"vec_id".as("doc_b"),
+      $"embedding".as("vb"), $"nrm".as("nb"))
+    left.join(right, $"c1" === $"c2" && $"doc_a" < $"doc_b")
+      .withColumn("sim",
+        Similarity.dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"sim" >= threshold)
+      .select($"doc_a", $"doc_b", $"c1".as("cluster_id"),
+        round($"sim", 6).as("sim"))
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
-    d04NgramJaccard, d05Simhash, d06DupClusters)
+    d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup)
 }

@@ -98,6 +98,30 @@ class DedupSpec extends AnyFunSuite {
     assert(stars == prop)
   }
 
+  test("semantic dedup pairs are threshold-true, cluster-local, in ground truth") {
+    val truth = SparkEntry.queries("s03_cosine_dedup")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assign = operators.Similarity.kmeans(spark, sf)._1.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SparkEntry.queries("d07_semantic_dedup")(spark, sf).collect()
+    assert(got.nonEmpty, "fixture should contain semantic near-dups")
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) >= 0.42)
+      assert(assign(a) == assign(b), s"pair ($a,$b) crosses clusters")
+      assert(truth.contains((a, b)),
+        s"pair ($a,$b) not in the all-pairs ground truth")
+    }
+    // the SemDeDup trade-off: only cluster-split pairs may be missed
+    val missed = truth.filterNot(p => got.exists(r =>
+      r.getLong(0) == p._1 && r.getLong(1) == p._2))
+    missed.foreach { case (a, b) =>
+      assert(assign(a) != assign(b),
+        s"pair ($a,$b) shares a cluster but was not emitted")
+    }
+  }
+
   test("exact dedup counts are consistent") {
     val r = SparkEntry.queries("d01_dedup_exact")(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
