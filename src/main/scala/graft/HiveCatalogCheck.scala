@@ -159,6 +159,23 @@ object HiveCatalogCheck {
         .filter($"n_regionkey" === 99).count() > 0)
     }
 
+    check("ALTER TABLE ADD COLUMNS: metastore schema evolves, old rows null") {
+      // catalog-side twin of f07's file-level mergeSchema: the schema
+      // of record lives in the metastore, old files surface NULL for
+      // the added column, new writes carry it.
+      spark.sql("DROP TABLE IF EXISTS graft_hcat.evolve_t")
+      spark.sql(
+        """CREATE TABLE graft_hcat.evolve_t (k BIGINT, v STRING)
+          |USING parquet""".stripMargin)
+      spark.sql("INSERT INTO graft_hcat.evolve_t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE graft_hcat.evolve_t ADD COLUMNS (extra BIGINT)")
+      spark.sql("INSERT INTO graft_hcat.evolve_t VALUES (3, 'c', 30)")
+      val t = spark.table("graft_hcat.evolve_t")
+      assert(t.columns.toSeq == Seq("k", "v", "extra"))
+      assert(t.filter($"extra".isNull).count() == 2)
+      assert(t.filter($"extra" === 30).count() == 1)
+    }
+
     check("metadata survives a catalog-session restart") {
       // a fresh SparkSession over the SAME Derby metastore must still
       // see every object — the property an in-memory catalog lacks.
