@@ -114,6 +114,23 @@ object Grouping {
     }
   }
 
+  /** q65: GROUP BY ALL / ORDER BY ALL — the modern shorthand both
+    * engines resolve to "group by every non-aggregate select item"
+    * (Spark 3.4+ / DuckDB). Run through spark.sql so the resolution
+    * itself is what's exercised; the DSL form would just be an
+    * ordinary groupBy. */
+  val q65GroupByAll: Q = {
+    val sql =
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+    Q("q65_group_by_all", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(q19Rollup, q20Cube, q21GroupingSets, q22Having,
-    q23Pivot, q51Unpivot)
+    q23Pivot, q51Unpivot, q65GroupByAll)
 }
