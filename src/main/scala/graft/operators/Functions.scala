@@ -179,6 +179,43 @@ object Functions {
         |LATERAL VIEW explode(cg) t AS b""".stripMargin)
   }
 
+
+  /** q66: the try_* error-safe family (try_cast / try_divide). The
+    * reference's semantics are SILENT-NULL on conversion failure and
+    * division by zero (non-ANSI Hive); Spark 4 defaults to ANSI
+    * (errors). try_* is the per-expression bridge: NULL-on-error under
+    * ANSI, identical to Hive's behavior, without globally disabling
+    * ANSI's overflow/cast safety. (FunctionSpec additionally pins that
+    * `spark.sql.ansi.enabled=false` reproduces the reference's bare
+    * CAST semantics when a user wants whole-session Hive compat.)
+    * Oracle: DuckDB TRY_CAST + an explicit zero-guarded division. */
+  val q66TryFuncs: Q = Q(
+    "q66_try_funcs",
+    """SELECT CAST(o_orderkey % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
+      |    AS BIGINT) AS n_valid_casts,
+      |  CAST(count(*) - count(TRY_CAST(o_orderpriority AS INT))
+      |    AS BIGINT) AS n_null_casts,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |    ELSE o_totalprice / (o_orderkey % 3) END AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS div_sum
+      |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_totalprice",
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("vc"),
+        expr("try_cast(o_orderpriority AS INT)").as("nc"),
+        try_divide($"o_totalprice",
+          when($"o_orderkey" % 3 === 0, lit(0))
+            .otherwise($"o_orderkey" % 3)).as("dv"))
+      .groupBy(($"o_orderkey" % 7).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"),
+        count($"vc").as("n_valid_casts"),
+        (count(lit(1)) - count($"nc")).as("n_null_casts"),
+        sum($"dv".cast("decimal(18,6)")).cast("double").as("div_sum"))
+  }
+
   val all: Seq[Q] = Seq(q39StringFuncs, q40DateFuncs, q41MathFuncs,
-    q42Conditionals, q43Hash, q44NgramsDocs, q44bContextNgrams)
+    q42Conditionals, q43Hash, q44NgramsDocs, q44bContextNgrams,
+    q66TryFuncs)
 }

@@ -299,4 +299,23 @@ class FunctionSpec extends AnyFunSuite {
     assert(one("CAST(interval_year_month('1-2') AS STRING)").toString
       .contains("1-2"))
   }
+
+  test("cast error semantics: ANSI default, hive-compat via ansi=false, try_cast") {
+    // The reference returns NULL for bad casts (non-ANSI Hive); Spark 4
+    // defaults to ANSI errors. Both behaviors must be reachable.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val r = spark
+        .sql("SELECT CAST('abc' AS INT) AS bad, CAST('42' AS INT) AS ok")
+        .collect()(0)
+      assert(r.isNullAt(0), "hive-compat mode must NULL a bad cast")
+      assert(r.getInt(1) == 42)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    // try_cast / try_divide: NULL-on-error regardless of ANSI setting
+    val t = spark.sql(
+      """SELECT TRY_CAST('abc' AS INT) AS c,
+        |  try_divide(10.0, 0) AS dz""".stripMargin).collect()(0)
+    assert(t.isNullAt(0) && t.isNullAt(1))
+  }
 }
