@@ -327,9 +327,31 @@ object Relational {
         .limit(50)
   }
 
+  /** q67: join-strategy hints — the reference's `/*+ MAPJOIN(t) */`
+    * surface (SURVEY.md §3.1 HiveQL hints) maps to Spark's BROADCAST /
+    * MERGE / SHUFFLE_HASH hints. The query FORCES the merge strategy on
+    * a join AQE would otherwise broadcast, proving the hint overrides
+    * the planner (PlanSpec asserts SortMergeJoin here and
+    * BroadcastHashJoin for the broadcast-hinted twin); the result is
+    * strategy-independent and carries a plain-SQL oracle. */
+  val q67JoinHints: Q = Q(
+    "q67_join_hints",
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d).hint("merge"),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        Exact.dsum($"s_acctbal").as("total_bal"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03TopkOrders, q04ShippingPriority,
     q05LocalSupplierVolume, q06ForecastRevenue, q07CustomerOrders,
     q08AntiJoin, q09SemiJoin, q10FullOuter, q11CrossJoin, q12CountDistinct,
-    q63NullsOrdering)
+    q63NullsOrdering, q67JoinHints)
 }

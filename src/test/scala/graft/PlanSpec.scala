@@ -72,6 +72,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
+  test("q67: join hints override the planner's strategy choice") {
+    register()
+    // the MERGE-hinted inventory query must NOT broadcast the tiny dim
+    val merged = plan("q67_join_hints")
+    assert(merged.contains("SortMergeJoin"), s"merge hint ignored:\n$merged")
+    // and the same join BROADCAST-hinted (Hive MAPJOIN) must hash-broadcast
+    val bcast = spark.sql(
+      """SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$bcast")
+  }
+
   test("q28: IN-subquery plans as broadcast semi join") {
     val p = plan("q28_in_subquery")
     assert(p.contains("LeftSemi"))

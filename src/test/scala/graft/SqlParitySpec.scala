@@ -39,6 +39,7 @@ class SqlParitySpec extends AnyFunSuite {
     "q55_top_supplier", "q56_small_qty_revenue", "q57_excess_suppliers",
     "q58_idle_customers", "q59_min_cost_supplier", "q61_value_concentration",
     "q62_interval_frame", "q63_nulls_ordering", "q64_arg_min_max",
+    "q67_join_hints",
     "st05_stateful_totals", "w01_smb_join")
 
   dualDialect.foreach { n =>
