@@ -134,6 +134,28 @@ object Subqueries {
         .select($"p_partkey", $"s_suppkey", $"s_name", $"s_acctbal")
   }
 
+  /** q68: LATERAL correlated subquery with ORDER BY + LIMIT — top-2
+    * suppliers per nation through the lateral-join surface. Spark's
+    * DecorrelateInnerQuery rewrites the per-row LIMIT into a
+    * partitioned row_number window + filter + one join — never a
+    * per-nation re-scan of supplier. (The window here does NOT get the
+    * WindowGroupLimit pushdown q13's direct rank-filter form gets —
+    * the decorrelation-inserted predicate shape isn't matched by that
+    * rule; q13 remains the bounded-heap path when topN-per-key is
+    * written directly.) Same text runs on both engines. */
+  val q68LateralJoin: Q = {
+    val sql =
+      """SELECT n_name, s_name, s_acctbal
+        |FROM nation,
+        |  LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |           WHERE s_nationkey = n_nationkey
+        |           ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t""".stripMargin
+    Q("q68_lateral_join", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(q27ScalarSubquery, q28InSubquery, q29CorrelatedAgg,
-    q52NotInNulls, q59MinCostSupplier)
+    q52NotInNulls, q59MinCostSupplier, q68LateralJoin)
 }
