@@ -176,6 +176,31 @@ object HiveCatalogCheck {
       assert(t.filter($"extra" === 30).count() == 1)
     }
 
+    check("existing Hive UDF/UDAF/UDTF classes load unchanged (§2.8)") {
+      // The reference's user extension surface is compiled Hive UDF
+      // classes; a migrating user's jars must keep working. Spark's
+      // HiveSessionCatalog wraps all three evaluator shapes natively —
+      // these are hive-exec's own classes, loaded by name exactly as
+      // `CREATE TEMPORARY FUNCTION f AS 'com.corp.MyUdf'` would.
+      spark.sql("""CREATE TEMPORARY FUNCTION hive_upper AS
+        |'org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper'"""
+        .stripMargin)
+      assert(spark.sql("SELECT hive_upper('graft')")
+        .collect()(0).getString(0) == "GRAFT")
+      spark.sql("""CREATE TEMPORARY FUNCTION hive_percentile AS
+        |'org.apache.hadoop.hive.ql.udf.UDAFPercentile'""".stripMargin)
+      val med = spark.sql(
+        """SELECT hive_percentile(CAST(o_orderkey AS BIGINT), 0.5)
+          |FROM graft_hcat.orders_t""".stripMargin).collect()(0).getDouble(0)
+      assert(med > 0, s"hive UDAF returned $med")
+      spark.sql("""CREATE TEMPORARY FUNCTION hive_explode AS
+        |'org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode'"""
+        .stripMargin)
+      val n = spark.sql(
+        "SELECT hive_explode(array(1, 2, 3))").count()
+      assert(n == 3, s"hive UDTF exploded $n rows")
+    }
+
     check("metadata survives a catalog-session restart") {
       // a fresh SparkSession over the SAME Derby metastore must still
       // see every object — the property an in-memory catalog lacks.
