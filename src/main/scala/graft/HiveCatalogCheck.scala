@@ -117,7 +117,7 @@ object HiveCatalogCheck {
           |WHERE o_totalprice > 300000""".stripMargin)
       val n = spark.table("graft_hcat.big_orders_v").count()
       assert(n > 0 && n < 1500)
-      assert(spark.catalog.getTable("graft_hcat", "big_orders_v")
+      assert(spark.catalog.getTable("graft_hcat.big_orders_v")
         .tableType == "VIEW")
     }
 

@@ -38,12 +38,12 @@ object AsofJoin {
     val rightPayloadCols = right.columns.filter(c => c != key && c != rightTs)
     val rightTagged = right.select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
-      struct(col(rightTs).as(rightTs) +:
-        rightPayloadCols.map(col): _*).as("_rpay"))
+      struct((col(rightTs).as(rightTs) +:
+        rightPayloadCols.toSeq.map(col)): _*).as("_rpay"))
     val leftTagged = left.select(
       col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
       lit(null).cast(rightTagged.schema("_rpay").dataType).as("_rpay"),
-      struct(left.columns.map(col): _*).as("_lpay"))
+      struct(left.columns.toSeq.map(col): _*).as("_lpay"))
     val unioned = rightTagged
       .withColumn("_lpay", lit(null).cast(leftTagged.schema("_lpay").dataType))
       .unionByName(leftTagged)
