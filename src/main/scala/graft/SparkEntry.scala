@@ -20,7 +20,8 @@ object SparkEntry {
       operators.StreamingQueries.all ++ operators.Formats.all ++
       operators.AsofJoin.all ++ operators.Script.all ++
       operators.Misc.all ++ operators.Pipeline.all ++
-      operators.TpchJoins.all ++ operators.WriterQueries.all ++
+      operators.TpchJoins.all ++ operators.TpchFull.all ++
+      operators.WriterQueries.all ++
       operators.RangeJoin.all ++ operators.ExportQueries.all ++
       operators.Splits.all
 
