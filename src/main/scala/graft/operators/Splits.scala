@@ -138,5 +138,38 @@ object Splits {
         .cast("long"))
   }
 
-  val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack)
+  /** p04: sliding-window document chunking — the standard
+    * fixed-context-length prep step (chunk of 100 words, stride 80 →
+    * 20-word overlap). Entirely map-side: split once, explode the
+    * start offsets, slice per start — no shuffle anywhere, fan-out
+    * bounded by ceil(len/stride) per document. The chunk md5 keys
+    * downstream chunk-level dedup (d01) without re-materializing text.
+    * Last chunk is allowed short (standard trainer behavior). */
+  val p04ChunkDocs: Q = Q(
+    "p04_chunk_docs",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents)
+      |SELECT doc_id,
+      |  start // 80 AS chunk_id,
+      |  len(list_slice(ws, start + 1, start + 100)) AS chunk_words,
+      |  md5(array_to_string(list_slice(ws, start + 1, start + 100), ' '))
+      |    AS chunk_hash
+      |FROM (SELECT doc_id, ws,
+      |        unnest(range(0, greatest(len(ws), 1), 80)) AS start
+      |      FROM d)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), greatest(size($"ws") - 1, lit(0)),
+          lit(80))).as("start"))
+      .select($"doc_id",
+        ($"start" / 80).cast("long").as("chunk_id"),
+        size(slice($"ws", $"start" + 1, lit(100))).as("chunk_words"),
+        md5(concat_ws(" ", slice($"ws", $"start" + 1, lit(100))))
+          .as("chunk_hash"))
+  }
+
+  val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
+    p04ChunkDocs)
 }

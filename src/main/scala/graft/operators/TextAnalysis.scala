@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -441,7 +442,66 @@ object TextAnalysis {
       .select($"doc_id", $"rk", $"term", $"tf", $"df")
   }
 
+  /** t11: repetition signals (the Gopher "repetition" filters that t06's
+    * length/ratio checks don't cover): duplicate-word fraction
+    * (1 - distinct/total) and the fraction of all bigrams taken by the
+    * single most frequent bigram — high values flag boilerplate-loops
+    * and template spam that survive per-line quality scores.
+    *
+    * 100 TB shape: everything partitions by doc_id — the lead() window,
+    * both group-bys, and the final join all hash on doc_id(-prefixed)
+    * keys, and per-doc cardinality is bounded by document length, so no
+    * key is ever skewed beyond one document's words. Divisions are
+    * int-exact doubles (identical in either engine). */
+  val t11Repetition: Q = Q(
+    "t11_repetition",
+    """WITH words AS (
+      |  SELECT doc_id, pos, w,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split(text, ' ')) AS w,
+      |          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |        FROM documents)),
+      |wstats AS (
+      |  SELECT doc_id, count(*) AS n_words,
+      |    count(DISTINCT w) AS n_distinct
+      |  FROM words GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, w || ' ' || nxt AS bigram, count(*) AS c
+      |  FROM words WHERE nxt IS NOT NULL GROUP BY doc_id, bigram),
+      |topbg AS (
+      |  SELECT doc_id, max(c) AS top_bigram_n,
+      |    CAST(sum(c) AS BIGINT) AS n_bigrams
+      |  FROM bg GROUP BY doc_id)
+      |SELECT ws.doc_id AS doc_id, n_words, n_distinct,
+      |  CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_words AS DOUBLE)
+      |    AS dup_word_frac,
+      |  top_bigram_n,
+      |  CAST(CAST(top_bigram_n AS DOUBLE) / n_bigrams AS DOUBLE)
+      |    AS top_bigram_frac
+      |FROM wstats ws JOIN topbg USING (doc_id)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val words = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("nxt", lead($"w", 1).over(w))
+    val wstats = words.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct($"w").as("n_distinct"))
+    val topbg = words.filter($"nxt".isNotNull)
+      .groupBy($"doc_id", concat_ws(" ", $"w", $"nxt").as("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
+    wstats.join(topbg, "doc_id")
+      .select($"doc_id", $"n_words", $"n_distinct",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_words")
+          .as("dup_word_frac"),
+        $"top_bigram_n",
+        ($"top_bigram_n".cast("double") / $"n_bigrams")
+          .as("top_bigram_frac"))
+  }
+
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
     t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub,
-    t08Decontaminate, t09Boilerplate, t10SalientTerms)
+    t08Decontaminate, t09Boilerplate, t10SalientTerms, t11Repetition)
 }

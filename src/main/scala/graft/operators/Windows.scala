@@ -181,9 +181,55 @@ object Windows {
           .cast("double").as("trailing_spend"))
   }
 
+  /** q76: batch sessionization (gaps-and-islands) — the classic
+    * lag-flag-then-running-sum pattern: a session break is a >30 min
+    * gap per user; the running sum of break flags numbers the
+    * sessions; one group-by rolls sessions up. The streaming twin is
+    * st03 (`session_window`); this is the batch/backfill formulation
+    * every training-data pipeline runs over historical event logs.
+    *
+    * 100 TB shape: both windows and the final group-by partition by
+    * user_id — ONE shuffle total (the windows share the partitioning,
+    * and the group-by key (user_id, sess_id) is a refinement of it, so
+    * Catalyst reuses the exchange). Per-user state is a sort, not a
+    * buffer-everything window (running frame is incremental). Order is
+    * pinned by (ts, event_id) so tied timestamps don't flap the
+    * session numbering between runs or engines. */
+  lazy val q76Sessionize: Q = Q(
+    "q76_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |  count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
+      |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("brk",
+        when(lag($"ts", 1).over(w).isNull ||
+          $"ts" - lag($"ts", 1).over(w) > expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"brk").over(run))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("sess_start"),
+        max($"ts").as("sess_end"), Exact.dsum($"value").as("sess_value"))
+  }
+
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
-    q62IntervalFrame)
+    q62IntervalFrame, q76Sessionize)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

@@ -239,4 +239,34 @@ class PlanSpec extends AnyFunSuite {
     val back = spark.read.parquet(dest)
     assert(back.count() == sources.Tables.orders(spark, sf).count())
   }
+
+  test("q69: correlated EXISTS plans as one semi join, no per-row subquery") {
+    val p = plan("q69_order_priority")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(!p.contains("Subquery"), s"subquery survived decorrelation:\n$p")
+  }
+
+  test("q75: part-side disjuncts are pushed below the join") {
+    // The brand/size components of the three OR blocks are extractable
+    // part-only predicates; Catalyst must filter the part scan before
+    // the join builds, not carry the whole disjunction above it.
+    val p = plan("q75_disjunctive_pred")
+    val scanFilter = p.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("p_brand"))
+    assert(scanFilter.nonEmpty, s"no pushed part filter:\n$p")
+  }
+
+  test("q76: sessionization runs in ONE shuffle (windows + rollup share it)") {
+    // Both windows hash on user_id and the (user_id, sess_id) group-by
+    // is a refinement of that partitioning, so a single exchange must
+    // feed the whole pipeline.
+    val p = plan("q76_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("p04: chunking is map-only (no exchange in the plan)") {
+    val p = plan("p04_chunk_docs")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
 }
