@@ -170,6 +170,52 @@ object Splits {
           .as("chunk_hash"))
   }
 
+  /** p05: deterministic weighted sampling without replacement —
+    * priority sampling (Duffield/Lund/Thorup): priority = w/u with u
+    * uniform from the content-independent doc hash; the top-k
+    * priorities are the sample. Longer documents (weight = n_chars)
+    * are proportionally more likely, yet the choice is a pure function
+    * of doc_id — reproducible on any cluster, any partitioning.
+    *
+    * Numeric portability (why not A-ES u^(1/w)): libm pow/ln differ in
+    * the last ulp across engines, which can flip near-tied ranks and
+    * change top-k MEMBERSHIP. Here u = (v + 0.5) / 2^24 with integer
+    * v from 6 md5 hex chars — v+0.5 is exact, the 2^24 divide is
+    * exact (power of two), and w/u is ONE correctly-rounded IEEE
+    * division — bit-identical everywhere, so the oracle can hash the
+    * priorities themselves.
+    *
+    * 100 TB shape: map-side key computation + TakeOrderedAndProject
+    * (per-partition bounded heaps, then a k-row merge on one reducer —
+    * the same plan as q03). The ':wrs' salt decorrelates the draw from
+    * p01's split and p02's mix decisions. */
+  val p05WeightedSample: Q = Q(
+    "p05_weighted_sample",
+    """WITH pri AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(n_chars AS DOUBLE) / (
+      |      ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':wrs'), 1, 1)) - 1) * 1048576
+      |      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':wrs'), 2, 1)) - 1) * 65536
+      |      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':wrs'), 3, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':wrs'), 4, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':wrs'), 5, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':wrs'), 6, 1)) - 1)
+      |      + 0.5) / 16777216.0) AS priority
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, priority
+      |FROM pri ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val v = conv(substring(md5(concat($"doc_id".cast("string"),
+        lit(":wrs"))), 1, 6), 16, 10).cast("double")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars",
+          ($"n_chars".cast("double") / ((v + 0.5) / 16777216.0))
+            .as("priority"))
+        .orderBy($"priority".desc, $"doc_id")
+        .limit(50)
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
-    p04ChunkDocs)
+    p04ChunkDocs, p05WeightedSample)
 }

@@ -227,9 +227,50 @@ object Windows {
         max($"ts").as("sess_end"), Exact.dsum($"value").as("sess_value"))
   }
 
+  /** q77: IGNORE NULLS window navigation (the reference's
+    * first_value/last_value/lag/lead null-skipping mode plus
+    * nth_value) — the gap-filling idiom: carry the last known
+    * non-null value forward per partition. Nulls are synthesized from
+    * open orders so the skip behavior is actually exercised; order is
+    * pinned by (o_orderdate, o_orderkey). Same one-shuffle shape as
+    * every per-customer window. */
+  lazy val q77IgnoreNulls: Q = Q(
+    "q77_ignore_nulls",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    CASE WHEN o_orderstatus = 'O' THEN NULL
+      |         ELSE o_totalprice END AS v
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |  lag(v IGNORE NULLS) OVER w AS prev_filled,
+      |  last_value(v IGNORE NULLS) OVER w AS fill_forward,
+      |  nth_value(v, 2 IGNORE NULLS) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_filled
+      |FROM t
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS UNBOUNDED PRECEDING)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("v",
+        when($"o_orderstatus" === "O", lit(null)).otherwise($"o_totalprice"))
+      .select($"o_orderkey", $"o_custkey",
+        lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_filled"),
+        last($"v", ignoreNulls = true).over(run).as("fill_forward"),
+        nth_value($"v", 2, ignoreNulls = true).over(full)
+          .as("second_filled"))
+  }
+
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
-    q62IntervalFrame, q76Sessionize)
+    q62IntervalFrame, q76Sessionize, q77IgnoreNulls)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

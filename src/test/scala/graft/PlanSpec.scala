@@ -269,4 +269,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("p04_chunk_docs")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
   }
+
+  test("p05: weighted sample plans a bounded top-k heap, not a full sort") {
+    val p = plan("p05_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded heap:\n$p")
+  }
 }
