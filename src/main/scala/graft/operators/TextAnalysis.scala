@@ -248,16 +248,35 @@ object TextAnalysis {
       |   AND 1 - CAST(n_types AS DOUBLE) / n_tokens <= 0.3) AS keep_flag
       |FROM a""".stripMargin) { (s, d) =>
     import s.implicits._
+    // Map-only formulation: the per-doc top-bigram count is a
+    // run-length maximum over the SORTED bigram array — sort + one
+    // linear aggregate() pass per row, no explode, no shuffle
+    // (PlanSpec pins the zero-Exchange plan). The explode+groupBy
+    // alternative shuffles |corpus|·(L-1) gram rows twice: measured
+    // 3.9 s vs 0.6 s at sf0.1, and at 100 TB the shuffle IS the cost.
+    // State is (prev gram, current run, max run); the null initial
+    // prev makes the first comparison fail into run=1 naturally.
     val t = toks($"text")
-    val bigrams = graft.functions.Grams.wordGrams(t, 2)
+    val topRun = graft.functions.Grams.bindArray(
+      array_sort(graft.functions.Grams.wordGrams(t, 2))) { sorted =>
+      aggregate(
+        sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("mx")),
+        (st, g) => {
+          val run = when(st.getField("prev") === g,
+            st.getField("run") + 1L).otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(st.getField("mx"), run).as("mx"))
+        },
+        st => st.getField("mx"))
+    }
     Tables.documents(s, d)
       .select($"doc_id", size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).as("n_types"),
-        explode(bigrams).as("bg"))
-      .groupBy($"doc_id", $"n_tokens", $"n_types", $"bg")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"n_tokens", $"n_types")
-      .agg(max($"c").as("top_bg"), sum($"c").as("n_bg"))
+        topRun.as("top_bg"),
+        (size(t) - 1).cast("long").as("n_bg"))
+      .filter($"n_bg" >= 1)
       .select($"doc_id", $"n_tokens",
         round($"top_bg".cast("double") / $"n_bg", 6).as("top_bigram_frac"),
         round(lit(1) - $"n_types".cast("double") / $"n_tokens", 6)
@@ -442,63 +461,64 @@ object TextAnalysis {
       .select($"doc_id", $"rk", $"term", $"tf", $"df")
   }
 
-  /** t11: repetition signals (the Gopher "repetition" filters that t06's
-    * length/ratio checks don't cover): duplicate-word fraction
-    * (1 - distinct/total) and the fraction of all bigrams taken by the
-    * single most frequent bigram — high values flag boilerplate-loops
-    * and template spam that survive per-line quality scores.
+  /** t11: char-weighted repetition signals — the Gopher repetition
+    * filters t06's count-based bigram metrics do NOT cover: the
+    * fraction of n-gram CHARACTER MASS sitting in duplicated 3-grams,
+    * and the character mass taken by the single most frequent 3-gram
+    * (Rae et al. 2021 §A1.1 measures repetition in characters, not
+    * occurrences, so long repeated phrases weigh more than short
+    * ones). Top gram ties break on the lexicographically smallest
+    * gram, so the answer is engine- and run-stable.
     *
-    * 100 TB shape: everything partitions by doc_id — the lead() window,
-    * both group-bys, and the final join all hash on doc_id(-prefixed)
-    * keys, and per-doc cardinality is bounded by document length, so no
-    * key is ever skewed beyond one document's words. Divisions are
-    * int-exact doubles (identical in either engine). */
+    * 100 TB shape: gram counting, the top-gram window and the final
+    * rollup all cluster on doc_id(-prefixed) keys; per-key cardinality
+    * is bounded by one document's length, so skew is impossible by
+    * construction. All arithmetic is integer-exact until two final
+    * divisions of identical doubles. */
   val t11Repetition: Q = Q(
     "t11_repetition",
-    """WITH words AS (
-      |  SELECT doc_id, pos, w,
-      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-      |  FROM (SELECT doc_id,
-      |          unnest(string_split(text, ' ')) AS w,
-      |          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |            FOR i IN range(1, len(t) - 1)]) AS g3
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
       |        FROM documents)),
-      |wstats AS (
-      |  SELECT doc_id, count(*) AS n_words,
-      |    count(DISTINCT w) AS n_distinct
-      |  FROM words GROUP BY doc_id),
-      |bg AS (
-      |  SELECT doc_id, w || ' ' || nxt AS bigram, count(*) AS c
-      |  FROM words WHERE nxt IS NOT NULL GROUP BY doc_id, bigram),
-      |topbg AS (
-      |  SELECT doc_id, max(c) AS top_bigram_n,
-      |    CAST(sum(c) AS BIGINT) AS n_bigrams
-      |  FROM bg GROUP BY doc_id)
-      |SELECT ws.doc_id AS doc_id, n_words, n_distinct,
-      |  CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_words AS DOUBLE)
-      |    AS dup_word_frac,
-      |  top_bigram_n,
-      |  CAST(CAST(top_bigram_n AS DOUBLE) / n_bigrams AS DOUBLE)
-      |    AS top_bigram_frac
-      |FROM wstats ws JOIN topbg USING (doc_id)""".stripMargin) { (s, d) =>
+      |c AS (
+      |  SELECT doc_id, g3, count(*) AS c,
+      |    CAST(length(g3) AS BIGINT) AS l
+      |  FROM g GROUP BY doc_id, g3)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_grams,
+      |  CAST(CAST(sum(CASE WHEN c > 1 THEN l * c ELSE 0 END) AS DOUBLE)
+      |    / sum(l * c) AS DOUBLE) AS dup_gram_char_frac,
+      |  CAST(CAST((min({'nc': -c, 'g3': g3, 'mass': l * c})).mass
+      |      AS DOUBLE)
+      |    / sum(l * c) AS DOUBLE) AS top_gram_char_frac
+      |FROM c GROUP BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val words = Tables.documents(s, d)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .withColumn("nxt", lead($"w", 1).over(w))
-    val wstats = words.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"), countDistinct($"w").as("n_distinct"))
-    val topbg = words.filter($"nxt".isNotNull)
-      .groupBy($"doc_id", concat_ws(" ", $"w", $"nxt").as("bigram"))
+    // The top gram is picked with min(struct(-count, gram, mass))
+    // instead of a row_number window: the struct-min is a plain
+    // aggregate (map-side combinable, partial+final split, no per-doc
+    // sort) and its lexicographic order gives exactly (count DESC,
+    // gram ASC). Both engines compare structs field-by-field with
+    // binary string order, so the tie-break is engine-stable. (A
+    // fully map-side run-length-over-sorted-array variant — t06's
+    // trick — was measured SLOWER here: Spark evaluates aggregate()
+    // lambdas interpreted, and an 8-field struct state per element
+    // costs more than the codegen'd explode+groupBy it avoids.)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.Grams.wordGrams(toks($"text"), 3)).as("g3"))
+      .groupBy($"doc_id", $"g3")
       .agg(count(lit(1)).as("c"))
+      .withColumn("l", length($"g3").cast("long"))
       .groupBy($"doc_id")
-      .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
-    wstats.join(topbg, "doc_id")
-      .select($"doc_id", $"n_words", $"n_distinct",
-        (lit(1.0) - $"n_distinct".cast("double") / $"n_words")
-          .as("dup_word_frac"),
-        $"top_bigram_n",
-        ($"top_bigram_n".cast("double") / $"n_bigrams")
-          .as("top_bigram_frac"))
+      .agg(sum($"c").as("n_grams"),
+        (sum(when($"c" > 1, $"l" * $"c").otherwise(0L)).cast("double")
+          / sum($"l" * $"c")).as("dup_gram_char_frac"),
+        (min(struct((-$"c").as("nc"), $"g3",
+          ($"l" * $"c").as("mass"))).getField("mass").cast("double")
+          / sum($"l" * $"c")).as("top_gram_char_frac"))
   }
 
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,

@@ -274,4 +274,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("p05_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), s"no bounded heap:\n$p")
   }
+
+  test("t06: quality score is map-only (run-length scan, no exchange)") {
+    val p = plan("t06_gopher_quality")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
 }
