@@ -446,6 +446,55 @@ object Dedup {
         round($"sim", 6).as("sim"))
   }
 
+  /** d08: INCREMENTAL dedup — flag a new batch against the existing
+    * corpus without ever comparing corpus x corpus (the production
+    * shape for a continuously-ingesting pipeline; d01/d02 are the
+    * full-corpus backfill shape). The fixture has no natural cross-set
+    * duplicates, so the batch is constructed deterministically: the
+    * odd-id docs (genuinely new) plus relabeled copies of every 10th
+    * even-id doc with doubled spaces — normalization must see through
+    * the perturbation and flag exactly those copies.
+    *
+    * 100 TB shape: cost is |batch| + |corpus| hashing and ONE shuffle
+    * join on the 16-byte normalized hash — never |corpus|², and the
+    * corpus side reduces to DISTINCT hashes before the join (a
+    * map-side-combinable aggregate). When the daily batch is small
+    * relative to the corpus this is the cheapest possible exactness
+    * gate in front of the LSH near-dup pass (d03). */
+  val d08IncrementalDedup: Q = Q(
+    "d08_incremental_dedup",
+    """WITH corpus AS (
+      |  SELECT text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, replace(text, ' ', '  ') AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |ch AS (SELECT DISTINCT
+      |    md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+      |  FROM corpus),
+      |bh AS (SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+      |  FROM batch)
+      |SELECT bh.doc_id, (ch.h IS NOT NULL) AS dup_of_corpus
+      |FROM bh LEFT JOIN ch USING (h)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def norm(c: Column): Column =
+      md5(lower(trim(regexp_replace(c, " +", " "))))
+    val docs = Tables.documents(s, d)
+    val corpusH = docs.filter($"doc_id" % 2 === 0)
+      .select(norm($"text").as("ch")).distinct()
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text")
+      .unionAll(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          regexp_replace($"text", " ", "  ").as("text")))
+    batch.select($"doc_id", norm($"text").as("h"))
+      .join(corpusH, $"h" === $"ch", "left_outer")
+      .select($"doc_id", $"ch".isNotNull.as("dup_of_corpus"))
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
-    d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup)
+    d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup,
+    d08IncrementalDedup)
 }

@@ -40,6 +40,14 @@ class SqlParitySpec extends AnyFunSuite {
     "q58_idle_customers", "q59_min_cost_supplier", "q61_value_concentration",
     "q62_interval_frame", "q63_nulls_ordering", "q64_arg_min_max",
     "q67_join_hints",
+    // round-3 TPC-H completions + sessionize: correlated EXISTS with
+    // cross-table interval inequality, outer-join-condition predicate,
+    // NOT IN, OR-of-ANDs, named WINDOW clause (q77/t11/p04/p05/d08
+    // excluded: IGNORE-NULLS placement, struct literals, //, strpos
+    // and regexp flags are DuckDB-dialect)
+    "q69_order_priority", "q70_returned_items", "q71_ship_class_priority",
+    "q72_customer_distribution", "q73_promo_revenue",
+    "q74_supplier_part_counts", "q75_disjunctive_pred", "q76_sessionize",
     "st05_stateful_totals", "w01_smb_join")
 
   dualDialect.foreach { n =>
