@@ -76,7 +76,88 @@ object Multimodal {
     }
   }
 
-  val all: Seq[Q] = Seq(m01BinaryFrames, m02BatchDecode)
+  final case class ImgFeat(doc_id: Long, f: Array[Double], nrm: Double)
+
+  /** m03: the multimodal → similarity bridge — binary payloads are
+    * feature-extracted per partition (the m02 batch-decode shape) and
+    * fed straight into cosine top-k (the s01 shape): "find similar
+    * media" end-to-end without any real codec in the container.
+    *
+    * Features are 16 banded BYTE SUMS kept integer-valued: band sums
+    * stay far below 2^53, so products and the 16-term dot are EXACT in
+    * doubles, norms are one correctly-rounded sqrt of an exact
+    * integer, and sim = dot/(nrmA*nrmB) evaluates bit-identically in
+    * any engine — which is what lets a cross-engine oracle hash the
+    * similarity VALUES of a floating-point kNN, not just its ids.
+    *
+    * 100 TB notes: extraction is one mapPartitions pass (codec init
+    * amortized, payloads never leave executors); the all-pairs join is
+    * the brute ground truth exactly like s01 — the documented scale
+    * path is bucketing the extracted vectors through s02/s04's LSH/IVF
+    * instead of changing this operator's contract. */
+  val m03MediaSimilarity: Q = Q(
+    "m03_media_similarity",
+    """WITH imgs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |bytes AS (
+      |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+      |  FROM imgs),
+      |b2 AS (
+      |  SELECT doc_id, (i - 1) % 16 AS band,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM bytes),
+      |sums AS (
+      |  SELECT doc_id, band, CAST(sum(v) AS BIGINT) AS s
+      |  FROM b2 GROUP BY doc_id, band),
+      |feat AS (
+      |  SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY band) AS f,
+      |    sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm
+      |  FROM sums GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+      |    list_dot_product(a.f, b.f) / (a.nrm * b.nrm) AS sim
+      |  FROM feat a JOIN feat b ON a.doc_id <> b.doc_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT doc_id, neighbor_id, sim FROM r WHERE rn <= 3"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val feats: Dataset[ImgFeat] = Tables.documents(s, d)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition "codec" pass, same contract as decodePipeline
+        batch.map { case (id, payload) =>
+          val bands = new Array[Double](16)
+          var i = 0
+          while (i < payload.length) {
+            bands(i % 16) += (payload(i) & 0xFF)
+            i += 1
+          }
+          ImgFeat(id, bands, math.sqrt(bands.map(x => x * x).sum))
+        }
+      }
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val a = feats.toDF("doc_id", "f", "nrm")
+    val b = feats.toDF("neighbor_id", "fb", "nrmb")
+    // codegen'd double kernel — the HOF aggregate(zip_with(...)) form
+    // allocates a 16-element array per PAIR and runs interpreted
+    val dot = column(graft.functions.DoubleVecDot(
+      expression($"f"), expression($"fb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"sim".desc, $"neighbor_id")
+    a.join(b, $"doc_id" =!= $"neighbor_id")
+      .select($"doc_id", $"neighbor_id",
+        (dot / ($"nrm" * $"nrmb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"neighbor_id", $"sim")
+  }
+
+  val all: Seq[Q] = Seq(m01BinaryFrames, m02BatchDecode, m03MediaSimilarity)
 }
 
 /** STUB CODEC — stands in for image/audio decoding libraries that are
