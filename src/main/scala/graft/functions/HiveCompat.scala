@@ -140,6 +140,7 @@ object HiveCompat {
     // graft vector kernels (similarity operators; vector.scala)
     reg(spark, "vec_dot") { es => FloatVecDot(es.head, es(1)) }
     reg(spark, "vec_norm") { es => FloatVecNorm(es.head) }
+    reg(spark, "dvec_dot") { es => DoubleVecDot(es.head, es(1)) }
 
     NGrams.register(spark)
   }

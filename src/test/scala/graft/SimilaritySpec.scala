@@ -74,6 +74,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(sim - 0.5) < 1e-12)
   }
 
+  test("dvec_dot (double kernel) is exact and SQL-registered") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // integer-valued doubles: products and sum must be EXACT (m03's
+    // oracle-parity requirement), not merely close
+    val df = Seq((Seq(3.0, 1e8, 7.0), Seq(2.0, 1e8, 11.0))).toDF("a", "b")
+    df.createOrReplaceTempView("dv")
+    val viaSql = spark.sql("SELECT dvec_dot(a, b) AS d FROM dv")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 3.0 * 2.0 + 1e8 * 1e8 + 7.0 * 11.0)
+  }
+
   test("k-means: k clusters survive, SSE drops, assignments reproducible") {
     val (assign, sses) = operators.Similarity.kmeans(spark, sf)
     val rows = assign.collect()
