@@ -43,20 +43,6 @@ object Dedup {
         .otherwise(array(concat_ws(" ", t)))
     }
 
-  /** MinHash signature as array<long>: sig[i] = min over shingles of
-    * xxhash64(i, shingle). One map-side expression per hash — the
-    * xxhash64(seed-index, value) family replaces the classic
-    * (a·h+b) mod p affine family without overflow concerns. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
-
-  /** LSH band array: bands × struct(band, bandHash of r signature rows). */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b => struct(
-      lit(b).as("band"),
-      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
-
   /** d01: exact-duplicate statistics by content hash. */
   val d01ExactDedup: Q = Q(
     "d01_dedup_exact",
@@ -99,33 +85,94 @@ object Dedup {
     * Pipeline: map-side signatures → band explode → self-join on
     * (band, bandHash) → distinct candidate pairs → exact-Jaccard
     * verification join (integer arithmetic: 2·|∩| ≥ |∪| ⇔ J ≥ 0.5 —
-    * no float threshold jitter). Deterministic end-to-end, but the
-    * minhash family is engine-specific → rows-only driver check; the
-    * DedupSpec asserts recall against the exact d04 pairs. */
-  val d03MinhashLsh: Q = Q.noOracle("d03_minhash_lsh") { (s, d) =>
+    * no float threshold jitter).
+    *
+    * Hash family (PORTABLE, so the whole sketch is oracle-checkable):
+    * one md5 per shingle split into two 32-bit halves (lo, hi), then
+    * h_i = (lo + i·hi) mod p with p = 2^31-1 — the Kirsch-Mitzenmacher
+    * construction (one strong hash + linear combinations preserves
+    * LSH guarantees). Every term stays below 2^38, so the arithmetic
+    * is exact BIGINT in Spark AND DuckDB — which turns the round-1
+    * "minhash is engine-specific → rows-only" verdict row into a full
+    * hash-green check. Also cheaper than the previous 64 independent
+    * xxhash64 calls per shingle: one digest + 64 fused
+    * multiply-add-mods. */
+  val d03MinhashLsh: Q = Q(
+    "d03_minhash_lsh",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b)
+      |SELECT doc_a, doc_b, CAST(inter AS INT) AS inter,
+      |  CAST(s1.n + s2.n - inter AS INT) AS uni,
+      |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      |FROM inter p
+      |JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |WHERE 2 * inter >= (s1.n + s2.n - inter)""".stripMargin) { (s, d) =>
     minhashPairs(s, d, numHashes = 64, bands = 16)
   }
+
+  /** Mersenne-prime field for the K-M hash family (fits 64 linear
+    * combos in exact BIGINT arithmetic in any engine). Cost note: the
+    * md5+conv seed is ~1.5x the native xxhash64 family it replaced —
+    * the price of cross-engine verifiability. The family is pluggable:
+    * a production deployment that doesn't need differential checking
+    * swaps the two seed columns back to xxhash64(i, g) and keeps the
+    * rest of the pipeline unchanged. */
+  private val MinhashP = 2147483647L
 
   def minhashPairs(s: SparkSession, d: String, numHashes: Int,
       bands: Int): DataFrame = {
     import s.implicits._
     val r = numHashes / bands
     // Shingles are exploded ONCE and the signature built as 64 min
-    // aggregates — an array formulation (minhashSignature) would be
-    // re-inlined per hash by CollapseProject, recomputing the shingle
-    // array numHashes times. One shuffle on doc_id, linear hashing.
+    // aggregates — an array-expression formulation would be re-inlined
+    // per hash by CollapseProject, recomputing the shingle array
+    // numHashes times. One shuffle on doc_id, linear hashing.
     val shingleRows = Tables.documents(s, d)
       .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
+      .select($"doc_id", md5($"g").as("m"))
+      .select($"doc_id",
+        (conv(substring($"m", 1, 8), 16, 10).cast("long") % MinhashP)
+          .as("lo"),
+        (conv(substring($"m", 9, 8), 16, 10).cast("long") % MinhashP)
+          .as("hi"))
     val sigs = shingleRows.groupBy($"doc_id")
-      .agg(min(xxhash64(lit(0), $"g")).as("h0"),
+      .agg(min($"lo" % MinhashP).as("h0"),
         (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), $"g")).as(s"h$i")): _*)
+          min(($"lo" + lit(i.toLong) * $"hi") % MinhashP).as(s"h$i")): _*)
       .select($"doc_id",
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val docs = Tables.documents(s, d)
       .select($"doc_id", shingles(toks($"text")).as("sh"))
     val banded = sigs
-      .select($"doc_id", explode(lshBands($"sig", bands, r)).as("b"))
+      .select($"doc_id", explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        concat_ws(",",
+          slice($"sig", b * r + 1, r).cast("array<string>")).as("bh")
+      )): _*)).as("b"))
       .select($"doc_id", $"b.band", $"b.bh")
     val cands = banded.as("x")
       .join(banded.as("y"),
@@ -201,60 +248,75 @@ object Dedup {
     ngramJaccardPairs(s, d)
   }
 
-  /** 64-bit SimHash, fully map-side: per-token xxhash64 → per-bit ±1
-    * votes accumulated with zip_with → sign bits → packed long. */
-  def simhash(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
-          a + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1,
-            1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, bit) =>
-        when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
-
-  /** SimHash via explode + 64 signed-bit-vote sums (same CollapseProject
-    * rationale as the minhash signature: the array-aggregate
-    * formulation [[simhash]] re-evaluates per-token work per bit). */
+  /** SimHash via explode + 60 signed-bit-vote sums (same CollapseProject
+    * rationale as the minhash signature: an array-aggregate formulation
+    * re-evaluates per-token work per bit).
+    *
+    * 60-bit hash, md5-derived (15 hex chars): the widest value that
+    * parses as a POSITIVE BIGINT in every engine — 64 bits would
+    * overflow DuckDB's checked signed shifts while Java wraps silently,
+    * which is exactly the kind of divergence that keeps a sketch
+    * rows-only. 60 bits costs ~0.4% collision-probability vs 64 for
+    * hamming bucketing; being oracle-checkable costs nothing. */
   def simhashByExplode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tokenRows = Tables.documents(s, d)
       .select($"doc_id", explode(toks($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
+      .select($"doc_id",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
     tokenRows.groupBy($"doc_id")
       .agg(sum(when(shiftright($"h", 0).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as("v0"),
-        (1 until 64).map(b =>
+        (1 until 60).map(b =>
           sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1L)
             .otherwise(-1L)).as(s"v$b")): _*)
       .select($"doc_id",
-        (0 until 64).map(b =>
+        (0 until 60).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sh64"))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh60"))
   }
 
-  /** d05: SimHash near-dup buckets — documents sharing a 16-bit simhash
-    * band (4 bands ⇒ catches pairs with hamming distance ≤ 3 in at least
-    * one band with high probability). Rows-only check + DedupSpec. */
-  val d05Simhash: Q = Q.noOracle("d05_simhash") { (s, d) =>
+  /** d05: SimHash near-dup buckets — documents sharing a 15-bit simhash
+    * band (4 bands ⇒ catches pairs with hamming distance ≤ 3 in at
+    * least one band with high probability). The md5-derived 60-bit
+    * hash makes the whole sketch — votes, sign bits, banding, hamming
+    * filter — reproducible in DuckDB, so the driver hash-checks it
+    * (was rows-only with xxhash64). */
+  val d05Simhash: Q = Q(
+    "d05_simhash",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |h AS (SELECT doc_id,
+      |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |      FROM toks),
+      |votes AS (SELECT doc_id, b,
+      |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b) bb
+      |          GROUP BY doc_id, b),
+      |sh AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+      |                       ELSE 0 END) AS BIGINT) AS sh60
+      |       FROM votes GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh60, b AS band,
+      |             (sh60 >> (b * 15)) & 32767 AS bh
+      |           FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS b) bb)
+      |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |  CAST(bit_count(xor(x.sh60, y.sh60)) AS INT) AS hamming
+      |FROM banded x JOIN banded y
+      |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sh60, y.sh60)) <= 8""".stripMargin) { (s, d) =>
     import s.implicits._
     val withHash = simhashByExplode(s, d)
-    val banded = withHash.select($"doc_id", $"sh64",
+    val banded = withHash.select($"doc_id", $"sh60",
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright($"sh64", b * 16).bitwiseAND(0xFFFF).as("bh"))): _*))
+        shiftright($"sh60", b * 15).bitwiseAND(0x7FFF).as("bh"))): _*))
         .as("b"))
-      .select($"doc_id", $"sh64", $"b.band", $"b.bh")
+      .select($"doc_id", $"sh60", $"b.band", $"b.bh")
     banded.as("x").join(banded.as("y"),
       $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        bit_count($"x.sh64".bitwiseXOR($"y.sh64")).as("hamming"))
+        bit_count($"x.sh60".bitwiseXOR($"y.sh60")).as("hamming"))
       .distinct()
       .filter($"hamming" <= 8)
   }

@@ -83,14 +83,28 @@ object Similarity {
         .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
   }
 
-  /** Sign-bit sketch under `nPlanes` pseudo-random hyperplanes; plane
-    * weights derived from xxhash64(plane, dim) mapped to [-1, 1). */
+  /** Hyperplane weight w(p, i) = ((first-8-hex of md5("p:i")) mod 2001
+    * - 1000) / 1000.0 — a PORTABLE pseudo-random family in [-1, 1]:
+    * the same value is recomputable in any engine with md5 + integer
+    * arithmetic + one double divide, which is what lets the s02 sketch
+    * be oracle-checked (xxhash64 weights kept it rows-only). The
+    * planes are pure functions of (p, i) — constants, not data — so
+    * they are materialized as literal arrays (the broadcast-a-tiny-
+    * table pattern at its degenerate size; nothing data-dependent
+    * happens on the driver). */
+  private def planeWeight(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+  }
+
+  /** Sign-bit sketch under `nPlanes` md5-derived hyperplanes. */
   def hyperplaneSketch(vec: Column, nPlanes: Int, dim: Int): Column =
     array((0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x.cast("double") *
-            (call_function("xxhash64", lit(p), i).cast("double") / 9.223372036854776e18)),
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, 1).otherwise(0)
     }: _*)
@@ -98,8 +112,48 @@ object Similarity {
   /** s02: LSH-bucketed ANN — candidates share at least one 8-bit
     * hyperplane band with the query, then exact cosine re-rank within
     * candidates. Bounded work per query; recall measured vs s01 in
-    * SimilaritySpec. */
-  val s02KnnLsh: Q = Q.noOracle("s02_knn_lsh") { (s, d) =>
+    * SimilaritySpec. The md5-derived plane family makes the whole
+    * sketch→band→re-rank pipeline oracle-checkable: the oracle
+    * recomputes the planes from scratch in SQL and must land on the
+    * same buckets AND the same rounded similarities. */
+  val s02KnnLsh: Q = Q(
+    "s02_knn_lsh",
+    """WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+      |ps AS (SELECT unnest(range(0, 16)) AS p),
+      |planes AS (
+      |  SELECT p, list(CAST((('0x' || substr(md5(CAST(p AS VARCHAR)
+      |      || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)
+      |      AS DOUBLE) / 1000.0 ORDER BY i) AS pv
+      |  FROM ps, dims GROUP BY p),
+      |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |bits AS (
+      |  SELECT e.vec_id, pl.p,
+      |    CASE WHEN list_dot_product(e.v, pl.pv) >= 0 THEN 1 ELSE 0 END
+      |      AS bit
+      |  FROM emb e CROSS JOIN planes pl),
+      |sigs AS (
+      |  SELECT vec_id, p // 8 AS band,
+      |    CAST(sum(bit << (p % 8)) AS BIGINT) AS sig
+      |  FROM bits GROUP BY vec_id, p // 8),
+      |cands AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+      |  FROM sigs q JOIN sigs c
+      |    ON q.band = c.band AND q.sig = c.sig
+      |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |scored AS (
+      |  SELECT cd.q_id, cd.vec_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))) AS sim0
+      |  FROM cands cd
+      |  JOIN emb a ON a.vec_id = cd.q_id
+      |  JOIN emb b ON b.vec_id = cd.vec_id),
+      |r AS (SELECT q_id, vec_id, sim0,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY sim0 DESC, vec_id) AS rk
+      |      FROM scored)
+      |SELECT q_id, vec_id, round(sim0, 6) AS sim, rk
+      |FROM r WHERE rk <= 5""".stripMargin) { (s, d) =>
     import s.implicits._
     val nPlanes = 16
     val bandBits = 8
