@@ -22,8 +22,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Regression tracking: per-query wall-clock is diffed against the t0
   * table in BASELINE.md (`| query | seconds |` rows); queries slower
-  * than 1.5x their t0 are listed under "regressions" (stdout keeps the
-  * worst few, BENCH_DETAIL.json keeps them all). */
+  * than 1.5x their t0 AND >0.5s absolute are listed under "regressions"
+  * (stdout keeps the worst few, BENCH_DETAIL.json keeps them all). */
 object Bench {
 
   /** Parse `| query | seconds |` rows out of BASELINE.md. Rounds append
@@ -101,8 +101,12 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
         .mkString("{", ",", "}")
 
+    // A regression needs BOTH a >1.5x ratio AND a >0.5s absolute delta:
+    // sub-second queries jitter past 1.5x from JVM/GC noise alone and
+    // drown the list in false positives (r3 sweeps flagged 0.2s queries).
     val regressions = results.collect {
-      case (k, v) if v >= 0 && t0.contains(k) && v / t0(k) > 1.5 => (k, v / t0(k))
+      case (k, v) if v >= 0 && t0.contains(k) &&
+        v / t0(k) > 1.5 && v - t0(k) > 0.5 => (k, v / t0(k))
     }.sortBy(-_._2)
 
     // Full detail to a file the judge (and next round) can read.
@@ -112,7 +116,14 @@ object Bench {
          |"ratios_vs_t0":${jmap(results.collect { case (k, v) if v >= 0 && t0.contains(k) => (k, v / t0(k)) }, "%.3f")},
          |"regressions":${regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")}}
          |""".stripMargin
-    val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+    // Only a FULL suite at the driver's bench scale owns BENCH_DETAIL.json;
+    // restricted or off-scale runs (iteration aids, smoke checks) write a
+    // scratch file so they can't clobber the committed sweep (a trap hit
+    // twice in round 3).
+    val detailFile =
+      if (args.isEmpty && sfNum == "0.1") "BENCH_DETAIL.json"
+      else "BENCH_DETAIL_partial.json"
+    val w = new java.io.PrintWriter(detailFile, "UTF-8")
     try w.write(detail) finally w.close()
 
     // Compact stdout line: headline subset only, hard-capped < 1850 chars

@@ -556,7 +556,80 @@ object Dedup {
       .select($"doc_id", $"ch".isNotNull.as("dup_of_corpus"))
   }
 
+  /** d09: cross-corpus SEGMENT dedup (the C4 / RefinedWeb "line
+    * dedup" step, re-shaped for the newline-free fixture): cut every
+    * document into non-overlapping 10-word segments, and for any
+    * segment text that occurs more than once ANYWHERE in the corpus
+    * keep only the canonical first occurrence (min (doc_id, pos)) —
+    * the per-document output is the surviving-segment count, the
+    * removed count, and the md5 of the re-assembled cleaned text.
+    *
+    * Survivorship must be deterministic under any partitioning, so the
+    * canonical occurrence is an arithmetic key `doc_id*100000 + pos`
+    * min-reduced per segment hash — a plain partial/final aggregate,
+    * no window, no sort.
+    *
+    * 100 TB shape: three shuffles, all on well-distributed keys —
+    * (1) segment-hash groupBy for (count, canonical) over a NARROW
+    * (16-byte hash, 8-byte key) relation; (2) the join of segments
+    * against that table (at scale: keep the dup-table side filtered to
+    * n > 1 — unique segments, the overwhelming majority, pass through
+    * a left join miss untouched); (3) the per-document re-assembly
+    * groupBy. Boilerplate segments (the reason this step exists in C4)
+    * are exactly the hot keys — the n>1 filter keeps the joined side
+    * proportional to DUPLICATED text, not corpus size. */
+  val d09LineDedup: Q = Q(
+    "d09_line_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |segs AS (
+      |  SELECT doc_id, start // 10 AS pos,
+      |    array_to_string(list_slice(ws, start + 1, start + 10), ' ')
+      |      AS seg
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(range(0, greatest(len(ws), 1), 10)) AS start
+      |        FROM d)),
+      |k AS (SELECT doc_id, pos, seg, md5(seg) AS sh,
+      |        doc_id * 100000 + pos AS kk
+      |      FROM segs),
+      |c AS (SELECT sh, count(*) AS n, min(kk) AS first_k
+      |      FROM k GROUP BY sh)
+      |SELECT k.doc_id,
+      |  CAST(sum(CASE WHEN c.n = 1 OR k.kk = c.first_k
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+      |  CAST(sum(CASE WHEN c.n = 1 OR k.kk = c.first_k
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS dropped_segs,
+      |  md5(coalesce(string_agg(
+      |    CASE WHEN c.n = 1 OR k.kk = c.first_k THEN k.seg END,
+      |    ' ' ORDER BY k.pos), '')) AS clean_hash
+      |FROM k JOIN c USING (sh)
+      |GROUP BY k.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val segs = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), greatest(size($"ws") - 1, lit(0)),
+          lit(10))).as("start"))
+      .select($"doc_id", ($"start" / 10).cast("long").as("pos"),
+        concat_ws(" ", slice($"ws", $"start" + 1, lit(10))).as("seg"))
+      .withColumn("sh", md5($"seg"))
+      .withColumn("kk", $"doc_id" * 100000L + $"pos")
+    val canon = segs.groupBy($"sh")
+      .agg(count(lit(1)).as("n"), min($"kk").as("first_k"))
+    segs.join(canon, "sh")
+      .withColumn("keep", $"n" === 1 || $"kk" === $"first_k")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"keep", 1L).otherwise(0L)).as("kept_segs"),
+        sum(when($"keep", 0L).otherwise(1L)).as("dropped_segs"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when($"keep",
+              struct($"pos", $"seg")))),
+            x => x.getField("seg")))).as("clean_hash"))
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
     d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup,
-    d08IncrementalDedup)
+    d08IncrementalDedup, d09LineDedup)
 }

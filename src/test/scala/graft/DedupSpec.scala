@@ -128,4 +128,39 @@ class DedupSpec extends AnyFunSuite {
     assert(total == 500)
     r.foreach(row => assert(row.getLong(2) <= row.getLong(1)))
   }
+
+  test("segment dedup conserves segments and drops exactly the non-canonical occurrences") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d09_line_dedup")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // kept + dropped must equal the segment count recomputed from text
+    val nSegs = docs.select($"doc_id",
+      (floor(greatest(size(split($"text", " ")) - 1, lit(0)) / 10) + 1)
+        .cast("long").as("n_segs"))
+    val joined = out.join(nSegs, "doc_id").collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("kept_segs") + r.getAs[Long]("dropped_segs") ==
+        r.getAs[Long]("n_segs"), s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // total drops must equal the corpus-wide count of beyond-canonical
+    // segment occurrences, recomputed here by grouping on segment TEXT
+    // (not its md5 — an independent path around the query's hashing)
+    val extra = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select(explode(sequence(lit(0),
+        greatest(size($"ws") - 1, lit(0)), lit(10))).as("start"), $"ws")
+      .select(concat_ws(" ", slice($"ws", $"start" + 1, lit(10))).as("seg"))
+      .groupBy($"seg").agg(count(lit(1)).as("n"))
+      .agg(sum(when($"n" > 1, $"n" - 1).otherwise(0L))).collect()(0).getLong(0)
+    assert(extra > 0, "fixture should contain cross-doc duplicate segments")
+    assert(joined.map(_.getAs[Long]("dropped_segs")).sum == extra)
+    // untouched docs re-assemble to exactly their original text
+    val untouched = out.filter($"dropped_segs" === 0)
+      .join(docs, "doc_id")
+      .filter($"clean_hash" =!= md5($"text")).count()
+    assert(untouched == 0L, "a zero-drop doc failed to round-trip its text")
+  }
 }
