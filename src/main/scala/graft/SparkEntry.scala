@@ -23,7 +23,7 @@ object SparkEntry {
       operators.TpchJoins.all ++ operators.TpchFull.all ++
       operators.WriterQueries.all ++
       operators.RangeJoin.all ++ operators.ExportQueries.all ++
-      operators.Splits.all
+      operators.Splits.all ++ operators.Audit.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

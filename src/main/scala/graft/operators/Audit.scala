@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Data-quality audit: the pre-ingest gate a production pipeline runs
+  * before letting a batch anywhere near training or reporting (the
+  * reference's closest surface is its constraint DDL — NOT NULL /
+  * PRIMARY KEY / FOREIGN KEY declared RELY NOVALIDATE, i.e. never
+  * engine-enforced; this operator is the enforcement those constraints
+  * defer to the pipeline).
+  *
+  * One output row per check, `n_violations = 0` meaning pass. Every
+  * check is declarative and scale-independent:
+  *   - null/absent key, domain and sign checks: map-side conditional
+  *     sums over a pruned single-column scan;
+  *   - primary-key uniqueness: one hash aggregate on the key;
+  *   - referential integrity: a LEFT ANTI join fact→dimension (the
+  *     dimension side broadcast when small, shuffle otherwise — never
+  *     a driver-side collect);
+  *   - cross-field ordering (ship-before-order): the fact–dim equi-join
+  *     re-using the same shuffle key as the FK check.
+  * The checks are independent Spark jobs off independent pruned scans;
+  * at 100 TB, co-schedule them (they share scan caches) or fold the
+  * single-table ones into one pass — kept separate here for clarity
+  * since each is already minimal. */
+object Audit {
+
+  val dq01QualityAudit: Q = Q(
+    "dq01_quality_audit",
+    """SELECT 'orders_null_custkey' AS chk,
+      |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+      |    AS n_violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_dup_orderkey',
+      |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+      |  SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+      |  HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey',
+      |  CAST(count(*) AS BIGINT) FROM lineitem
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem_discount_domain',
+      |  CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_nonpositive_qty',
+      |  CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_nonpositive_total',
+      |  CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'ship_before_order',
+      |  CAST(count(*) AS BIGINT)
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate < o_orderdate""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    def check(name: String, n: org.apache.spark.sql.Column)(
+        df: org.apache.spark.sql.DataFrame) =
+      df.agg(n.cast("long").as("n_violations"))
+        .select(lit(name).as("chk"), $"n_violations")
+    val nullCust = check("orders_null_custkey",
+      count(when($"o_custkey".isNull, 1)))(orders)
+    val dupPk = check("orders_dup_orderkey",
+      coalesce(sum($"n" - 1), lit(0)))(
+      orders.groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1))
+    val orphan = check("lineitem_orphan_orderkey", count(lit(1)))(
+      lineitem.join(orders, $"l_orderkey" === $"o_orderkey", "left_anti"))
+    val discount = check("lineitem_discount_domain",
+      count(when($"l_discount" < 0 || $"l_discount" > 1, 1)))(lineitem)
+    val qty = check("lineitem_nonpositive_qty",
+      count(when($"l_quantity" <= 0, 1)))(lineitem)
+    val total = check("orders_nonpositive_total",
+      count(when($"o_totalprice" <= 0, 1)))(orders)
+    val shipOrder = check("ship_before_order", count(lit(1)))(
+      lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" < $"o_orderdate"))
+    Seq(nullCust, dupPk, orphan, discount, qty, total, shipOrder)
+      .reduce(_ unionByName _)
+  }
+
+  val all: Seq[Q] = Seq(dq01QualityAudit)
+}

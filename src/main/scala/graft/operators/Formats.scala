@@ -26,7 +26,7 @@ object Formats {
     val dest = tmp(d, fmt)
     src.write.format(fmt).options(options).mode("overwrite").save(dest)
     val r = s.read.format(fmt).options(options)
-    val back = (if (fmt == "csv" || fmt == "json")
+    val back = (if (fmt == "csv" || fmt == "json" || fmt == "xml")
       r.schema(src.schema) else r).load(dest)
     back.groupBy($"s_nationkey")
       .agg(count(lit(1)).as("n"), Exact.dsum($"s_acctbal").as("bal"),
@@ -49,6 +49,16 @@ object Formats {
 
   val f03Orc: Q = Q("f03_orc_roundtrip", oracleAgg) { (s, d) =>
     roundTrip(s, d, "orc")
+  }
+
+  /** f08: XML round-trip — the spark-xml connector was folded into
+    * Spark 4 core (SPARK-44265), so the reference's XML SerDe surface
+    * maps to a first-class built-in format here; schema is supplied on
+    * read like csv/json (self-describing tags, not self-describing
+    * types). */
+  val f08Xml: Q = Q("f08_xml_roundtrip", oracleAgg) { (s, d) =>
+    roundTrip(s, d, "xml",
+      Map("rowTag" -> "supplier", "rootTag" -> "suppliers"))
   }
 
   /** f04: binaryFile source — whole-file opaque-bytes ingestion (the
@@ -147,5 +157,5 @@ object Formats {
   }
 
   val all: Seq[Q] = Seq(f01Csv, f02Json, f03Orc, f04BinaryFile, f05Text,
-    f06ParquetCodecs, f07SchemaEvolution)
+    f06ParquetCodecs, f07SchemaEvolution, f08Xml)
 }

@@ -212,7 +212,54 @@ object TpchFull {
         .as("revenue"))
   }
 
+  /** TPC-DS Q47 shape (beyond the 22 TPC-H forms): a window OVER an
+    * aggregate — monthly revenue per supplier nation, centered 3-month
+    * moving average, emit the months deviating >10% from their own
+    * neighborhood. Exactness device: the monthly sum STAYS DECIMAL
+    * through the window (order-independent regardless of how either
+    * engine schedules the moving frame — DuckDB uses segment trees for
+    * moving aggregates, which reorders additions), and the moving
+    * average is ONE double division of exact operands at the end.
+    *
+    * Scale: the month rollup shuffles once with partial aggregation and
+    * collapses cardinality to nations x months; the window then runs
+    * over that tiny relation partitioned by nation — never over fact
+    * rows (the classic Q47 trap of windowing pre-aggregation). */
+  val q78MovingAvg: Q = Q(
+    "q78_moving_avg",
+    """WITH m AS (
+      |  SELECT n_name, date_trunc('month', l_shipdate) AS month,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |      AS rev_dec
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT n_name, month, CAST(rev_dec AS DOUBLE) AS revenue,
+      |    CAST(sum(rev_dec) OVER win AS DOUBLE) / count(*) OVER win
+      |      AS mavg
+      |  FROM m WINDOW win AS (PARTITION BY n_name ORDER BY month
+      |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+      |SELECT n_name, month, revenue, mavg FROM w
+      |WHERE revenue > mavg * 1.1 OR revenue < mavg * 0.9""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val monthly = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", date_trunc("month", $"l_shipdate").as("month"))
+        .agg(Exact.dsumDec($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("rev_dec"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"n_name").orderBy($"month").rowsBetween(-1, 1)
+      monthly.select($"n_name", $"month",
+        $"rev_dec".cast("double").as("revenue"),
+        (sum($"rev_dec").over(win).cast("double") /
+          count(lit(1)).over(win)).as("mavg"))
+        .filter($"revenue" > $"mavg" * 1.1 || $"revenue" < $"mavg" * 0.9)
+  }
+
   val all: Seq[Q] = Seq(q69OrderPriority, q70ReturnedItems,
     q71ShipClassPriority, q72CustomerDistribution, q73PromoRevenue,
-    q74SupplierPartCounts, q75DisjunctivePredicate)
+    q74SupplierPartCounts, q75DisjunctivePredicate, q78MovingAvg)
 }

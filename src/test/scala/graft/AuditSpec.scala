@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dq01: all seven checks report, and the fixture passes the hard ones") {
+    val rows = SparkEntry.queries("dq01_quality_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("orders_null_custkey", "orders_dup_orderkey",
+      "lineitem_orphan_orderkey", "lineitem_discount_domain",
+      "lineitem_nonpositive_qty", "orders_nonpositive_total",
+      "ship_before_order"))
+    // the generator emits a clean star schema: keys non-null, unique,
+    // referentially intact, discounts in [0,1]
+    assert(rows("orders_null_custkey") == 0L)
+    assert(rows("orders_dup_orderkey") == 0L)
+    assert(rows("lineitem_orphan_orderkey") == 0L)
+    assert(rows("lineitem_discount_domain") == 0L)
+  }
+
+  test("w04: merge actions partition the keys by their %7 branch") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val byAction = SparkEntry.queries("w04_merge_upsert")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mods = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(($"o_orderkey" % 7).as("m")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = mods.values.sum
+    assert(byAction("updated") == mods.getOrElse(0L, 0L))
+    assert(byAction("inserted") == mods.getOrElse(5L, 0L))
+    // kept = everything except the updated and deleted branches
+    assert(byAction("kept") ==
+      total - mods.getOrElse(0L, 0L) - mods.getOrElse(3L, 0L))
+  }
+}

@@ -279,4 +279,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("t06_gopher_quality")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
   }
+
+  test("q78: moving-average window runs over the month rollup, not facts") {
+    // The Q47 trap is windowing the fact table; here the Window must sit
+    // ABOVE the hash aggregate that collapses facts to nation x month.
+    val p = plan("q78_moving_avg")
+    val iWindow = p.indexOf("Window")
+    val iAgg = p.indexOf("HashAggregate")
+    assert(iWindow >= 0 && iAgg >= 0, s"missing operator:\n$p")
+    assert(iWindow < iAgg,
+      s"window should consume the aggregate (appear above it):\n$p")
+  }
+
+  test("w04: merge-upsert plans exactly one join keyed on the merge key") {
+    val p = plan("w04_merge_upsert")
+    assert(!p.contains("CartesianProduct"), s"cartesian in merge plan:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\], FullOuter".r
+      .findFirstIn(p).nonEmpty, s"expected full-outer equi join:\n$p")
+  }
 }
