@@ -578,6 +578,34 @@ object Dedup {
     * groupBy. Boilerplate segments (the reason this step exists in C4)
     * are exactly the hot keys — the n>1 filter keeps the joined side
     * proportional to DUPLICATED text, not corpus size. */
+  /** Exploded non-overlapping word-segment frame shared by d09 and the
+    * c02 pipeline: one row per (doc, segment) with the segment text,
+    * its word count, its md5 and the arithmetic canonical-occurrence
+    * key (doc_id*100000 + pos — min-reducible, no window needed). */
+  def segments(docs: DataFrame, width: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), greatest(size($"ws") - 1, lit(0)),
+          lit(width))).as("start"))
+      .select($"doc_id", ($"start" / width).cast("long").as("pos"),
+        slice($"ws", $"start" + 1, lit(width)).as("seg_l"))
+      .select($"doc_id", $"pos", concat_ws(" ", $"seg_l").as("seg"),
+        size($"seg_l").as("n_words"))
+      .withColumn("sh", md5($"seg"))
+      .withColumn("kk", $"doc_id" * 100000L + $"pos")
+  }
+
+  /** Per-segment-hash (count, canonical first key) table for
+    * [[segments]] output. */
+  def segmentCanon(segs: DataFrame): DataFrame = {
+    val s = segs.sparkSession
+    import s.implicits._
+    segs.groupBy($"sh").agg(count(lit(1)).as("n"), min($"kk").as("first_k"))
+  }
+
   val d09LineDedup: Q = Q(
     "d09_line_dedup",
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -605,17 +633,8 @@ object Dedup {
       |FROM k JOIN c USING (sh)
       |GROUP BY k.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val segs = Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .select($"doc_id", $"ws",
-        explode(sequence(lit(0), greatest(size($"ws") - 1, lit(0)),
-          lit(10))).as("start"))
-      .select($"doc_id", ($"start" / 10).cast("long").as("pos"),
-        concat_ws(" ", slice($"ws", $"start" + 1, lit(10))).as("seg"))
-      .withColumn("sh", md5($"seg"))
-      .withColumn("kk", $"doc_id" * 100000L + $"pos")
-    val canon = segs.groupBy($"sh")
-      .agg(count(lit(1)).as("n"), min($"kk").as("first_k"))
+    val segs = segments(Tables.documents(s, d))
+    val canon = segmentCanon(segs)
     segs.join(canon, "sh")
       .withColumn("keep", $"n" === 1 || $"kk" === $"first_k")
       .groupBy($"doc_id")

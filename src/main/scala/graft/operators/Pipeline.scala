@@ -69,5 +69,90 @@ object Pipeline {
         Exact.davg($"quality").as("avg_quality"))
   }
 
-  val all: Seq[Q] = Seq(c01CorpusClean)
+  /** c02: the full ingest-to-splits run — quality gate (t02 scorer,
+    * >= 0.5) → cross-corpus segment dedup over the SURVIVORS (d09's
+    * segments/canonical helpers; docs whose every segment is a
+    * non-canonical duplicate drop out entirely) → token recount on the
+    * CLEANED text → deterministic hash split (p01's md5-prefix device)
+    * → per-(split, lang) corpus stats. Every stage is the registered
+    * operator's own code path, and the oracle chains the same CTEs, so
+    * the composition is differential-tested end to end — the number a
+    * trainer actually consumes (post-dedup token budget per split) is
+    * the thing being checked.
+    *
+    * 100 TB: stages stay independently shuffled on well-distributed
+    * keys (doc hash → segment hash → doc_id → (split, lang)); nothing
+    * re-materializes raw text after the segment explode, and the
+    * quality gate runs FIRST so the expensive dedup only sees
+    * survivors. */
+  val c02IngestToSplits: Q = Q(
+    "c02_ingest_splits",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang,
+      |    round(
+      |      0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+      |      + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0)
+      |      + 0.3 * (CAST(n_types AS DOUBLE) / n_tokens), 6) AS quality
+      |  FROM f),
+      |keep AS (SELECT doc_id, lang, quality FROM q WHERE quality >= 0.5),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |      WHERE doc_id IN (SELECT doc_id FROM keep)),
+      |segs AS (
+      |  SELECT doc_id, st // 10 AS pos,
+      |    list_slice(ws, st + 1, st + 10) AS seg_l
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(range(0, greatest(len(ws), 1), 10)) AS st
+      |        FROM d)),
+      |k AS (SELECT doc_id, pos, len(seg_l) AS n_words,
+      |        md5(array_to_string(seg_l, ' ')) AS sh,
+      |        doc_id * 100000 + pos AS kk
+      |      FROM segs),
+      |c AS (SELECT sh, count(*) AS n, min(kk) AS first_k
+      |      FROM k GROUP BY sh),
+      |pd AS (SELECT k.doc_id, sum(k.n_words) AS clean_tokens
+      |       FROM k JOIN c USING (sh)
+      |       WHERE c.n = 1 OR k.kk = c.first_k
+      |       GROUP BY k.doc_id),
+      |r AS (SELECT keep.lang, keep.quality, pd.clean_tokens,
+      |        CASE WHEN substr(md5(keep.doc_id::VARCHAR), 1, 2) < 'e6'
+      |               THEN 'train'
+      |             WHEN substr(md5(keep.doc_id::VARCHAR), 1, 2) < 'f3'
+      |               THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM keep JOIN pd ON keep.doc_id = pd.doc_id)
+      |SELECT split, lang, count(*) AS n_docs,
+      |  CAST(sum(clean_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(quality)
+      |    AS avg_quality
+      |FROM r GROUP BY split, lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val keep = TextAnalysis.t02QualityScore.build(s, d)
+      .filter($"quality" >= 0.5)
+      .select($"doc_id", $"lang", $"quality")
+    val docs = graft.sources.Tables.documents(s, d)
+      .join(keep.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val segs = Dedup.segments(docs)
+    val perDoc = segs.join(Dedup.segmentCanon(segs), "sh")
+      .filter($"n" === 1 || $"kk" === $"first_k")
+      .groupBy($"doc_id")
+      .agg(sum($"n_words").as("clean_tokens"))
+    val h2 = substring(md5($"doc_id".cast("string")), 1, 2)
+    perDoc.join(keep, "doc_id")
+      .select($"lang", $"quality", $"clean_tokens",
+        when(h2 < "e6", "train").when(h2 < "f3", "val")
+          .otherwise("test").as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"clean_tokens").as("total_tokens"),
+        Exact.davg($"quality").as("avg_quality"))
+  }
+
+  val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits)
 }

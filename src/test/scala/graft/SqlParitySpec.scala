@@ -48,7 +48,12 @@ class SqlParitySpec extends AnyFunSuite {
     "q69_order_priority", "q70_returned_items", "q71_ship_class_priority",
     "q72_customer_distribution", "q73_promo_revenue",
     "q74_supplier_part_counts", "q75_disjunctive_pred", "q76_sessionize",
-    "st05_stateful_totals", "w01_smb_join")
+    "st05_stateful_totals", "w01_smb_join",
+    // late round-3 additions: MERGE-as-join CTEs, aggregate FILTER
+    // clauses + NOT EXISTS, window-over-aggregate with a named WINDOW
+    // (d09/c02 excluded: list_slice/unnest-range segmenting is
+    // DuckDB-dialect)
+    "w04_merge_upsert", "dq01_quality_audit", "q78_moving_avg")
 
   dualDialect.foreach { n =>
     test(s"$n: SQL text == DSL builder") {
