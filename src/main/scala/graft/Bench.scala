@@ -57,7 +57,8 @@ object Bench {
     "s03_cosine_dedup", "s04_knn_ivf", "s06_kmeans", "t02_quality_score",
     "t05_fingerprint", "t09_boilerplate", "t10_salient_terms",
     "m02_batch_decode", "sc01_script_transform", "st05_stateful_totals",
-    "w01_smb_join", "f06_parquet_codecs")
+    "w01_smb_join", "f06_parquet_codecs", "d09_line_dedup",
+    "c02_ingest_splits", "w04_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
