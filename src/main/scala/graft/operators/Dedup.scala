@@ -571,13 +571,13 @@ object Dedup {
     *
     * 100 TB shape: three shuffles, all on well-distributed keys —
     * (1) segment-hash groupBy for (count, canonical) over a NARROW
-    * (16-byte hash, 8-byte key) relation; (2) the join of segments
-    * against that table (at scale: keep the dup-table side filtered to
-    * n > 1 — unique segments, the overwhelming majority, pass through
-    * a left join miss untouched); (3) the per-document re-assembly
-    * groupBy. Boilerplate segments (the reason this step exists in C4)
-    * are exactly the hot keys — the n>1 filter keeps the joined side
-    * proportional to DUPLICATED text, not corpus size. */
+    * (16-byte hash, 8-byte key) relation; (2) a LEFT join of segments
+    * against that table filtered to n > 1 — unique segments, the
+    * overwhelming majority, pass through as a join miss untouched;
+    * (3) the per-document re-assembly groupBy. Boilerplate segments
+    * (the reason this step exists in C4) are exactly the hot keys —
+    * the n>1 filter keeps the joined side proportional to DUPLICATED
+    * text, not corpus size. */
   /** Exploded non-overlapping word-segment frame shared by d09 and the
     * c02 pipeline: one row per (doc, segment) with the segment text,
     * its word count, its md5 and the arithmetic canonical-occurrence
@@ -599,11 +599,25 @@ object Dedup {
   }
 
   /** Per-segment-hash (count, canonical first key) table for
-    * [[segments]] output. */
-  def segmentCanon(segs: DataFrame): DataFrame = {
+    * [[segments]] output, FILTERED to duplicated hashes (n > 1): unique
+    * segments — the overwhelming majority of any real corpus — never
+    * enter the join at all and pass through as a left-join miss, so the
+    * joined relation scales with DUPLICATED text, not corpus size. */
+  def segmentDups(segs: DataFrame): DataFrame = {
     val s = segs.sparkSession
     import s.implicits._
     segs.groupBy($"sh").agg(count(lit(1)).as("n"), min($"kk").as("first_k"))
+      .filter($"n" > 1)
+  }
+
+  /** [[segments]] with a `keep` flag: a segment survives when its text
+    * is corpus-unique (no row in [[segmentDups]]) or it is the
+    * canonical first occurrence. */
+  def segmentsWithKeep(segs: DataFrame): DataFrame = {
+    val s = segs.sparkSession
+    import s.implicits._
+    segs.join(segmentDups(segs), Seq("sh"), "left_outer")
+      .withColumn("keep", $"n".isNull || $"kk" === $"first_k")
   }
 
   val d09LineDedup: Q = Q(
@@ -633,10 +647,7 @@ object Dedup {
       |FROM k JOIN c USING (sh)
       |GROUP BY k.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val segs = segments(Tables.documents(s, d))
-    val canon = segmentCanon(segs)
-    segs.join(canon, "sh")
-      .withColumn("keep", $"n" === 1 || $"kk" === $"first_k")
+    segmentsWithKeep(segments(Tables.documents(s, d)))
       .groupBy($"doc_id")
       .agg(
         sum(when($"keep", 1L).otherwise(0L)).as("kept_segs"),

@@ -138,9 +138,8 @@ object Pipeline {
       .select($"doc_id", $"lang", $"quality")
     val docs = graft.sources.Tables.documents(s, d)
       .join(keep.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val segs = Dedup.segments(docs)
-    val perDoc = segs.join(Dedup.segmentCanon(segs), "sh")
-      .filter($"n" === 1 || $"kk" === $"first_k")
+    val perDoc = Dedup.segmentsWithKeep(Dedup.segments(docs))
+      .filter($"keep")
       .groupBy($"doc_id")
       .agg(sum($"n_words").as("clean_tokens"))
     val h2 = substring(md5($"doc_id".cast("string")), 1, 2)
