@@ -268,9 +268,59 @@ object Windows {
           .as("second_filled"))
   }
 
+  /** q79: TPC-DS Q51 shape — two channels aggregated independently,
+    * FULL OUTER joined on the shared time axis, then parallel
+    * cumulative sums computed over the joined axis (coalescing the
+    * channel a day is missing from to zero) with a crossover flag
+    * where one channel's cumulative overtakes the other. Cumulative
+    * sums stay DECIMAL through the running window (order-fixed frame,
+    * but decimal also survives any engine's frame evaluation strategy)
+    * and the overtake comparison runs on the exact decimals, so the
+    * boolean can't flip on a last-ulp tie.
+    *
+    * The unpartitioned window is over the DAY rollup — cardinality =
+    * distinct days, already collapsed by the per-channel aggregates —
+    * never over raw events (same discipline as q78; contrast q17's
+    * documented raw-row global window). */
+  lazy val q79CumulativeCrossover: Q = Q(
+    "q79_cumulative_crossover",
+    """WITH v AS (SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS v_dec
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS p_dec
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (SELECT coalesce(v.day, p.day) AS day, v_dec, p_dec
+      |      FROM v FULL JOIN p ON v.day = p.day)
+      |SELECT day,
+      |  CAST(sum(coalesce(v_dec, 0)) OVER w AS DOUBLE) AS cum_view,
+      |  CAST(sum(coalesce(p_dec, 0)) OVER w AS DOUBLE) AS cum_purchase,
+      |  sum(coalesce(p_dec, 0)) OVER w > sum(coalesce(v_dec, 0)) OVER w
+      |    AS purchase_ahead
+      |FROM j
+      |WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d)
+      def daily(kind: String, alias: String) =
+        e.filter($"event_type" === kind)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(Exact.dsumDec($"value").as(alias))
+      val j = daily("view", "v_dec")
+        .join(daily("purchase", "p_dec"), Seq("day"), "full_outer")
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumV = sum(coalesce($"v_dec", lit(0))).over(w)
+      val cumP = sum(coalesce($"p_dec", lit(0))).over(w)
+      j.select($"day", cumV.cast("double").as("cum_view"),
+        cumP.cast("double").as("cum_purchase"),
+        (cumP > cumV).as("purchase_ahead"))
+  }
+
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
-    q62IntervalFrame, q76Sessionize, q77IgnoreNulls)
+    q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
+    q79CumulativeCrossover)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

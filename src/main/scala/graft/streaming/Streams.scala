@@ -12,6 +12,12 @@ final case class Event(event_id: Long, ts: java.sql.Timestamp,
 final case class UserTotals(user_id: Long, n_events: Long,
     total_value: Double)
 
+/** A closed session emitted by [[Streams.SessionTimerProcessor]] when
+  * its event-time timer fires (or an in-batch gap closes it). */
+final case class UserSessionClosed(user_id: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long)
+
 /** Structured-Streaming operators over the events table (SURVEY.md §2.9:
   * the reference has NO stream engine — its streaming story is ACID
   * micro-batch ingest; the north star directs Structured Streaming).
@@ -151,6 +157,76 @@ object Streams {
       .transformWithState(new UserTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Session-window semantics rebuilt on transformWithState EVENT-TIME
+    * TIMERS (the capability that distinguishes the Spark 4 API from
+    * flatMapGroupsWithState's coarse per-batch timeouts): each open
+    * session arms a timer at last_event + gap; when the WATERMARK
+    * crosses it the engine calls [[SessionTimerProcessor
+    * .handleExpiredTimer]], which emits the closed session and clears
+    * state — timer-driven output, produced on watermark advance with
+    * no new data for the key. In-batch gaps close sessions inline.
+    * StreamingSpec replays the fixture and asserts the emitted
+    * sessions EQUAL the batch sessionize twin (st03's semantics). */
+  final case class SessionAcc(start: Long, last: Long, n: Long)
+
+  class SessionTimerProcessor(gapMs: Long = 30 * 60 * 1000L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserSessionClosed] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var acc: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc]("session",
+        org.apache.spark.sql.Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    private def close(uid: Long, a: SessionAcc): UserSessionClosed =
+      UserSessionClosed(uid, new java.sql.Timestamp(a.start),
+        new java.sql.Timestamp(a.last + gapMs), a.n)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserSessionClosed] = {
+      // Rows arrive in arrival order, not event-time order; sort the
+      // batch's slice (bounded by micro-batch size) before folding.
+      val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+      var cur = if (acc.exists()) acc.get() else null
+      var closed = List.empty[UserSessionClosed]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (cur == null) cur = SessionAcc(t, t, 1)
+        else if (t - cur.last > gapMs) {
+          closed ::= close(uid, cur); cur = SessionAcc(t, t, 1)
+        } else cur = SessionAcc(cur.start, math.max(cur.last, t), cur.n + 1)
+      }
+      // Arm (or re-arm) the open session's close timer. Earlier timers
+      // for superseded last-event times are left registered: they fire
+      // first and are ignored by the staleness guard in
+      // handleExpiredTimer (cheaper than enumerating-and-deleting).
+      getHandle.registerTimer(cur.last + gapMs)
+      acc.update(cur)
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[UserSessionClosed] = {
+      if (acc.exists() && acc.get().last + gapMs <= info.getExpiryTimeInMs) {
+        val out = close(uid, acc.get())
+        acc.clear()
+        Iterator.single(out)
+      } else Iterator.empty // stale timer from a superseded last-event
+    }
+  }
+
+  /** Timer-closed user sessions over a watermarked event stream. */
+  def userSessionsTws(events: Dataset[Event]): Dataset[UserSessionClosed] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Stream-stream interval join: purchases attributed to a view by the

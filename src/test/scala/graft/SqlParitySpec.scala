@@ -53,7 +53,8 @@ class SqlParitySpec extends AnyFunSuite {
     // clauses + NOT EXISTS, window-over-aggregate with a named WINDOW
     // (d09/c02 excluded: list_slice/unnest-range segmenting is
     // DuckDB-dialect)
-    "w04_merge_upsert", "dq01_quality_audit", "q78_moving_avg")
+    "w04_merge_upsert", "dq01_quality_audit", "q78_moving_avg",
+    "q79_cumulative_crossover")
 
   dualDialect.foreach { n =>
     test(s"$n: SQL text == DSL builder") {

@@ -459,4 +459,56 @@ class StreamingSpec extends AnyFunSuite {
       canon(twin.selectExpr(pick: _*).collect().toSeq),
       "restarted stream must converge to the batch aggregate")
   }
+
+  test("transformWithState event-time timers close sessions == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams.userSessionsTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_tws_timer").toString)
+      .start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // Two sentinel batches: the first advances the watermark past
+      // every real close-timer, the second gives the engine a batch in
+      // which those timers actually FIRE (watermark lags one batch).
+      val s0 = sentinel
+      mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-2L,
+        new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("tws_sessions").collect()
+        .filter(_.getLong(0) >= 0) // drop the sentinel user's session
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      val want = streaming.Streams
+        .sessionize(sources.Tables.events(spark, sf)).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(got.nonEmpty)
+      assert(got == want,
+        s"timer-closed sessions diverge: extra=${got -- want}, missing=${want -- got}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
