@@ -103,6 +103,39 @@ object Formats {
         min($"has_ext").as("ext_ok"))
   }
 
+  /** f09: RegexSerDe path — the reference parses arbitrary text lines
+    * into typed columns with a per-table regex; Spark-first that is
+    * spark.read.text + regexp_extract per capture group + cast (all
+    * codegen'd, no serde object churn). Doubles survive the text
+    * round-trip exactly because Java's shortest-repr double→string
+    * parses back to the identical bits, so the read-back aggregate
+    * hash-matches the oracle computed on the ORIGINAL table. */
+  val f09RegexSerde: Q = Q(
+    "f09_regex_serde",
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS total,
+      |  min(o_orderkey) AS min_key
+      |FROM orders WHERE o_orderkey < 1000
+      |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dest = tmp(d, "regex_serde")
+    Tables.orders(s, d).filter($"o_orderkey" < 1000)
+      .select(concat(lit("key="), $"o_orderkey", lit(" status="),
+        $"o_orderstatus", lit(" total="), $"o_totalprice".cast("string"))
+        .as("value"))
+      .write.mode("overwrite").text(dest)
+    val re = "^key=([0-9]+) status=(\\S+) total=(\\S+)$"
+    s.read.text(dest)
+      .select(
+        regexp_extract($"value", re, 1).cast("long").as("o_orderkey"),
+        regexp_extract($"value", re, 2).as("status"),
+        regexp_extract($"value", re, 3).cast("double").as("total_d"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), Exact.dsum($"total_d").as("total"),
+        min($"o_orderkey").as("min_key"))
+  }
+
   /** f05: text-format read (the reference's LazySimpleSerDe delimited
     * path): write lineitem keys as delimited text lines, read with
     * spark.read.text + split. */
@@ -157,5 +190,5 @@ object Formats {
   }
 
   val all: Seq[Q] = Seq(f01Csv, f02Json, f03Orc, f04BinaryFile, f05Text,
-    f06ParquetCodecs, f07SchemaEvolution, f08Xml)
+    f06ParquetCodecs, f07SchemaEvolution, f08Xml, f09RegexSerde)
 }
