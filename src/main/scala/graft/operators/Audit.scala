@@ -89,5 +89,53 @@ object Audit {
       .reduce(_ unionByName _)
   }
 
-  val all: Seq[Q] = Seq(dq01QualityAudit)
+  /** dq02: per-source (domain-level) quality gate — the RefinedWeb/
+    * Gopher-style aggregation filter that drops entire SOURCES, not
+    * documents: a domain whose crawl is mostly duplicated or degenerate
+    * text poisons training no matter how its individual pages score.
+    *
+    * Per source: exact-duplicate fraction (count minus distinct
+    * md5(text) within the source), token totals and the short-doc
+    * count, folded into a keep/drop verdict. One hash aggregate on
+    * `source` — at 100 TB this is a single shuffle whose key count is
+    * the domain count (millions, not billions), and every input metric
+    * is map-side combinable (count, sum, HLL-free exact distinct via
+    * a two-level (source, hash) pre-aggregate that itself combines).
+    *
+    * Every emitted column and every threshold compare is INTEGER
+    * arithmetic (cross-multiplied rationals: dup_frac<=1/5 is tested as
+    * 5*(n-distinct)<=n), so the verdict is exact cross-engine — no
+    * float boundary can flip a flag. */
+  val dq02SourceQuality: Q = Q(
+    "dq02_source_quality",
+    """WITH per_doc AS (
+      |  SELECT source, md5(text) AS h,
+      |    len(string_split(text, ' ')) AS n_toks
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup,
+      |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |    CAST(count(*) FILTER (WHERE n_toks < 30) AS BIGINT) AS n_short
+      |  FROM per_doc GROUP BY source)
+      |SELECT source, n_docs, n_dup, total_tokens, n_short,
+      |  (5 * n_dup <= n_docs AND 10 * n_short <= 3 * n_docs
+      |   AND total_tokens >= 15 * n_docs) AS keep
+      |FROM agg""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", md5($"text").as("h"),
+        size(split($"text", " ")).as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct($"h")).cast("long").as("n_dup"),
+        sum($"n_toks").cast("long").as("total_tokens"),
+        count(when($"n_toks" < 30, 1)).cast("long").as("n_short"))
+      .select($"source", $"n_docs", $"n_dup", $"total_tokens", $"n_short",
+        (lit(5) * $"n_dup" <= $"n_docs" &&
+          lit(10) * $"n_short" <= lit(3) * $"n_docs" &&
+          $"total_tokens" >= lit(15) * $"n_docs").as("keep"))
+  }
+
+  val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality)
 }

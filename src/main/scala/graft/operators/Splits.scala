@@ -216,6 +216,48 @@ object Splits {
         .limit(50)
   }
 
+  /** p06: deterministic per-epoch shuffle — multi-epoch training wants
+    * a DIFFERENT global permutation of the corpus each epoch, without
+    * any engine RNG (rand() changes under repartitioning) and without a
+    * global sort per epoch at materialization time. The permutation key
+    * is md5(doc_id ':e' epoch): content-independent, epoch-salted, so
+    * epoch 0 and epoch 1 orders are decorrelated but each is identical
+    * on any cluster shape, any day, any partitioning.
+    *
+    * Emitted here: the first 4 docs of each epoch's order (the
+    * verifiable prefix) plus the corpus size — enough for the oracle to
+    * pin all three permutations. The full-scale materialization path is
+    * the same expression as a sort key for the epoch's shard write
+    * (w02's partitioned write, ordered by the key within shards); the
+    * top-k prefix itself compiles to WindowGroupLimit per-partition
+    * heaps, never a full sort. */
+  val p06EpochShuffle: Q = Q(
+    "p06_epoch_shuffle",
+    """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+      |keyed AS (
+      |  SELECT e.epoch, d.doc_id,
+      |    md5(d.doc_id::VARCHAR || ':e' || e.epoch::VARCHAR) AS k
+      |  FROM documents d CROSS JOIN e),
+      |r AS (SELECT epoch, doc_id, k, row_number() OVER (
+      |        PARTITION BY epoch ORDER BY k, doc_id) AS pos
+      |      FROM keyed)
+      |SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos,
+      |  doc_id, k AS shuffle_key
+      |FROM r WHERE pos <= 4""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val epochs = s.range(0, 3).select($"id".cast("int").as("epoch"))
+    val keyed = Tables.documents(s, d).select($"doc_id")
+      .crossJoin(broadcast(epochs))
+      .select($"epoch", $"doc_id",
+        md5(concat($"doc_id".cast("string"), lit(":e"),
+          $"epoch".cast("string"))).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"epoch").orderBy($"k", $"doc_id")
+    keyed.withColumn("pos", row_number().over(w)).filter($"pos" <= 4)
+      .select($"epoch", $"pos".cast("int").as("pos"), $"doc_id",
+        $"k".as("shuffle_key"))
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
-    p04ChunkDocs, p05WeightedSample)
+    p04ChunkDocs, p05WeightedSample, p06EpochShuffle)
 }

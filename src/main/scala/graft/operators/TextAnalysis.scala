@@ -521,7 +521,65 @@ object TextAnalysis {
           / sum($"l" * $"c")).as("top_gram_char_frac"))
   }
 
+  /** t12: unigram-LM surprisal scoring — the perplexity-proxy quality
+    * filter (CCNet/Gopher style) with the in-pipeline trained model of
+    * t04: a deterministic train split (even doc_ids) fits add-one-
+    * smoothed unigram probabilities P(tok) = (c+1)/(N+V); each held-out
+    * doc is scored by its mean token surprisal -ln P(tok) (OOV tokens
+    * smoothed to c=0), and the 3 highest-surprisal (most "unnatural")
+    * docs per language are flagged.
+    *
+    * Fully distributed, no driver-side model: the count table is joined
+    * token-wise (inverted-index shape, one shuffle on tok), the per-doc
+    * mean is one doc-keyed aggregate, and the per-lang top-3 rank
+    * compiles to WindowGroupLimit — Spark pushes the k=3 limit into a
+    * map-side per-partition heap BEFORE the lang shuffle, so at 100 TB
+    * no language ever sorts its full document set.
+    *
+    * Oracle-safe by the t04 argument: ln() is libm (last-ulp divergence
+    * cross-engine, t10's measured finding), so surprisal VALUES are
+    * never emitted — only rank-derived rows, whose doc-to-doc margins
+    * (~1e-3 on this fixture) sit eleven orders above ulp jitter; ties
+    * break on doc_id. n_toks is an exact integer. */
+  val t12LmScore: Q = Q(
+    "t12_lm_score",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |train AS (SELECT tok FROM tok WHERE doc_id % 2 = 0),
+      |nv AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM train),
+      |cnt AS (SELECT tok, count(*) AS c FROM train GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, count(*) AS n_toks,
+      |    avg(-ln((coalesce(c.c, 0) + 1.0) / (nv.n + nv.v))) AS surprisal
+      |  FROM tok t LEFT JOIN cnt c USING (tok) CROSS JOIN nv
+      |  WHERE t.doc_id % 2 = 1
+      |  GROUP BY t.doc_id, t.lang),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY surprisal DESC, doc_id) AS rk FROM scored)
+      |SELECT lang, rk, doc_id, CAST(n_toks AS BIGINT) AS n_toks
+      |FROM r WHERE rk <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tokens = Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(toks($"text")).as("tok"))
+    val train = tokens.filter($"doc_id" % 2 === 0).select($"tok")
+    val nv = train.agg(count(lit(1)).as("n"),
+      countDistinct($"tok").as("v"))
+    val cnt = train.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val scored = tokens.filter($"doc_id" % 2 === 1)
+      .join(cnt, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_toks"),
+        avg(-log((coalesce($"c", lit(0)) + 1.0) / ($"n" + $"v")))
+          .as("surprisal"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"surprisal".desc, $"doc_id")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"lang", $"rk", $"doc_id", $"n_toks".cast("long").as("n_toks"))
+  }
+
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
     t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub,
-    t08Decontaminate, t09Boilerplate, t10SalientTerms, t11Repetition)
+    t08Decontaminate, t09Boilerplate, t10SalientTerms, t11Repetition,
+    t12LmScore)
 }

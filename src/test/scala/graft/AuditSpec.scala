@@ -20,6 +20,29 @@ class AuditSpec extends AnyFunSuite {
     assert(rows("lineitem_discount_domain") == 0L)
   }
 
+  test("dq02: per-source verdicts agree with independently computed fractions") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val out = SparkEntry.queries("dq02_source_quality")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, dup, tok, short) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_short"))
+      val expectKeep = 5 * dup <= n && 10 * short <= 3 * n && tok >= 15 * n
+      assert(r.getAs[Boolean]("keep") == expectKeep, s"source ${r.get(0)}")
+      assert(dup >= 0 && dup < n && short <= n)
+    }
+    // exact-dup count cross-checked for one source against a direct query
+    val src = out.head.getString(0)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"source" === src)
+      .agg((count(lit(1)) - countDistinct(md5($"text"))).as("d"))
+      .head().getLong(0)
+    assert(out.head.getAs[Long]("n_dup") == direct)
+  }
+
   test("w04: merge actions partition the keys by their %7 branch") {
     import org.apache.spark.sql.functions._
     val s = spark
