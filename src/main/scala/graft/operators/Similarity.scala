@@ -465,6 +465,196 @@ object Similarity {
         ($"sse3" > 0.0).as("sse_positive"))
   }
 
+  /** s07: product-quantization ANN (PQ scan + exact re-rank) — the
+    * memory-resident code path real ANN services pair with an IVF
+    * coarse layer: M=8 subspaces × 8 dims, K=16 centroids each, so a
+    * 64-dim float vector (256 B) compresses to 8 nibble codes (4 B) and
+    * query scoring is 8 table lookups per candidate instead of 64
+    * multiplies. Composes with s04's IVF probe (coarse-bucket the
+    * corpus, ADC-scan only probed buckets) for the sub-linear path; the
+    * exhaustive ADC scan here is the ground-truth variant at fixture
+    * scale.
+    *
+    * Every stage is hash-oracled — unusual for a trained quantizer —
+    * via three determinism devices:
+    *   1. the corpus is snapped to an INTEGER grid (floor(x*200+0.5);
+    *      |x|<=0.53 so codes fit int8). Codebook training then runs in
+    *      exact integer arithmetic: seed selection by md5 rank, one
+    *      Lloyd round whose assignment distances are integer L2² and
+    *      whose centroid update is an integer (sum, count) pair —
+    *      order-independent, so any partitioning yields the same
+    *      codebook, and DuckDB recomputes it bit-for-bit;
+    *   2. centroids are never materialized as rounded floats: distances
+    *      to the rational centroid s/c are compared as the integer
+    *      quantity Σ(c·x−s)² scaled by one IEEE division by c² —
+    *      correctly rounded, bit-identical cross-engine;
+    *   3. ADC sums its 8 per-subspace partials in fixed m-order
+    *      (sorted-struct fold here, list(... ORDER BY m) then list_sum
+    *      in the oracle) — identical association, so candidate-set
+    *      membership at the top-16 boundary cannot diverge.
+    * The emitted top-3 per query comes from an exact integer-L2
+    * re-rank of the 32 ADC candidates, so the final distances are pure
+    * BIGINTs. Each query finds itself at rank 1 / d2=0 — a built-in
+    * recall canary the oracle pins.
+    *
+    * 100 TB shape: codebook training touches every vector once (one
+    * shuffle per Lloyd stage on (m, c_id, dim) — 1,024 cells); encoding
+    * is one broadcast join (refined codebook = 1,024 rows); the ADC
+    * scan is map-only against a broadcast 512-row LUT; top-16/top-3
+    * ranks compile to WindowGroupLimit per-partition heaps. */
+  val s07KnnPq: Q = Q(
+    "s07_knn_pq",
+    """WITH q0 AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(x * 200.0 + 0.5) AS BIGINT)
+      |     FOR x IN embedding::DOUBLE[]] AS qx
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT qx, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+      |    AS c_id
+      |  FROM q0 QUALIFY c_id <= 16),
+      |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      |cells AS (
+      |  SELECT vec_id, m, qx[m*8+1 : m*8+8] AS sv FROM q0 CROSS JOIN ms),
+      |seedcells AS (
+      |  SELECT c_id, m, qx[m*8+1 : m*8+8] AS cv FROM seeds CROSS JOIN ms),
+      |assign0 AS (
+      |  SELECT vec_id, m, sv, c_id,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+      |                         FOR i IN range(1, 9)]), c_id) AS rk
+      |  FROM cells JOIN seedcells USING (m) QUALIFY rk = 1),
+      |dims AS (SELECT unnest(generate_series(1, 8)) AS dim),
+      |refined AS (
+      |  SELECT m, c_id, dim,
+      |    CAST(sum(sv[dim]) AS BIGINT) AS s_d,
+      |    CAST(count(*) AS BIGINT) AS c_n
+      |  FROM assign0 CROSS JOIN dims
+      |  GROUP BY m, c_id, dim),
+      |enc AS (
+      |  SELECT v.vec_id, v.m, r.c_id,
+      |    CAST(sum((r.c_n * v.sv[r.dim] - r.s_d)
+      |           * (r.c_n * v.sv[r.dim] - r.s_d)) AS BIGINT) AS i_int,
+      |    max(r.c_n) AS c_n
+      |  FROM cells v JOIN refined r USING (m)
+      |  GROUP BY v.vec_id, v.m, r.c_id),
+      |codes AS (
+      |  SELECT vec_id, m, c_id,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY CAST(i_int AS DOUBLE) / (c_n * c_n), c_id) AS rk
+      |  FROM enc QUALIFY rk = 1),
+      |qs AS (
+      |  SELECT vec_id AS query_id, row_number() OVER (
+      |    ORDER BY md5(vec_id::VARCHAR || ':q'), vec_id) AS qrk
+      |  FROM q0 QUALIFY qrk <= 4),
+      |lut AS (
+      |  SELECT q.query_id, e.m, e.c_id,
+      |    CAST(e.i_int AS DOUBLE) / (e.c_n * e.c_n) AS partial
+      |  FROM qs q JOIN enc e ON e.vec_id = q.query_id),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id,
+      |    list_sum(list(l.partial ORDER BY l.m)) AS adc_d2
+      |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.c_id
+      |  GROUP BY l.query_id, c.vec_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_d2, vec_id) AS crk
+      |  FROM adc QUALIFY crk <= 32),
+      |rerank AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    list_sum([(a.qx[i] - b.qx[i]) * (a.qx[i] - b.qx[i])
+      |              FOR i IN range(1, 65)]) AS d2_exact
+      |  FROM cand c JOIN q0 a ON a.vec_id = c.query_id
+      |              JOIN q0 b ON b.vec_id = c.vec_id),
+      |final AS (
+      |  SELECT query_id, vec_id, d2_exact, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY d2_exact, vec_id) AS rk
+      |  FROM rerank QUALIFY rk <= 3)
+      |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+      |  CAST(d2_exact AS BIGINT) AS d2_exact
+      |FROM final""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def sqSumL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+    val q0 = Tables.embeddings(s, d).select($"vec_id",
+      transform($"embedding",
+        x => floor(x.cast("double") * 200.0 + 0.5).cast("long")).as("qx"))
+
+    val seeds = q0
+      .withColumn("c_id", row_number().over(
+        Window.orderBy(md5($"vec_id".cast("string")), $"vec_id")))
+      .filter($"c_id" <= 16)
+
+    val ms = s.range(0, 8).select($"id".cast("int").as("m"))
+    def subCells(df: DataFrame, idCol: String): DataFrame = df
+      .crossJoin(broadcast(ms))
+      .select(col(idCol), $"m", expr("slice(qx, m*8+1, 8)").as("sv"))
+
+    val cells = subCells(q0, "vec_id")
+    val seedcells = subCells(seeds.select($"c_id", $"qx"), "c_id")
+      .withColumnRenamed("sv", "cv")
+
+    // one Lloyd round: integer argmin over seeds (struct-min = map-side
+    // combinable argmin with the (d2, c_id) tie-break), then integer
+    // per-dim (sum, count) centroid state
+    val assign0 = cells.join(broadcast(seedcells), "m")
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct(sqSumL($"sv", $"cv").as("d2"), $"c_id", $"sv"))
+        .as("best"))
+      .select($"m", $"best.c_id".as("c_id"), $"best.sv".as("sv"))
+    val refined = assign0
+      .select($"m", $"c_id", posexplode($"sv").as(Seq("p", "x")))
+      .groupBy($"m", $"c_id", ($"p" + 1).as("dim"))
+      .agg(sum($"x").as("s_d"), count(lit(1)).as("c_n"))
+
+    // encode: distance to the rational centroid s/c compared via the
+    // exact integer Σ(c·x−s)² over one IEEE division by c²
+    val enc = cells.join(broadcast(refined), "m")
+      .groupBy($"vec_id", $"m", $"c_id")
+      .agg(sum(($"c_n" * element_at($"sv", $"dim".cast("int")) - $"s_d")
+        * ($"c_n" * element_at($"sv", $"dim".cast("int")) - $"s_d"))
+        .as("i_int"),
+        max($"c_n").as("c_n"))
+    val codes = enc
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct(($"i_int".cast("double") / ($"c_n" * $"c_n"))
+        .as("d2"), $"c_id")).as("best"))
+      .select($"vec_id", $"m", $"best.c_id".as("c_id"))
+
+    val qs = q0
+      .withColumn("qrk", row_number().over(Window.orderBy(
+        md5(concat($"vec_id".cast("string"), lit(":q"))), $"vec_id")))
+      .filter($"qrk" <= 4)
+      .select($"vec_id".as("query_id"))
+    val lut = qs.join(enc, $"vec_id" === $"query_id")
+      .select($"query_id", $"m", $"c_id",
+        ($"i_int".cast("double") / ($"c_n" * $"c_n")).as("partial"))
+
+    // ADC: fixed m-order fold of the 8 partials (bit-identical to the
+    // oracle's list(... ORDER BY m) → list_sum)
+    val adc = codes.join(broadcast(lut), Seq("m", "c_id"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct($"m", $"partial"))),
+          p => p.getField("partial")),
+        lit(0.0), _ + _).as("adc_d2"))
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adc_d2", $"vec_id")
+    val cand = adc.withColumn("crk", row_number().over(wAdc))
+      .filter($"crk" <= 32).select($"query_id", $"vec_id")
+
+    val rerank = cand
+      .join(q0.select($"vec_id".as("query_id"), $"qx".as("qa")), "query_id")
+      .join(q0.select($"vec_id", $"qx".as("qb")), "vec_id")
+      .select($"query_id", $"vec_id", sqSumL($"qa", $"qb").as("d2_exact"))
+    val wFin = Window.partitionBy($"query_id")
+      .orderBy($"d2_exact", $"vec_id")
+    rerank.withColumn("rk", row_number().over(wFin)).filter($"rk" <= 3)
+      .select($"query_id", $"rk".cast("int").as("rk"), $"vec_id",
+        $"d2_exact".cast("long").as("d2_exact"))
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
-    s05Quantize, s06Kmeans)
+    s05Quantize, s06Kmeans, s07KnnPq)
 }

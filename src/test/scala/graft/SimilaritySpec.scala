@@ -100,4 +100,37 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     rows.foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
   }
+
+  test("PQ knn: self at rank 1, exact re-rank distances, high recall@3") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("s07_knn_pq")(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 4)
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      // the query vector is in the corpus: PQ candidates must recover it
+      assert(sorted.head.getLong(2) == q && sorted.head.getLong(3) == 0L)
+      // re-ranked distances are nondecreasing in rank
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sorted.toSeq)
+    }
+    // recall@3 vs the exact integer-grid scan (ADC candidates are
+    // approximate; the 16-candidate pool must still capture the true
+    // top-3 almost always on this fixture)
+    val q0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 200.0 + 0.5).cast("long")).as("qx"))
+    val grid = q0.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val hits = byQuery.keys.toSeq.map { q =>
+      val qv = grid(q)
+      val exact3 = grid.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d2) => (d2, id) }.take(3).map(_._1).toSet
+      byQuery(q).map(_.getLong(2)).count(exact3.contains)
+    }.sum
+    assert(hits >= 10, s"recall@3 too low: $hits/12")
+  }
 }
