@@ -142,6 +142,67 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(running) == canon(viaDsl))
   }
 
+  test("dq02 source gate as Spark SQL text matches the DSL builder") {
+    register()
+    val viaSql = spark.sql(
+      """WITH per_doc AS (
+        |  SELECT source, md5(text) AS h, size(split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) FILTER (WHERE n_toks < 30) AS BIGINT) AS n_short
+        |  FROM per_doc GROUP BY source)
+        |SELECT source, n_docs, n_dup, total_tokens, n_short,
+        |  (5 * n_dup <= n_docs AND 10 * n_short <= 3 * n_docs
+        |   AND total_tokens >= 15 * n_docs) AS keep
+        |FROM agg""".stripMargin)
+    val viaDsl = SparkEntry.queries("dq02_source_quality")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("t12 LM surprisal as Spark SQL text matches the DSL builder") {
+    register()
+    val viaSql = spark.sql(
+      """WITH tok AS (SELECT doc_id, lang, word AS tok FROM documents
+        |             LATERAL VIEW explode(split(text, ' ')) t AS word),
+        |train AS (SELECT tok FROM tok WHERE doc_id % 2 = 0),
+        |nv AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM train),
+        |cnt AS (SELECT tok, count(*) AS c FROM train GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, count(*) AS n_toks,
+        |    avg(-ln((coalesce(c.c, 0) + 1.0) / (nv.n + nv.v))) AS surprisal
+        |  FROM tok t LEFT JOIN cnt c USING (tok) CROSS JOIN nv
+        |  WHERE t.doc_id % 2 = 1
+        |  GROUP BY t.doc_id, t.lang),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY surprisal DESC, doc_id) AS rk FROM scored)
+        |SELECT lang, rk, doc_id, CAST(n_toks AS BIGINT) AS n_toks
+        |FROM r WHERE rk <= 3""".stripMargin)
+    val viaDsl = SparkEntry.queries("t12_lm_score")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("p06 epoch shuffle as Spark SQL text matches the DSL builder") {
+    register()
+    val viaSql = spark.sql(
+      """WITH e AS (SELECT explode(array(0, 1, 2)) AS epoch),
+        |keyed AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5(concat(CAST(d.doc_id AS STRING), ':e',
+        |               CAST(e.epoch AS STRING))) AS k
+        |  FROM documents d CROSS JOIN e),
+        |r AS (SELECT epoch, doc_id, k, row_number() OVER (
+        |        PARTITION BY epoch ORDER BY k, doc_id) AS pos
+        |      FROM keyed)
+        |SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos,
+        |  doc_id, k AS shuffle_key
+        |FROM r WHERE pos <= 4""".stripMargin)
+    val viaDsl = SparkEntry.queries("p06_epoch_shuffle")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
   test("windowed SQL with WINDOW clause parses and matches inline OVER") {
     register()
     val withClause = spark.sql(
