@@ -143,14 +143,13 @@ object Dedup {
     * rest of the pipeline unchanged. */
   private val MinhashP = 2147483647L
 
-  def minhashPairs(s: SparkSession, d: String, numHashes: Int,
-      bands: Int): DataFrame = {
+  /** (doc_id, sig[numHashes]) minhash signatures — shingles exploded
+    * ONCE and the signature built as numHashes min aggregates (an
+    * array-expression formulation would be re-inlined per hash by
+    * CollapseProject, recomputing the shingle array numHashes times).
+    * One shuffle on doc_id, linear hashing. */
+  def minhashSigs(s: SparkSession, d: String, numHashes: Int): DataFrame = {
     import s.implicits._
-    val r = numHashes / bands
-    // Shingles are exploded ONCE and the signature built as 64 min
-    // aggregates — an array-expression formulation would be re-inlined
-    // per hash by CollapseProject, recomputing the shingle array
-    // numHashes times. One shuffle on doc_id, linear hashing.
     val shingleRows = Tables.documents(s, d)
       .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
       .select($"doc_id", md5($"g").as("m"))
@@ -159,14 +158,18 @@ object Dedup {
           .as("lo"),
         (conv(substring($"m", 9, 8), 16, 10).cast("long") % MinhashP)
           .as("hi"))
-    val sigs = shingleRows.groupBy($"doc_id")
+    shingleRows.groupBy($"doc_id")
       .agg(min($"lo" % MinhashP).as("h0"),
         (1 until numHashes).map(i =>
           min(($"lo" + lit(i.toLong) * $"hi") % MinhashP).as(s"h$i")): _*)
       .select($"doc_id",
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", shingles(toks($"text")).as("sh"))
+  }
+
+  /** LSH band candidates (doc_a < doc_b) from a signature table. */
+  def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
     val banded = sigs
       .select($"doc_id", explode(array((0 until bands).map(b => struct(
         lit(b).as("band"),
@@ -174,12 +177,21 @@ object Dedup {
           slice($"sig", b * r + 1, r).cast("array<string>")).as("bh")
       )): _*)).as("b"))
       .select($"doc_id", $"b.band", $"b.bh")
-    val cands = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
+  }
+
+  def minhashPairs(s: SparkSession, d: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSigs(s, d, numHashes)
+    val cands = bandCandidates(sigs, bands, numHashes / bands)
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", shingles(toks($"text")).as("sh"))
     val sets = docs.select($"doc_id", $"sh")
     cands
       .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
@@ -659,7 +671,66 @@ object Dedup {
             x => x.getField("seg")))).as("clean_hash"))
   }
 
+  /** d10: MinHash near-dup pairs with the Jaccard ESTIMATED from the
+    * signatures themselves (matching positions / 64) instead of d03's
+    * exact shingle-set verification join — the configuration a 100 TB
+    * run actually ships: candidate generation and scoring both touch
+    * only the 64-long signature (512 B/doc), never the shingle sets,
+    * so the verification cost per candidate is O(numHashes), not
+    * O(|doc|), and the raw text never enters the pair stage at all.
+    * d03 (exact gate) remains the ground truth; DedupSpec measures the
+    * estimate against it.
+    *
+    * Oracle-exact: the portable md5 Kirsch-Mitzenmacher family means
+    * DuckDB recomputes identical signatures; the estimate is an integer
+    * match count over a /64 dyadic fraction (finite decimal at 6
+    * places), so even the rounded estimate hashes identically. */
+  val d10MinhashEstimate: Q = Q(
+    "d10_minhash_estimate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |est AS (SELECT c.doc_a, c.doc_b,
+      |          count(*) FILTER (WHERE a.mh = b.mh) AS matches
+      |        FROM cands c
+      |        JOIN mins a ON a.doc_id = c.doc_a
+      |        JOIN mins b ON b.doc_id = c.doc_b AND a.i = b.i
+      |        GROUP BY c.doc_a, c.doc_b)
+      |SELECT doc_a, doc_b, CAST(matches AS INT) AS matches,
+      |  round(matches / 64.0, 6) AS est_jaccard
+      |FROM est WHERE 2 * matches >= 64""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sigs = minhashSigs(s, d, numHashes = 64)
+    val cands = bandCandidates(sigs, bands = 16, r = 4)
+    cands
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        aggregate(zip_with($"sig_a", $"sig_b",
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .as("matches"))
+      .filter(lit(2) * $"matches" >= 64)
+      .select($"doc_a", $"doc_b", $"matches".cast("int").as("matches"),
+        round($"matches" / 64.0, 6).as("est_jaccard"))
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
     d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup,
-    d08IncrementalDedup, d09LineDedup)
+    d08IncrementalDedup, d09LineDedup, d10MinhashEstimate)
 }

@@ -155,6 +155,30 @@ object StreamingQueries {
           .cast("double").as("attr_value"))
   }
 
+  /** st10: batch twin of the stream-static LEFT ANTI replay gate —
+    * events whose id the ingested corpus (every third id here) already
+    * holds are dropped before ingest; survivors aggregate per type with
+    * exact-decimal value totals. See [[graft.streaming.Streams
+    * .replaySurvivors]] for the streaming semantics and the digest-
+    * table scale note. */
+  val st10ReplayGate: Q = Q(
+    "st10_replay_gate",
+    """WITH seen AS (SELECT event_id FROM events WHERE event_id % 3 = 0)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = e.event_id)
+      |GROUP BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val events = Tables.events(s, d)
+    val seen = events.filter($"event_id" % 3 === 0).select($"event_id")
+    Streams.replaySurvivors(events, seen)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
-    st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin)
+    st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
+    st10ReplayGate)
 }

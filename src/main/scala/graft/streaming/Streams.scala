@@ -309,6 +309,22 @@ object Streams {
         $"segment", $"n", $"sum_value")
   }
 
+  /** Ingest replay gate: drop stream rows whose id is already in the
+    * ingested corpus — the streaming face of d08's incremental
+    * batch-vs-corpus dedup. A stream-static LEFT ANTI join is stateless
+    * on the stream side (no watermark state; the static side is
+    * re-planned and broadcast per micro-batch), so a restart or
+    * re-delivered backfill cannot re-ingest rows the corpus already
+    * holds. At 100 TB the static side is not the corpus itself but its
+    * id/content-hash digest table (what d08 builds) — small enough to
+    * broadcast, or bucketed to co-locate with the stream's shuffle if
+    * not. Works identically on batch inputs (the oracle twin). */
+  def replaySurvivors(events: DataFrame, seen: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.join(broadcast(seen), Seq("event_id"), "left_anti")
+  }
+
   /** Streaming dedup on (event_id, ts) — the event-time column is IN the
     * dedup keys, which is what lets Spark evict state once the watermark
     * passes an event's timestamp. A bare `dropDuplicates("event_id")`

@@ -26,6 +26,26 @@ class DedupSpec extends AnyFunSuite {
       "d03 emitted a pair that fails exact verification")
   }
 
+  test("d10 signature estimate tracks the exact jaccard on shared pairs") {
+    val exact = SparkEntry.queries("d03_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = SparkEntry.queries("d10_minhash_estimate")(spark, sf)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = exact.keySet.intersect(est.keySet)
+    assert(shared.nonEmpty, "no common pairs to compare")
+    // 64-hash minhash: stderr of the estimate is sqrt(J(1-J)/64) <= 0.0625;
+    // allow 4 sigma per pair and a tight mean
+    val errs = shared.toSeq.map(k => math.abs(exact(k) - est(k)))
+    assert(errs.max <= 0.25, s"worst estimate error ${errs.max}")
+    assert(errs.sum / errs.size <= 0.08,
+      s"mean estimate error ${errs.sum / errs.size}")
+    // both gates are J>=0.5 on the same candidates: sets mostly agree
+    val overlap = shared.size.toDouble / math.max(exact.size, est.size)
+    assert(overlap >= 0.6, s"pair-set overlap $overlap too low")
+  }
+
   test("simhash pairs are symmetric-free and hamming-bounded") {
     val rows = SparkEntry.queries("d05_simhash")(spark, sf).collect()
     rows.foreach { r =>

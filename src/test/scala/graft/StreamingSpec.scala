@@ -511,4 +511,20 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stream-static LEFT ANTI replay gate equals the batch twin") {
+    import spark.implicits._
+    val events = sources.Tables.events(spark, sf)
+    val seen = events.filter($"event_id" % 3 === 0).select($"event_id")
+    // stateless anti join: no watermark, append mode, exact row parity
+    val got = runStream(
+      df => streaming.Streams.replaySurvivors(df, seen), "replay_out")
+      .filter(_.getAs[Long]("event_id") != -1L) // sentinel survives the gate
+    val want = streaming.Streams.replaySurvivors(events, seen)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    // every third id was gated out
+    assert(want.forall(_.getAs[Long]("event_id") % 3 != 0))
+    assert(canon(got) == canon(want))
+  }
 }
