@@ -297,4 +297,26 @@ class PlanSpec extends AnyFunSuite {
     assert("(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\], FullOuter".r
       .findFirstIn(p).nonEmpty, s"expected full-outer equi join:\n$p")
   }
+
+  test("t12/p06: per-group top-k ranks plan WindowGroupLimit heaps") {
+    // the scaladoc claim "no language ever sorts its full document set"
+    // is a plan property — pin it (same WindowGroupLimit machinery as
+    // q13, here under the rank<=3 / pos<=4 filters)
+    Seq("t12_lm_score", "p06_epoch_shuffle").foreach { n =>
+      assert(plan(n).contains("WindowGroupLimit"),
+        s"$n: no WindowGroupLimit:\n${plan(n)}")
+    }
+  }
+
+  test("st10: replay gate is a broadcast LEFT ANTI join, no shuffle on the stream side") {
+    val p = plan("st10_replay_gate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti:\n$p")
+  }
+
+  test("s07: codebook and LUT joins broadcast; ranks are bounded heaps") {
+    val p = plan("s07_knn_pq")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no bounded rank heap:\n$p")
+  }
 }
