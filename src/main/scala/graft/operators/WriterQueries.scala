@@ -153,6 +153,64 @@ object WriterQueries {
         min($"key").as("min_key"), max($"key").as("max_key"))
   }
 
+  /** w05: Z-order (Morton) file-layout statistics — the multi-column
+    * data-skipping layout for 100 TB tables that are filtered on MORE
+    * than one column. A single-column sort gives perfect min/max
+    * pruning on that column and NONE on any other; interleaving the
+    * bits of two (octile-bucketed) sort keys bounds EVERY file's
+    * range in BOTH dimensions. With 8 files over the (l_partkey,
+    * l_suppkey) grid: a partkey-octile filter needs 4 of 8 files and a
+    * suppkey-octile filter 2 of 8 — versus 1/8 and 8/8 for the
+    * partkey-sorted layout (MiscSpec pins these counts against the
+    * sorted baseline). File sizes stay balanced (~N/8 each) because
+    * the space-filling curve inherits the key distribution.
+    *
+    * The query emits the per-file bounding boxes a parquet reader
+    * would consult (min/max of each dimension per file): pure integer
+    * arithmetic — octiles by exact integer division off a maxes
+    * broadcast, Morton code by shift/mask — so the whole layout is
+    * hash-oracled. The write itself is `df.withColumn("zfile",
+    * zcode >> 3).write.partitionBy("zfile")` + within-file sort on the
+    * full code (w02's partitioned-write machinery, unchanged). */
+  val w05ZorderStats: Q = Q(
+    "w05_zorder_stats",
+    """WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+      |            FROM lineitem),
+      |oct AS (SELECT CAST(l_partkey * 8 // (mp + 1) AS BIGINT) AS pa,
+      |               CAST(l_suppkey * 8 // (ms + 1) AS BIGINT) AS pb
+      |        FROM lineitem CROSS JOIN mx),
+      |z AS (SELECT pa, pb,
+      |        ((pa & 1) << 0) | ((pb & 1) << 1) | (((pa >> 1) & 1) << 2)
+      |        | (((pb >> 1) & 1) << 3) | (((pa >> 2) & 1) << 4)
+      |        | (((pb >> 2) & 1) << 5) AS z6
+      |      FROM oct)
+      |SELECT CAST(z6 >> 3 AS INT) AS zfile, count(*) AS n,
+      |  CAST(min(pa) AS INT) AS min_pa, CAST(max(pa) AS INT) AS max_pa,
+      |  CAST(min(pb) AS INT) AS min_pb, CAST(max(pb) AS INT) AS max_pb
+      |FROM z GROUP BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val mx = li.agg(max($"l_partkey").as("mp"), max($"l_suppkey").as("ms"))
+    val oct = li.crossJoin(broadcast(mx))
+      .select(floor($"l_partkey" * 8 / ($"mp" + 1)).as("pa"),
+        floor($"l_suppkey" * 8 / ($"ms" + 1)).as("pb"))
+    val z6 = Seq(
+      shiftleft($"pa".bitwiseAND(1), 0),
+      shiftleft($"pb".bitwiseAND(1), 1),
+      shiftleft(shiftright($"pa", 1).bitwiseAND(1), 2),
+      shiftleft(shiftright($"pb", 1).bitwiseAND(1), 3),
+      shiftleft(shiftright($"pa", 2).bitwiseAND(1), 4),
+      shiftleft(shiftright($"pb", 2).bitwiseAND(1), 5)
+    ).reduce(_ bitwiseOR _)
+    oct.withColumn("z6", z6)
+      .groupBy(shiftright($"z6", 3).cast("int").as("zfile"))
+      .agg(count(lit(1)).as("n"),
+        min($"pa").cast("int").as("min_pa"),
+        max($"pa").cast("int").as("max_pa"),
+        min($"pb").cast("int").as("min_pb"),
+        max($"pb").cast("int").as("max_pb"))
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
-    w04MergeUpsert)
+    w04MergeUpsert, w05ZorderStats)
 }

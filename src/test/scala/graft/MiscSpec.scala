@@ -80,6 +80,27 @@ class MiscSpec extends AnyFunSuite {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("w05 z-order: both dimensions bounded per file, beats single-dim sort") {
+    val rows = SparkEntry.queries("w05_zorder_stats")(spark, sf).collect()
+    assert(rows.length == 8)
+    // every file's bounding box is constrained in BOTH dims: pa spans
+    // at most 4 octiles, pb at most 2 (the 8-files Morton split)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("max_pa") - r.getAs[Int]("min_pa") <= 3)
+      assert(r.getAs[Int]("max_pb") - r.getAs[Int]("min_pb") <= 1)
+    }
+    // data skipping: a suppkey-octile filter (pb=5) touches 2 of 8
+    // files; a partkey-octile filter (pa=5) touches 4 of 8. The
+    // partkey-SORTED baseline would touch 8 of 8 for the pb filter.
+    def touching(dim: String, v: Int) = rows.count(r =>
+      r.getAs[Int](s"min_$dim") <= v && v <= r.getAs[Int](s"max_$dim"))
+    assert(touching("pb", 5) == 2, s"pb filter files: ${touching("pb", 5)}")
+    assert(touching("pa", 5) == 4, s"pa filter files: ${touching("pa", 5)}")
+    // file sizes balanced: largest within 2x of smallest
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.max <= 2 * ns.min, s"unbalanced files: ${ns.toSeq}")
+  }
+
   test("p06 epoch shuffle: three decorrelated deterministic prefixes") {
     val rows = SparkEntry.queries("p06_epoch_shuffle")(spark, sf).collect()
     val byEpoch = rows.groupBy(_.getInt(0))
