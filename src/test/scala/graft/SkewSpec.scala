@@ -52,6 +52,22 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces a nearly-empty shuffle (AQEShuffleRead coalesced)") {
+    import spark.implicits._
+    // The complement of the skew split: a 5-group aggregate shuffled
+    // over 32 partitions leaves ~27 empty — CoalesceShufflePartitions
+    // must fold them at runtime (the reference sizes reducers at plan
+    // time from stats; AQE does it from the ACTUAL map output, which is
+    // what survives a 1000-executor cluster where stats lie).
+    val df = sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"expected coalesced shuffle read:\n$p")
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val li = sources.Tables.lineitem(spark, sf)
