@@ -137,5 +137,60 @@ object Audit {
           $"total_tokens" >= lit(15) * $"n_docs").as("keep"))
   }
 
-  val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality)
+  /** dq03: embedding-corpus audit — the vector-side gate dq01 is for
+    * the relational side: NULL or wrong-dimension vectors crash batched
+    * ANN kernels, non-finite components poison every distance they
+    * touch, zero-norm vectors make cosine undefined, and duplicate ids
+    * silently overweight their content in k-means/IVF training. One
+    * pruned scan of the embeddings table (map-side higher-order checks,
+    * no shuffle) plus one id-keyed aggregate for the uniqueness check;
+    * all counts exact integers. */
+  val dq03EmbeddingAudit: Q = Q(
+    "dq03_embedding_audit",
+    """SELECT 'null_embedding' AS chk,
+      |  CAST(count(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
+      |    AS n_violations
+      |FROM embeddings
+      |UNION ALL
+      |SELECT 'wrong_dim',
+      |  CAST(count(*) FILTER (WHERE len(embedding) <> 64) AS BIGINT)
+      |FROM embeddings
+      |UNION ALL
+      |SELECT 'non_finite',
+      |  CAST(count(*) FILTER (WHERE list_sum([CASE WHEN isnan(x)
+      |    OR isinf(x) THEN 1 ELSE 0 END FOR x IN embedding]) > 0)
+      |    AS BIGINT)
+      |FROM embeddings
+      |UNION ALL
+      |SELECT 'zero_norm',
+      |  CAST(count(*) FILTER (WHERE list_sum(
+      |    [x*x FOR x IN embedding::DOUBLE[]]) = 0) AS BIGINT)
+      |FROM embeddings
+      |UNION ALL
+      |SELECT 'dup_vec_id',
+      |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+      |  SELECT count(*) AS n FROM embeddings GROUP BY vec_id
+      |  HAVING count(*) > 1)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    def check(name: String, n: org.apache.spark.sql.Column)(
+        df: org.apache.spark.sql.DataFrame) =
+      df.agg(n.cast("long").as("n_violations"))
+        .select(lit(name).as("chk"), $"n_violations")
+    val dv = transform($"embedding", x => x.cast("double"))
+    Seq(
+      check("null_embedding", count(when($"embedding".isNull, 1)))(emb),
+      check("wrong_dim", count(when(size($"embedding") =!= 64, 1)))(emb),
+      check("non_finite", count(when(
+        exists(dv, x => isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity), 1)))(emb),
+      check("zero_norm", count(when(
+        aggregate(dv, lit(0.0), (acc, x) => acc + x * x) === 0.0, 1)))(emb),
+      check("dup_vec_id", coalesce(sum($"n" - 1), lit(0)))(
+        emb.groupBy($"vec_id").agg(count(lit(1)).as("n")).filter($"n" > 1))
+    ).reduce(_ unionByName _)
+  }
+
+  val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
+    dq03EmbeddingAudit)
 }

@@ -258,6 +258,52 @@ object Splits {
         $"k".as("shuffle_key"))
   }
 
+  /** p07: sequence packing — the GPT-style concat-and-chunk that turns
+    * variable-length documents into fixed 2048-token training examples
+    * with zero padding waste: documents are laid out in p06's epoch-0
+    * deterministic order, a running token prefix-sum assigns each doc
+    * the bin its FIRST token lands in, and a doc whose span crosses a
+    * boundary is the bin's straddler (split across examples, attention-
+    * masked downstream). Every bin then holds ~budget tokens exactly —
+    * no per-bin first-fit search, which is what makes this the packing
+    * that scales: one sort + one prefix sum, both O(n log n).
+    *
+    * The global window here is the FIXTURE shape: at 100 TB the same
+    * two expressions run per SHARD (p01/p03 partition first, then
+    * Window.partitionBy(shard)) — packing never needs cross-shard
+    * order, so no single-reducer sort exists at scale. Emitted: the
+    * first 10 bins' integer stats (exact prefix-sum arithmetic, fully
+    * hash-oracled). */
+  val p07SequencePack: Q = Q(
+    "p07_sequence_pack",
+    """WITH ordered AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |       md5(doc_id::VARCHAR || ':e0') AS k FROM documents),
+      |c AS (SELECT doc_id, n_toks, sum(n_toks) OVER (ORDER BY k, doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM ordered),
+      |b AS (SELECT doc_id, n_toks,
+      |        CAST((cum - n_toks) // 2048 AS BIGINT) AS bin,
+      |        CAST((cum - 1) // 2048 AS BIGINT) AS bin_end FROM c)
+      |SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) FILTER (WHERE bin_end > bin) AS BIGINT) AS n_straddle
+      |FROM b WHERE bin < 10 GROUP BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"k", $"doc_id").rowsBetween(Long.MinValue, 0)
+    Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
+        md5(concat($"doc_id".cast("string"), lit(":e0"))).as("k"))
+      .withColumn("cum", sum($"n_toks").over(w))
+      .select($"doc_id", $"n_toks",
+        floor(($"cum" - $"n_toks") / 2048).as("bin"),
+        floor(($"cum" - 1) / 2048).as("bin_end"))
+      .filter($"bin" < 10)
+      .groupBy($"bin".cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").cast("long").as("total_tokens"),
+        count(when($"bin_end" > $"bin", 1)).cast("long").as("n_straddle"))
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
-    p04ChunkDocs, p05WeightedSample, p06EpochShuffle)
+    p04ChunkDocs, p05WeightedSample, p06EpochShuffle, p07SequencePack)
 }

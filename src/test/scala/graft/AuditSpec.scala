@@ -43,6 +43,26 @@ class AuditSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_dup") == direct)
   }
 
+  test("dq03: embedding audit reports all five checks, fixture is clean") {
+    val rows = SparkEntry.queries("dq03_embedding_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("null_embedding", "wrong_dim", "non_finite",
+      "zero_norm", "dup_vec_id"))
+    assert(rows.values.forall(_ == 0L), s"fixture should be clean: $rows")
+  }
+
+  test("p07: every packed bin fills to the token budget, one straddler each") {
+    val rows = SparkEntry.queries("p07_sequence_pack")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val toks = r.getAs[Long]("total_tokens")
+      // concat-and-chunk leaves no padding gap beyond one doc's tail
+      assert(toks >= 1900 && toks <= 2400, s"bin fill $toks")
+      assert(r.getAs[Long]("n_straddle") <= 1)
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
+
   test("w04: merge actions partition the keys by their %7 branch") {
     import org.apache.spark.sql.functions._
     val s = spark
