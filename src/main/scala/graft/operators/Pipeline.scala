@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.sources.Tables
 
 /** End-to-end corpus-cleaning pipeline — the composition a real
   * training-data run executes: quality filter → near-duplicate removal
@@ -153,5 +154,80 @@ object Pipeline {
         Exact.davg($"quality").as("avg_quality"))
   }
 
-  val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits)
+  /** c03: pretraining-corpus funnel — the round-3 operators composed
+    * end to end the way a corpus build runs them: dq02's source-level
+    * gate first (drop whole domains before touching their documents —
+    * the cheapest cut), d01's exact dedup on the survivors (canonical =
+    * min doc_id per content hash), a token-count quality floor, then
+    * p07's packing BUDGET (concat-and-chunk means examples =
+    * ceil(tokens/2048) exactly — no window needed for the count).
+    * Emitted: the funnel table (stage, docs, tokens) every corpus run
+    * reports, all exact integer arithmetic.
+    *
+    * 100 TB shape: stage order is the cost order — the source gate is
+    * one domain-keyed aggregate over hashes already computed map-side;
+    * dedup shuffles only gated survivors; quality is map-only; the
+    * budget is one scalar aggregate. Nothing re-reads text after the
+    * first scan (base carries (source, hash, token count) only). */
+  val c03PretrainFunnel: Q = Q(
+    "c03_pretrain_funnel",
+    """WITH base AS (SELECT doc_id, source,
+      |         len(string_split(text, ' ')) AS n_toks, md5(text) AS h
+      |       FROM documents),
+      |src AS (SELECT source FROM base GROUP BY source
+      |        HAVING 5*(count(*) - count(DISTINCT h)) <= count(*)
+      |           AND 10*(count(*) FILTER (WHERE n_toks < 30)) <= 3*count(*)
+      |           AND sum(n_toks) >= 15*count(*)),
+      |g AS (SELECT b.* FROM base b JOIN src USING (source)),
+      |d AS (SELECT g.* FROM g JOIN (SELECT h, min(doc_id) AS md FROM g
+      |        GROUP BY h) m ON g.h = m.h AND g.doc_id = m.md),
+      |q AS (SELECT * FROM d WHERE n_toks >= 30)
+      |SELECT 1 AS stage_no, 'all' AS stage, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM base
+      |UNION ALL SELECT 2, 'source_gate', count(*),
+      |  CAST(sum(n_toks) AS BIGINT) FROM g
+      |UNION ALL SELECT 3, 'dedup', count(*),
+      |  CAST(sum(n_toks) AS BIGINT) FROM d
+      |UNION ALL SELECT 4, 'quality', count(*),
+      |  CAST(sum(n_toks) AS BIGINT) FROM q
+      |UNION ALL SELECT 5, 'packed',
+      |  CAST((sum(n_toks) + 2047) // 2048 AS BIGINT),
+      |  CAST(sum(n_toks) AS BIGINT) FROM q""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        md5($"text").as("h"))
+    val src = base.groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct($"h")).as("dup"),
+        count(when($"n_toks" < 30, 1)).as("short"),
+        sum($"n_toks").as("toks"))
+      .filter(lit(5) * $"dup" <= $"n" && lit(10) * $"short" <= lit(3) * $"n"
+        && $"toks" >= lit(15) * $"n")
+      .select($"source")
+    val g = base.join(src, "source")
+    val canon = g.groupBy($"h".as("ch")).agg(min($"doc_id").as("md"))
+    // no broadcast hint: canon is corpus-sized at scale (one row per
+    // distinct hash) — the shuffle join is the honest plan; AQE still
+    // broadcasts it at fixture sizes
+    val dd = g.join(canon,
+      $"h" === $"ch" && $"doc_id" === $"md").drop("ch", "md")
+    val q = dd.filter($"n_toks" >= 30)
+    def stage(no: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").cast("long").as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          $"n_docs", $"n_tokens")
+    val packed = q.agg(
+      floor((sum($"n_toks") + 2047) / 2048).cast("long").as("n_docs"),
+      sum($"n_toks").cast("long").as("n_tokens"))
+      .select(lit(5).as("stage_no"), lit("packed").as("stage"),
+        $"n_docs", $"n_tokens")
+    Seq(stage(1, "all", base), stage(2, "source_gate", g),
+      stage(3, "dedup", dd), stage(4, "quality", q), packed)
+      .reduce(_ unionByName _)
+  }
+
+  val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits, c03PretrainFunnel)
 }

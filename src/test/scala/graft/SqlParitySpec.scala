@@ -203,6 +203,81 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(viaSql) == canon(viaDsl))
   }
 
+  test("w05 z-order stats as Spark SQL text matches the DSL builder") {
+    register()
+    val viaSql = spark.sql(
+      """WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+        |            FROM lineitem),
+        |oct AS (SELECT (l_partkey * 8) DIV (mp + 1) AS pa,
+        |               (l_suppkey * 8) DIV (ms + 1) AS pb
+        |        FROM lineitem CROSS JOIN mx),
+        |z AS (SELECT pa, pb,
+        |        shiftleft(pa & 1, 0) | shiftleft(pb & 1, 1)
+        |        | shiftleft(shiftright(pa, 1) & 1, 2)
+        |        | shiftleft(shiftright(pb, 1) & 1, 3)
+        |        | shiftleft(shiftright(pa, 2) & 1, 4)
+        |        | shiftleft(shiftright(pb, 2) & 1, 5) AS z6
+        |      FROM oct)
+        |SELECT CAST(shiftright(z6, 3) AS INT) AS zfile, count(*) AS n,
+        |  CAST(min(pa) AS INT) AS min_pa, CAST(max(pa) AS INT) AS max_pa,
+        |  CAST(min(pb) AS INT) AS min_pb, CAST(max(pb) AS INT) AS max_pb
+        |FROM z GROUP BY 1""".stripMargin)
+    val viaDsl = SparkEntry.queries("w05_zorder_stats")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("p07 sequence packing as Spark SQL text matches the DSL builder") {
+    register()
+    val viaSql = spark.sql(
+      """WITH ordered AS (SELECT doc_id, size(split(text, ' ')) AS n_toks,
+        |       md5(concat(CAST(doc_id AS STRING), ':e0')) AS k
+        |       FROM documents),
+        |c AS (SELECT doc_id, n_toks, sum(n_toks) OVER (ORDER BY k, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM ordered),
+        |b AS (SELECT doc_id, n_toks,
+        |        (cum - n_toks) DIV 2048 AS bin,
+        |        (cum - 1) DIV 2048 AS bin_end FROM c)
+        |SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(count(CASE WHEN bin_end > bin THEN 1 END) AS BIGINT)
+        |    AS n_straddle
+        |FROM b WHERE bin < 10 GROUP BY 1""".stripMargin)
+    val viaDsl = SparkEntry.queries("p07_sequence_pack")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("dq03 embedding audit as Spark SQL text matches the DSL builder") {
+    register()
+    val viaSql = spark.sql(
+      """SELECT 'null_embedding' AS chk,
+        |  CAST(count(CASE WHEN embedding IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_violations
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'wrong_dim',
+        |  CAST(count(CASE WHEN size(embedding) <> 64 THEN 1 END) AS BIGINT)
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'non_finite',
+        |  CAST(count(CASE WHEN exists(embedding,
+        |    x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = double('inf'))
+        |    THEN 1 END) AS BIGINT)
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'zero_norm',
+        |  CAST(count(CASE WHEN aggregate(embedding, 0.0D,
+        |    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0.0D
+        |    THEN 1 END) AS BIGINT)
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'dup_vec_id',
+        |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+        |  SELECT count(*) AS n FROM embeddings GROUP BY vec_id
+        |  HAVING count(*) > 1)""".stripMargin)
+    val viaDsl = SparkEntry.queries("dq03_embedding_audit")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
   test("windowed SQL with WINDOW clause parses and matches inline OVER") {
     register()
     val withClause = spark.sql(
