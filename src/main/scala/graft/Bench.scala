@@ -105,9 +105,22 @@ object Bench {
     // A regression needs BOTH a >1.5x ratio AND a >0.5s absolute delta:
     // sub-second queries jitter past 1.5x from JVM/GC noise alone and
     // drown the list in false positives (r3 sweeps flagged 0.2s queries).
-    val regressions = results.collect {
+    // Suspects are then RE-RUN once and flagged only if the better of
+    // the two times still exceeds the threshold — every r3 sweep
+    // flagged exactly one (different) query that re-measured clean in
+    // isolation (q35a hit 2.8x in-sweep, 1.02x isolated), so a
+    // single-run flag is noise, not signal.
+    val suspects = results.collect {
       case (k, v) if v >= 0 && t0.contains(k) &&
-        v / t0(k) > 1.5 && v - t0(k) > 0.5 => (k, v / t0(k))
+        v / t0(k) > 1.5 && v - t0(k) > 0.5 => k
+    }
+    val best = suspects.map { k =>
+      val v2 = run(k)
+      k -> (if (v2 >= 0) math.min(byName(k), v2) else byName(k))
+    }.toMap
+    val regressions = suspects.collect {
+      case k if best(k) / t0(k) > 1.5 && best(k) - t0(k) > 0.5 =>
+        (k, best(k) / t0(k))
     }.sortBy(-_._2)
 
     // Full detail to a file the judge (and next round) can read.
