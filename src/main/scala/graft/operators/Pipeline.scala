@@ -194,39 +194,60 @@ object Pipeline {
       |  CAST((sum(n_toks) + 2047) // 2048 AS BIGINT),
       |  CAST(sum(n_toks) AS BIGINT) FROM q""".stripMargin) { (s, d) =>
     import s.implicits._
+    // ONE text scan, then never again: the narrow hashed base
+    // (doc_id, source, token count, content hash — no text) is
+    // materialized via localCheckpoint, so the stage aggregates below
+    // re-read a 4-column frame, not the corpus. (The first cut of this
+    // query expressed each stage as its own aggregate over the shared
+    // lineage — the runtime plan re-scanned documents.parquet 22 times
+    // with only 6 exchanges reused. At 100 TB that is the difference
+    // between one corpus read and twenty-two; on a cluster the
+    // checkpoint is persist(DISK_ONLY) of the same frame.)
     val base = Tables.documents(s, d)
       .select($"doc_id", $"source",
         size(split($"text", " ")).cast("long").as("n_toks"),
         md5($"text").as("h"))
-    val src = base.groupBy($"source")
+      .localCheckpoint()
+    val srcKeep = base.groupBy($"source")
       .agg(count(lit(1)).as("n"),
         (count(lit(1)) - countDistinct($"h")).as("dup"),
         count(when($"n_toks" < 30, 1)).as("short"),
         sum($"n_toks").as("toks"))
       .filter(lit(5) * $"dup" <= $"n" && lit(10) * $"short" <= lit(3) * $"n"
         && $"toks" >= lit(15) * $"n")
-      .select($"source")
-    val g = base.join(src, "source")
-    val canon = g.groupBy($"h".as("ch")).agg(min($"doc_id").as("md"))
-    // no broadcast hint: canon is corpus-sized at scale (one row per
-    // distinct hash) — the shuffle join is the honest plan; AQE still
-    // broadcasts it at fixture sizes
-    val dd = g.join(canon,
-      $"h" === $"ch" && $"doc_id" === $"md").drop("ch", "md")
-    val q = dd.filter($"n_toks" >= 30)
-    def stage(no: Int, name: String, df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"),
-        sum($"n_toks").cast("long").as("n_tokens"))
-        .select(lit(no).as("stage_no"), lit(name).as("stage"),
-          $"n_docs", $"n_tokens")
-    val packed = q.agg(
-      floor((sum($"n_toks") + 2047) / 2048).cast("long").as("n_docs"),
-      sum($"n_toks").cast("long").as("n_tokens"))
-      .select(lit(5).as("stage_no"), lit("packed").as("stage"),
-        $"n_docs", $"n_tokens")
-    Seq(stage(1, "all", base), stage(2, "source_gate", g),
-      stage(3, "dedup", dd), stage(4, "quality", q), packed)
-      .reduce(_ unionByName _)
+      .select($"source", lit(true).as("keep_src"))
+    // canonical = min doc_id per content hash AMONG gated rows; no
+    // broadcast hint — canon is corpus-sized at scale (one row per
+    // distinct hash), the shuffle join is the honest plan
+    val canon = base.join(srcKeep, Seq("source"))
+      .groupBy($"h".as("ch")).agg(min($"doc_id").as("md"))
+    // every stage becomes a row-level flag; the funnel is then ONE
+    // aggregate over the flagged frame + a 1-row stack unpivot
+    val flags = base
+      .join(srcKeep, Seq("source"), "left")
+      .join(canon, $"h" === $"ch", "left")
+      .select($"n_toks",
+        coalesce($"keep_src", lit(false)).as("gated"),
+        (coalesce($"keep_src", lit(false)) && $"doc_id" === $"md")
+          .as("is_canon"))
+      .withColumn("is_q", $"is_canon" && $"n_toks" >= 30)
+    flags.agg(
+      count(lit(1)).as("d1"), sum($"n_toks").as("t1"),
+      count(when($"gated", 1)).as("d2"),
+      sum(when($"gated", $"n_toks")).as("t2"),
+      count(when($"is_canon", 1)).as("d3"),
+      sum(when($"is_canon", $"n_toks")).as("t3"),
+      count(when($"is_q", 1)).as("d4"),
+      sum(when($"is_q", $"n_toks")).as("t4"))
+      .selectExpr(
+        """stack(5,
+          |  1, 'all',         d1,                          CAST(t1 AS BIGINT),
+          |  2, 'source_gate', d2,                          CAST(t2 AS BIGINT),
+          |  3, 'dedup',       d3,                          CAST(t3 AS BIGINT),
+          |  4, 'quality',     d4,                          CAST(t4 AS BIGINT),
+          |  5, 'packed',      CAST(floor((t4 + 2047) / 2048) AS BIGINT),
+          |                                                 CAST(t4 AS BIGINT)
+          |) AS (stage_no, stage, n_docs, n_tokens)""".stripMargin)
   }
 
   val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits, c03PretrainFunnel)

@@ -319,4 +319,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
     assert(p.contains("WindowGroupLimit"), s"no bounded rank heap:\n$p")
   }
+
+  test("c03: funnel reads the corpus text exactly once (checkpointed base)") {
+    // first cut re-scanned documents.parquet 22 times across the five
+    // stage aggregates; the checkpointed 4-column base must leave ZERO
+    // file scans in the funnel plan itself
+    val p = plan("c03_pretrain_funnel")
+    assert(!p.contains("documents.parquet"),
+      s"funnel re-reads the corpus:\n$p")
+  }
 }
