@@ -577,9 +577,15 @@ object Similarity {
     def sqSumL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
+    // the quantized working set is materialized ONCE (localCheckpoint;
+    // persist(DISK_ONLY) on a cluster): seeds, cells, queries and the
+    // re-rank all derive from it, and without the checkpoint the plan
+    // re-decoded the embeddings parquet nine times (scan audit,
+    // round 3)
     val q0 = Tables.embeddings(s, d).select($"vec_id",
       transform($"embedding",
         x => floor(x.cast("double") * 200.0 + 0.5).cast("long")).as("qx"))
+      .localCheckpoint()
 
     val seeds = q0
       .withColumn("c_id", row_number().over(
@@ -627,7 +633,18 @@ object Similarity {
         md5(concat($"vec_id".cast("string"), lit(":q"))), $"vec_id")))
       .filter($"qrk" <= 4)
       .select($"vec_id".as("query_id"))
-    val lut = qs.join(enc, $"vec_id" === $"query_id")
+    // the LUT encodes ONLY the 4 query vectors: filter cells down to
+    // the query ids BEFORE the codebook join, instead of computing the
+    // full corpus `enc` a second time and discarding all but 4 rows
+    // (the first cut did exactly that — the whole encode aggregate ran
+    // twice)
+    val lut = cells.join(qs, $"vec_id" === $"query_id")
+      .join(broadcast(refined), "m")
+      .groupBy($"query_id", $"m", $"c_id")
+      .agg(sum(($"c_n" * element_at($"sv", $"dim".cast("int")) - $"s_d")
+        * ($"c_n" * element_at($"sv", $"dim".cast("int")) - $"s_d"))
+        .as("i_int"),
+        max($"c_n").as("c_n"))
       .select($"query_id", $"m", $"c_id",
         ($"i_int".cast("double") / ($"c_n" * $"c_n")).as("partial"))
 
