@@ -403,9 +403,12 @@ object Similarity {
     def ddot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
+    // materialized once: every Lloyd round's assign pass re-reads pts
+    // (rounds+1 embedding decodes without it; persist(DISK) at scale)
     val pts = Tables.embeddings(s, d)
       .select($"vec_id", dvec.as("v"))
       .withColumn("n2", ddot($"v", $"v"))
+      .localCheckpoint()
 
     var cents = pts
       .withColumn("hrk", row_number().over(
