@@ -140,6 +140,11 @@ object Multimodal {
           ImgFeat(id, bands, math.sqrt(bands.map(x => x * x).sum))
         }
       }
+      // materialized once: the dataset feeds BOTH sides of the pair
+      // join, and without this the per-partition codec pass runs twice
+      // — with a real decoder at scale, that is decoding the whole
+      // corpus twice
+      .localCheckpoint()
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val a = feats.toDF("doc_id", "f", "nrm")
     val b = feats.toDF("neighbor_id", "fb", "nrmb")
