@@ -178,7 +178,31 @@ object StreamingQueries {
         sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
+  /** st11: batch twin of the ListState recent-events buffer — each
+    * user's 3 most recent event ids, newest first. The streaming side
+    * ([[graft.streaming.Streams.RecentEventsProcessor]]) keeps an O(k)
+    * sorted buffer per key; this twin is the same semantics as a
+    * window rank, which is what the oracle checks. */
+  val st11RecentEvents: Q = Q(
+    "st11_recent_events",
+    """WITH r AS (SELECT user_id, event_id, row_number() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      |      FROM events)
+      |SELECT user_id,
+      |  string_agg(event_id::VARCHAR, ',' ORDER BY rk) AS recent_ids
+      |FROM r WHERE rk <= 3 GROUP BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"rk", $"event_id"))),
+        x => x.getField("event_id").cast("string")), ",").as("recent_ids"))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
-    st10ReplayGate)
+    st10ReplayGate, st11RecentEvents)
 }

@@ -12,6 +12,12 @@ final case class Event(event_id: Long, ts: java.sql.Timestamp,
 final case class UserTotals(user_id: Long, n_events: Long,
     total_value: Double)
 
+/** One element of [[Streams.RecentEventsProcessor]]'s bounded buffer. */
+final case class RecentEvent(ts: java.sql.Timestamp, event_id: Long)
+
+/** Per-user recent-events emission (newest-first csv of event ids). */
+final case class UserRecent(user_id: Long, recent_ids: String)
+
 /** A closed session emitted by [[Streams.SessionTimerProcessor]] when
   * its event-time timer fires (or an in-batch gap closes it). */
 final case class UserSessionClosed(user_id: Long,
@@ -155,6 +161,45 @@ object Streams {
     import s.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** ListState variant of the Spark 4 arbitrary-state API: a BOUNDED
+    * per-user buffer of the 3 most recent events — the "recent items"
+    * feature shape (recommendations, fraud velocity checks). The
+    * buffer is kept sorted by (ts, event_id) and trimmed to k inside
+    * the processor, so state is O(k) per key regardless of stream
+    * length AND the result is arrival-order-independent: replays,
+    * micro-batch boundaries and retries land on the same buffer, which
+    * is what lets the batch twin (window rank) oracle it exactly. */
+  class RecentEventsProcessor(k: Int = 3)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserRecent] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var recent: ListState[RecentEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[RecentEvent]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEvent], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserRecent] = {
+      val merged = (recent.get().toSeq ++
+        rows.map(e => RecentEvent(e.ts, e.event_id)))
+        .sortBy(r => (-r.ts.getTime, -r.event_id)).take(k)
+      recent.put(merged.toArray)
+      Iterator.single(
+        UserRecent(uid, merged.map(_.event_id).mkString(",")))
+    }
+  }
+
+  /** Per-user recent-event buffer through [[RecentEventsProcessor]]. */
+  def recentEventsTws(events: Dataset[Event]): Dataset[UserRecent] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }

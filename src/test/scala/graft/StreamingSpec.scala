@@ -512,6 +512,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState recent-buffer equals the batch rank") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams.recentEventsTws(mem.toDS())
+      .writeStream.format("memory").queryName("recent_out")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_recent").toString)
+      .start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // last emission per user is the final buffer (csv grows more
+      // recent monotonically, so compare against the batch twin)
+      val got = spark.table("recent_out").collect().zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (uid, rows) => uid -> rows.maxBy(_._2)._1.getString(1) }
+      val want = SparkEntry.queries("st11_recent_events")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (uid, csv) =>
+        assert(csv == want(uid), s"user $uid: stream $csv vs batch ${want(uid)}")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static LEFT ANTI replay gate equals the batch twin") {
     import spark.implicits._
     val events = sources.Tables.events(spark, sf)
