@@ -410,11 +410,17 @@ object Similarity {
       .withColumn("n2", ddot($"v", $"v"))
       .localCheckpoint()
 
-    var cents = pts
-      .withColumn("hrk", row_number().over(
-        Window.orderBy(xxhash64($"vec_id"), $"vec_id")))
-      .filter($"hrk" <= k)
-      .select($"hrk".as("c_id"), $"v".as("c_vec"))
+    // seed pick: distributed top-k heap (TakeOrderedAndProject) on the
+    // vec_id hash, then rank the k survivors by broadcast predecessor
+    // count — no single-partition global window (the previous
+    // row_number().over(Window.orderBy(...)) sorted the whole corpus
+    // in one task). Same k seeds, same 1..k c_id labels.
+    val seedPool = pts
+      .withColumn("h", xxhash64($"vec_id"))
+      .orderBy($"h", $"vec_id").limit(k)
+      .localCheckpoint()
+    var cents = Ranks.tinyRank(seedPool, struct($"h", $"vec_id"), "hrk")
+      .select($"hrk".cast("int").as("c_id"), $"v".as("c_vec"))
       .withColumn("c_n2", ddot($"c_vec", $"c_vec"))
       .localCheckpoint()
 
@@ -590,10 +596,15 @@ object Similarity {
         x => floor(x.cast("double") * 200.0 + 0.5).cast("long")).as("qx"))
       .localCheckpoint()
 
-    val seeds = q0
-      .withColumn("c_id", row_number().over(
-        Window.orderBy(md5($"vec_id".cast("string")), $"vec_id")))
-      .filter($"c_id" <= 16)
+    // seed pick: top-16 heap + broadcast rank (see s06) — the c_id
+    // labels must equal the oracle's md5-order row_number exactly
+    // (they tie-break the Lloyd assignment and the code argmin)
+    val seedPool = q0
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .orderBy($"h", $"vec_id").limit(16)
+      .localCheckpoint()
+    val seeds = Ranks.tinyRank(seedPool, struct($"h", $"vec_id"), "c_id")
+      .withColumn("c_id", $"c_id".cast("int"))
 
     val ms = s.range(0, 8).select($"id".cast("int").as("m"))
     def subCells(df: DataFrame, idCol: String): DataFrame = df
@@ -631,10 +642,11 @@ object Similarity {
         .as("d2"), $"c_id")).as("best"))
       .select($"vec_id", $"m", $"best.c_id".as("c_id"))
 
+    // query pick: the rank itself is never used, only membership in the
+    // top-4 — a plain distributed top-k heap suffices (no window)
     val qs = q0
-      .withColumn("qrk", row_number().over(Window.orderBy(
-        md5(concat($"vec_id".cast("string"), lit(":q"))), $"vec_id")))
-      .filter($"qrk" <= 4)
+      .withColumn("hq", md5(concat($"vec_id".cast("string"), lit(":q"))))
+      .orderBy($"hq", $"vec_id").limit(4)
       .select($"vec_id".as("query_id"))
     // the LUT encodes ONLY the 4 query vectors: filter cells down to
     // the query ids BEFORE the codebook join, instead of computing the

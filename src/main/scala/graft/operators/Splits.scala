@@ -101,12 +101,14 @@ object Splits {
     * largest single document). Fully deterministic → fully oracled,
     * including the exact max-min token imbalance.
     *
-    * 100 TB: the global sort ranks only (doc_id, n_tokens) — a narrow
-    * doc-count-sized relation, range-partitioned by the sort, NOT the
-    * corpus text; the shard assignment then joins back by doc_id if the
-    * text is needed. For corpora where even that rank is too hot,
-    * the salted-striping fallback (hash(doc_id) % shards) trades the
-    * balance guarantee for zero coordination. */
+    * 100 TB: the rank covers only (doc_id, n_tokens) — a narrow
+    * doc-count-sized relation, NOT the corpus text — and runs as the
+    * two-pass distributed prefix sum ([[Ranks.globalRank]]): range
+    * partition, per-partition rank, broadcast offsets; no
+    * single-reducer sort. The shard assignment then joins back by
+    * doc_id if the text is needed. For corpora where even that rank
+    * is too hot, the salted-striping fallback (hash(doc_id) % shards)
+    * trades the balance guarantee for zero coordination. */
   val p03ShardPack: Q = Q(
     "p03_shard_pack",
     """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -123,19 +125,24 @@ object Splits {
       |    AS BIGINT) AS max_imbalance
       |FROM s""".stripMargin) { (s, d) =>
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n_tokens".desc, $"doc_id")
-    val shards = Tables.documents(s, d)
+    // global LPT rank via the two-pass distributed prefix sum (Ranks):
+    // the previous row_number().over(Window.orderBy(...)) sorted every
+    // (doc_id, n_tokens) pair in ONE task — at 100 TB a driver-adjacent
+    // bottleneck. Rank values (and so the round-robin deal) unchanged.
+    val t = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
-      .withColumn("rn", row_number().over(w))
+    val shards = Ranks
+      .globalRank(t, Seq($"n_tokens".desc, $"doc_id"), "rn")
       .groupBy((($"rn" - 1) % 16).cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").cast("long").as("shard_tokens"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    shards.withColumn("max_imbalance",
-      (max($"shard_tokens").over(wAll) - min($"shard_tokens").over(wAll))
-        .cast("long"))
+    // the over-all max-min spread: broadcast the 1-row bounds aggregate
+    // instead of a constant-partition window (Catalyst folds a lit(1)
+    // partition key away, leaving a single-partition WindowExec)
+    val bounds = shards.agg(
+      (max($"shard_tokens") - min($"shard_tokens")).cast("long")
+        .as("max_imbalance"))
+    shards.crossJoin(broadcast(bounds))
   }
 
   /** p04: sliding-window document chunking — the standard
@@ -268,12 +275,13 @@ object Splits {
     * no per-bin first-fit search, which is what makes this the packing
     * that scales: one sort + one prefix sum, both O(n log n).
     *
-    * The global window here is the FIXTURE shape: at 100 TB the same
-    * two expressions run per SHARD (p01/p03 partition first, then
-    * Window.partitionBy(shard)) — packing never needs cross-shard
-    * order, so no single-reducer sort exists at scale. Emitted: the
-    * first 10 bins' integer stats (exact prefix-sum arithmetic, fully
-    * hash-oracled). */
+    * The prefix sum runs as the two-pass distributed form
+    * ([[Ranks.runningSum]]: range-partition, local cumsum, broadcast
+    * offsets) — no single-reducer sort even for the global order; in
+    * production the same expressions typically also run per SHARD
+    * (p01/p03 partition first), shrinking each prefix-sum domain
+    * further. Emitted: the first 10 bins' integer stats (exact
+    * prefix-sum arithmetic, fully hash-oracled). */
   val p07SequencePack: Q = Q(
     "p07_sequence_pack",
     """WITH ordered AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
@@ -288,12 +296,13 @@ object Splits {
       |  CAST(count(*) FILTER (WHERE bin_end > bin) AS BIGINT) AS n_straddle
       |FROM b WHERE bin < 10 GROUP BY 1""".stripMargin) { (s, d) =>
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"k", $"doc_id").rowsBetween(Long.MinValue, 0)
-    Tables.documents(s, d)
+    // the running token prefix-sum is the two-pass distributed form
+    // (Ranks.runningSum) — bit-identical cum values (integer sums),
+    // no single-partition window; see also the per-shard note above
+    val toks = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
         md5(concat($"doc_id".cast("string"), lit(":e0"))).as("k"))
-      .withColumn("cum", sum($"n_toks").over(w))
+    Ranks.runningSum(toks, Seq($"k", $"doc_id"), $"n_toks", "cum")
       .select($"doc_id", $"n_toks",
         floor(($"cum" - $"n_toks") / 2048).as("bin"),
         floor(($"cum" - 1) / 2048).as("bin_end"))

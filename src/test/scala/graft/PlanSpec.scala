@@ -328,4 +328,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"),
       s"funnel re-reads the corpus:\n$p")
   }
+
+  test("s06/s07/p03/p07: no single-partition global Window in ANY job") {
+    // Round-3 verdict's one remaining 100×-scale defect class:
+    // row_number()/sum() over Window.orderBy(...) with no partitionBy
+    // funnels the whole input through one task. The fixes (top-k heap +
+    // broadcast predecessor-count rank; two-pass distributed prefix
+    // sum — operators/Ranks.scala) must leave ZERO empty-partitionSpec
+    // WindowExec nodes. The seed/rank stages hide behind localCheckpoint
+    // lineage barriers, so inspecting the final plan is not enough: a
+    // QueryExecutionListener audits EVERY executed plan (checkpoint
+    // jobs included), recursing through AQE wrappers.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
+        flatten(qe.executedPlan).foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            bad.add(w.simpleString(200))
+          case _ => ()
+        }
+        seen.incrementAndGet(); ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = {
+        seen.incrementAndGet(); ()
+      }
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("s06_kmeans", "s07_knn_pq", "p03_shard_pack", "p07_sequence_pack")
+        .foreach(n => SparkEntry.queries(n)(spark, sf).collect())
+      // listener delivery is async on the shared bus: poll until the
+      // event count is stable for 1s (bounded at 15s)
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 15000) {
+        Thread.sleep(500); waited += 500
+        val now = seen.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(seen.get() > 4, s"listener saw only ${seen.get()} executions")
+    assert(bad.isEmpty,
+      s"single-partition WindowExec survived:\n${String.join("\n", bad)}")
+  }
 }
