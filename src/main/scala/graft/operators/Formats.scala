@@ -62,10 +62,9 @@ object Formats {
   }
 
   /** f04: binaryFile source — whole-file opaque-bytes ingestion (the
-    * entry path for multimodal payloads; SURVEY.md §2.2). The
-    * environment ships avro core libs but NOT the spark-avro connector,
-    * so Avro round-trip is not coverable here (documented gap).
-    * Rows-only check: file listing is not DuckDB-expressible. */
+    * entry path for multimodal payloads; SURVEY.md §2.2). For the Avro
+    * gap see [[avroAvailable]]/[[f10Avro]] below. Rows-only check:
+    * file listing is not DuckDB-expressible. */
   val f04BinaryFile: Q = Q.noOracle("f04_binaryfile") { (s, d) =>
     import s.implicits._
     s.read.format("binaryFile")
@@ -189,6 +188,35 @@ object Formats {
           .as("n_with_priority"))
   }
 
+  /** The Avro data source, addressed by fully-qualified class name.
+    *
+    * The short name `avro` is special-cased by Spark's
+    * `DataSource.lookupDataSource` to fail with "deploy the external
+    * spark-avro module" unless a connector jar service-registers it —
+    * and this offline environment ships no spark-avro jar. BUT
+    * spark-sql 4.1.2 itself bundles the COMPLETE Avro FileFormat
+    * implementation (AvroFileFormat + serializer/deserializer/
+    * SchemaConverters — verified in the jar), it is merely absent from
+    * META-INF/services/...DataSourceRegister. Addressing the class
+    * directly bypasses the alias lookup, so the full Avro scan/sink
+    * surface (SURVEY §2.2's last open item) works with zero new
+    * dependencies. FormatEdgeSpec pins both facts: the short name
+    * fails with the documented error, the FQCN round-trips. */
+  val avroFqcn = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Whether [[avroFqcn]] resolves (always true on bundled spark-sql
+    * 4.1.2; guards against a future jar slim-down). */
+  val avroAvailable: Boolean =
+    try { Class.forName(avroFqcn); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** f10: Avro round-trip — same lossless write/read/aggregate contract
+    * as f01-f03/f08, via [[avroFqcn]]. */
+  val f10Avro: Q = Q("f10_avro_roundtrip", oracleAgg) { (s, d) =>
+    roundTrip(s, d, avroFqcn)
+  }
+
   val all: Seq[Q] = Seq(f01Csv, f02Json, f03Orc, f04BinaryFile, f05Text,
-    f06ParquetCodecs, f07SchemaEvolution, f08Xml, f09RegexSerde)
+    f06ParquetCodecs, f07SchemaEvolution, f08Xml, f09RegexSerde) ++
+    (if (avroAvailable) Seq(f10Avro) else Nil)
 }

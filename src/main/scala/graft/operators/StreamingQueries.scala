@@ -155,6 +155,44 @@ object StreamingQueries {
           .cast("double").as("attr_value"))
   }
 
+  /** st09: batch twin of the foreachBatch idempotent upsert sink
+    * ([[graft.streaming.Streams.upsertWindowTotals]]). The twin
+    * actually DRIVES the sink: delivery 1 writes stale partial
+    * aggregates (what update mode emits from a half-seen stream),
+    * delivery 2 redelivers the complete aggregate for every window —
+    * Spark's at-least-once foreachBatch contract. Dynamic partition
+    * overwrite must leave the table equal to the LATEST aggregate per
+    * window, so the read-back matches the plain batch aggregate the
+    * oracle computes; double-counting or a surviving stale partial
+    * hash-mismatches. StreamingSpec additionally drives the same sink
+    * through a real checkpointed stream restart with redelivery. */
+  val st09UpsertSink: Q = Q(
+    "st09_upsert_sink",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+      |    AS window_end,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_st09_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(dest)) // stale partitions of an old fixture
+    val events = Tables.events(s, d)
+    // delivery 1: partial per-window aggregates (half the events seen)
+    Streams.upsertWindowTotals(
+      Streams.tumblingCounts(events.filter($"event_id" % 2 === 0)), dest)
+    // delivery 2: the complete aggregate, redelivering every window
+    Streams.upsertWindowTotals(Streams.tumblingCounts(events), dest)
+    s.read.parquet(dest)
+      .select($"window_start", $"window_end", $"event_type", $"n",
+        $"sum_value")
+  }
+
   /** st10: batch twin of the stream-static LEFT ANTI replay gate —
     * events whose id the ingested corpus (every third id here) already
     * holds are dropped before ingest; survivors aggregate per type with
@@ -204,5 +242,5 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
-    st10ReplayGate, st11RecentEvents)
+    st09UpsertSink, st10ReplayGate, st11RecentEvents)
 }

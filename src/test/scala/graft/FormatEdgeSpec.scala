@@ -74,4 +74,23 @@ class FormatEdgeSpec extends AnyFunSuite {
     assert(df.filter(col("v").isNull).count() == 1)
     assert(!df.columns.contains("extra"))
   }
+
+  test("avro: short name fails (no connector jar), FQCN round-trips") {
+    // No spark-avro connector jar ships here, so the `avro` short name
+    // must fail with Spark's documented external-module error — but
+    // spark-sql 4.1.2 bundles the complete AvroFileFormat, so the
+    // fully-qualified class name works and f10_avro_roundtrip
+    // registers on it (see Formats.avroFqcn). Pin both facts so a
+    // Spark upgrade that changes either surfaces loudly.
+    val e = intercept[Exception] {
+      spark.read.format("avro").load("/tmp/graft_no_such_avro")
+    }
+    assert(e.getMessage.toLowerCase.contains("avro"),
+      s"unexpected error shape: ${e.getMessage}")
+    assert(operators.Formats.avroAvailable, "bundled AvroFileFormat gone")
+    assert(SparkEntry.queries.contains("f10_avro_roundtrip"))
+    assert(SparkEntry.oracleSql.contains("f10_avro_roundtrip"))
+    val rows = SparkEntry.queries("f10_avro_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+  }
 }
