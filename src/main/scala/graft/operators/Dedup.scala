@@ -497,27 +497,65 @@ object Dedup {
     *
     * Rows-only for the driver (the assignment is not SQL-expressible);
     * the spec pins the sharper facts: every emitted pair meets the
-    * threshold, appears in s03's ground truth, and shares a cluster. */
-  val d07SemanticDedup: Q = Q.noOracle("d07_semantic_dedup") { (s, d) =>
+    * threshold, appears in s03's ground truth, and shares a cluster.
+    * Implemented on [[semanticPairs]] below, which also carries the
+    * skew guard (cluster-size cap).
+    *
+    * The d07 pair engine, exposed for DedupSpec's skew test. Clusters
+    * larger than `maxClusterSize` are hash-salted into
+    * ⌈n/maxClusterSize⌉ sub-cells and pairs are scored within a
+    * sub-cell only, so the pair-join cost is bounded by
+    * N·maxClusterSize even when k-means collapses — without the cap,
+    * ONE skewed cluster re-introduces the corpus-quadratic term (and
+    * its block self-join lands on one shuffle partition). Cross-cell
+    * pairs inside an oversized cluster are the sacrificed recall: the
+    * same trade SemDeDup already makes cluster-to-cluster. An
+    * oversized cluster really signals k too small; the production
+    * remedy is re-clustering within it, of which this deterministic
+    * salt (pure hash of vec_id) is the zero-extra-pass approximation.
+    *
+    * @param emb    (vec_id, embedding)
+    * @param assign (vec_id, c_id) cluster assignment */
+  def semanticPairs(emb: DataFrame, assign: DataFrame, threshold: Double,
+      maxClusterSize: Int): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val threshold = 0.42
-    val (assign, _) = Similarity.kmeans(s, d)
-    val emb = Tables.embeddings(s, d)
+    // per-cluster sizes are k rows — broadcast; the salt keeps every
+    // cell at ~maxClusterSize regardless of assignment skew
+    val sizes = assign.groupBy($"c_id").agg(count(lit(1)).as("cn"))
+    val cells = assign.join(broadcast(sizes), "c_id")
+      .withColumn("n_cells",
+        greatest(ceil($"cn".cast("double") / maxClusterSize), lit(1.0))
+          .cast("long"))
+      .select($"vec_id".as("a_id"), $"c_id",
+        concat($"c_id".cast("string"), lit("#"),
+          pmod(xxhash64($"vec_id", lit(7)), $"n_cells").cast("string"))
+          .as("cell"))
+    val scored = emb
       .select($"vec_id", $"embedding",
         Similarity.norm($"embedding").as("nrm"))
-      .join(assign.select($"vec_id".as("a_id"), $"c_id"),
-        $"vec_id" === $"a_id")
-      .select($"vec_id", $"embedding", $"nrm", $"c_id")
-    val left = emb.select($"c_id".as("c1"), $"vec_id".as("doc_a"),
-      $"embedding".as("va"), $"nrm".as("na"))
-    val right = emb.select($"c_id".as("c2"), $"vec_id".as("doc_b"),
+      .join(cells, $"vec_id" === $"a_id")
+      .select($"vec_id", $"embedding", $"nrm", $"c_id", $"cell")
+    val left = scored.select($"cell".as("cl1"), $"c_id".as("c1"),
+      $"vec_id".as("doc_a"), $"embedding".as("va"), $"nrm".as("na"))
+    val right = scored.select($"cell".as("cl2"), $"vec_id".as("doc_b"),
       $"embedding".as("vb"), $"nrm".as("nb"))
-    left.join(right, $"c1" === $"c2" && $"doc_a" < $"doc_b")
+    left.join(right, $"cl1" === $"cl2" && $"doc_a" < $"doc_b")
       .withColumn("sim",
         Similarity.dot($"va", $"vb") / ($"na" * $"nb"))
       .filter($"sim" >= threshold)
       .select($"doc_a", $"doc_b", $"c1".as("cluster_id"),
         round($"sim", 6).as("sim"))
+  }
+
+  val d07SemanticDedup: Q = Q.noOracle("d07_semantic_dedup") { (s, d) =>
+    import s.implicits._
+    val (assign, _) = Similarity.kmeans(s, d)
+    // cap sized for ~10⁵-vector cells at 100 TB; far above any fixture
+    // cluster, so the fixture output is the pure SemDeDup shape
+    semanticPairs(Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+      assign.select($"vec_id", $"c_id"), threshold = 0.42,
+      maxClusterSize = 100000)
   }
 
   /** d08: INCREMENTAL dedup — flag a new batch against the existing

@@ -143,40 +143,74 @@ object Functions {
       length(md5($"c_name")).as("h_len"))
   }
 
-  /** ngrams aggregator over real text (graft custom Aggregator — no
-    * cross-engine oracle since partial-buffer pruning is partition-
-    * dependent; exact-value unit tests in FunctionSpec). The struct
-    * array is flattened to one scalar row per (lang, ngram): the
-    * driver's comparator sorts rows in pandas and cannot hash array
-    * cells. */
-  val q44NgramsDocs: Q = Q.noOracle("q44_ngrams_docs") { (s, d) =>
-    import s.implicits._
+  /** ngrams aggregator over real text (graft custom Aggregator,
+    * functions/NGrams.scala). The aggregator's small-k mode prunes
+    * partial buffers (partition-dependent estimates — the reference's
+    * precision-factor semantics; exact-value FunctionSpec tests pin
+    * it). THIS query runs the aggregator in its exact regime instead:
+    * k is set far above the corpus' distinct-bigram count, so the
+    * prune threshold (4·k) is never reached, every partial count is
+    * exact, and the top-5-per-lang rank (freq DESC, bigram ASC
+    * tie-break) is recomputable bit-for-bit by the DuckDB oracle.
+    * The struct array is flattened to one scalar row per (lang,
+    * bigram): the driver's comparator cannot hash array cells. */
+  val q44NgramsDocs: Q = Q(
+    "q44_ngrams_docs",
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |u AS (SELECT lang, ws, unnest(range(1, len(ws))) AS i FROM t),
+      |c AS (SELECT lang, ws[i] || ' ' || ws[i+1] AS bigram,
+      |        count(*) AS freq
+      |      FROM u GROUP BY 1, 2),
+      |r AS (SELECT lang, bigram, freq, row_number() OVER (
+      |        PARTITION BY lang ORDER BY freq DESC, bigram) AS rk
+      |      FROM c)
+      |SELECT lang, bigram, CAST(freq AS DOUBLE) AS freq
+      |FROM r WHERE rk <= 5""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.registerAll(s)
     Tables.documents(s, d).createOrReplaceTempView("documents_v")
     s.sql(
-      """SELECT lang, concat_ws(' ', b.ngram) AS bigram,
-        |  b.estfrequency AS freq
-        |FROM (SELECT lang, ngrams(split(text, ' '), 2, 5) AS top_bigrams
-        |      FROM documents_v GROUP BY lang)
-        |LATERAL VIEW explode(top_bigrams) t AS b""".stripMargin)
+      """SELECT lang, bigram, freq FROM (
+        |  SELECT lang, concat_ws(' ', b.ngram) AS bigram,
+        |    b.estfrequency AS freq,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY b.estfrequency DESC, concat_ws(' ', b.ngram)) AS rk
+        |  FROM (SELECT lang, ngrams(split(text, ' '), 2, 100000) AS tb
+        |        FROM documents_v GROUP BY lang)
+        |  LATERAL VIEW explode(tb) t AS b) WHERE rk <= 5""".stripMargin)
   }
 
   /** context_ngrams: most frequent words following 'the' per language
     * (reference GenericUDAFContextNGrams — null slots are the counted
-    * wildcards). Same partial-pruning caveat as q44 → rows-only;
-    * exact values pinned in FunctionSpec. */
-  val q44bContextNgrams: Q = Q.noOracle("q44b_context_ngrams") { (s, d) =>
-    import s.implicits._
+    * wildcards). Same exact-regime device as q44 (k ≫ distinct
+    * followers → no pruning → DuckDB-recomputable); the estimating
+    * small-k mode stays pinned in FunctionSpec. */
+  val q44bContextNgrams: Q = Q(
+    "q44b_context_ngrams",
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |u AS (SELECT lang, ws, unnest(range(1, len(ws))) AS i FROM t),
+      |c AS (SELECT lang, ws[i + 1] AS follower, count(*) AS freq
+      |      FROM u WHERE ws[i] = 'the' GROUP BY 1, 2),
+      |r AS (SELECT lang, follower, freq, row_number() OVER (
+      |        PARTITION BY lang ORDER BY freq DESC, follower) AS rk
+      |      FROM c)
+      |SELECT lang, follower, CAST(freq AS DOUBLE) AS freq
+      |FROM r WHERE rk <= 5""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.registerAll(s)
     Tables.documents(s, d).createOrReplaceTempView("documents_vb")
     s.sql(
-      """SELECT lang, concat_ws(' ', b.ngram) AS follower,
-        |  b.estfrequency AS freq
-        |FROM (SELECT lang,
-        |        context_ngrams(split(text, ' '),
-        |                       array('the', CAST(NULL AS STRING)), 5) AS cg
-        |      FROM documents_vb GROUP BY lang)
-        |LATERAL VIEW explode(cg) t AS b""".stripMargin)
+      """SELECT lang, follower, freq FROM (
+        |  SELECT lang, concat_ws(' ', b.ngram) AS follower,
+        |    b.estfrequency AS freq,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY b.estfrequency DESC, concat_ws(' ', b.ngram)) AS rk
+        |  FROM (SELECT lang,
+        |          context_ngrams(split(text, ' '),
+        |                         array('the', CAST(NULL AS STRING)),
+        |                         100000) AS cg
+        |        FROM documents_vb GROUP BY lang)
+        |  LATERAL VIEW explode(cg) t AS b) WHERE rk <= 5""".stripMargin)
   }
 
 

@@ -142,6 +142,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d07 cluster-size cap bounds the pair join under a skewed assignment") {
+    import org.apache.spark.sql.functions._
+    // adversarial assignment: EVERY vector in one cluster — without the
+    // cap this is the corpus-quadratic blowup on a single shuffle
+    // partition that a collapsed k-means would produce
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val oneCluster = emb.select(col("vec_id"), lit(1).as("c_id"))
+    val cap = 50
+    val capped = operators.Dedup
+      .semanticPairs(emb, oneCluster, threshold = 0.42, maxClusterSize = cap)
+      .collect()
+    val uncapped = operators.Dedup
+      .semanticPairs(emb, oneCluster, threshold = 0.42,
+        maxClusterSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped pairs are a threshold-true SUBSET of the uncapped truth
+    assert(capped.nonEmpty, "salted cells should retain some near-dups")
+    capped.foreach { r =>
+      assert(r.getDouble(3) >= 0.42)
+      assert(uncapped.contains((r.getLong(0), r.getLong(1))))
+    }
+    // the salt actually bounds the cells: max cell population stays
+    // near the cap (hash balance), so no cell re-grows the quadratic
+    val n = emb.count()
+    val nCells = math.ceil(n.toDouble / cap).toLong
+    val cellSizes = emb
+      .groupBy(pmod(xxhash64(col("vec_id"), lit(7)), lit(nCells)))
+      .count().collect().map(_.getLong(1))
+    assert(cellSizes.length == nCells)
+    assert(cellSizes.max <= 3L * cap,
+      s"hash salt left a cell of ${cellSizes.max} > 3x cap")
+    // determinism: the salt is a pure function of vec_id
+    val again = operators.Dedup
+      .semanticPairs(emb, oneCluster, threshold = 0.42, maxClusterSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == capped.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("exact dedup counts are consistent") {
     val r = SparkEntry.queries("d01_dedup_exact")(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
