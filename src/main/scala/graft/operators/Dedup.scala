@@ -170,7 +170,15 @@ object Dedup {
   def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    val banded = sigs
+    // bands*r beyond the signature would slice() empty/truncated band
+    // hashes that match almost everything — fail loudly instead. The
+    // guard is a per-row assert_true riding the existing scan (a
+    // driver-side length probe would cost an extra job per call).
+    val checked = sigs.filter(assert_true(
+      size($"sig") >= lit(bands * r),
+      lit(s"bands*r = ${bands * r} exceeds minhash signature length"))
+      .isNull)
+    val banded = checked
       .select($"doc_id", explode(array((0 until bands).map(b => struct(
         lit(b).as("band"),
         concat_ws(",",

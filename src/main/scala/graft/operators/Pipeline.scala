@@ -245,7 +245,7 @@ object Pipeline {
           |  2, 'source_gate', d2,                          CAST(t2 AS BIGINT),
           |  3, 'dedup',       d3,                          CAST(t3 AS BIGINT),
           |  4, 'quality',     d4,                          CAST(t4 AS BIGINT),
-          |  5, 'packed',      CAST(floor((t4 + 2047) / 2048) AS BIGINT),
+          |  5, 'packed',      CAST((t4 + 2047) DIV 2048 AS BIGINT),
           |                                                 CAST(t4 AS BIGINT)
           |) AS (stage_no, stage, n_docs, n_tokens)""".stripMargin)
   }

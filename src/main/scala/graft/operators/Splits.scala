@@ -302,10 +302,12 @@ object Splits {
     val toks = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
         md5(concat($"doc_id".cast("string"), lit(":e0"))).as("k"))
+    // integer DIV, not floor(double /): token totals beyond 2^53 would
+    // silently lose exactness in the double quotient (oracle uses //)
     Ranks.runningSum(toks, Seq($"k", $"doc_id"), $"n_toks", "cum")
-      .select($"doc_id", $"n_toks",
-        floor(($"cum" - $"n_toks") / 2048).as("bin"),
-        floor(($"cum" - 1) / 2048).as("bin_end"))
+      .selectExpr("doc_id", "n_toks",
+        "(cum - n_toks) DIV 2048 AS bin",
+        "(cum - 1) DIV 2048 AS bin_end")
       .filter($"bin" < 10)
       .groupBy($"bin".cast("int").as("bin"))
       .agg(count(lit(1)).as("n_docs"),

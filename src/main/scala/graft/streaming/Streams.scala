@@ -16,7 +16,10 @@ final case class UserTotals(user_id: Long, n_events: Long,
 final case class RecentEvent(ts: java.sql.Timestamp, event_id: Long)
 
 /** Per-user recent-events emission (newest-first csv of event ids). */
-final case class UserRecent(user_id: Long, recent_ids: String)
+/** `n_seen` is the monotone per-user event count — StreamingSpec picks
+  * each user's LATEST emission by maxBy(n_seen) instead of assuming the
+  * memory sink preserves cross-batch append order (undocumented). */
+final case class UserRecent(user_id: Long, recent_ids: String, n_seen: Long)
 
 /** A closed session emitted by [[Streams.SessionTimerProcessor]] when
   * its event-time timer fires (or an in-batch gap closes it). */
@@ -176,21 +179,28 @@ object Streams {
   class RecentEventsProcessor(k: Int = 3)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, UserRecent] {
-    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
     @transient private var recent: ListState[RecentEvent] = _
+    @transient private var seen: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       recent = getHandle.getListState[RecentEvent]("recent",
         org.apache.spark.sql.Encoders.product[RecentEvent], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(uid: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[UserRecent] = {
+      val in = rows.toSeq
       val merged = (recent.get().toSeq ++
-        rows.map(e => RecentEvent(e.ts, e.event_id)))
+        in.map(e => RecentEvent(e.ts, e.event_id)))
         .sortBy(r => (-r.ts.getTime, -r.event_id)).take(k)
       recent.put(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + in.size
+      seen.update(n)
       Iterator.single(
-        UserRecent(uid, merged.map(_.event_id).mkString(",")))
+        UserRecent(uid, merged.map(_.event_id).mkString(","), n))
     }
   }
 
@@ -255,7 +265,7 @@ object Streams {
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[UserSessionClosed] = {
-      if (acc.exists() && acc.get().last + gapMs <= info.getExpiryTimeInMs) {
+      if (acc.exists() && acc.get().last + gapMs <= info.getExpiryTimeInMs()) {
         val out = close(uid, acc.get())
         acc.clear()
         Iterator.single(out)
@@ -364,10 +374,15 @@ object Streams {
     * id/content-hash digest table (what d08 builds) — small enough to
     * broadcast, or bucketed to co-locate with the stream's shuffle if
     * not. Works identically on batch inputs (the oracle twin). */
-  def replaySurvivors(events: DataFrame, seen: DataFrame): DataFrame = {
+  def replaySurvivors(events: DataFrame, seen: DataFrame,
+      broadcastSeen: Boolean = true): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    events.join(broadcast(seen), Seq("event_id"), "left_anti")
+    // broadcastSeen=false takes the shuffle path for digest tables too
+    // large to broadcast (the scale note above) — a hardcoded hint
+    // would foreclose it
+    val dim = if (broadcastSeen) broadcast(seen) else seen
+    events.join(dim, Seq("event_id"), "left_anti")
   }
 
   /** Streaming dedup on (event_id, ts) — the event-time column is IN the

@@ -533,11 +533,13 @@ class StreamingSpec extends AnyFunSuite {
         mem.addData(chunk)
         q.processAllAvailable()
       }
-      // last emission per user is the final buffer (csv grows more
-      // recent monotonically, so compare against the batch twin)
-      val got = spark.table("recent_out").collect().zipWithIndex
-        .groupBy(_._1.getLong(0))
-        .map { case (uid, rows) => uid -> rows.maxBy(_._2)._1.getString(1) }
+      // last emission per user = the one with the largest monotone
+      // n_seen counter (cross-batch row order from the memory sink is
+      // not a documented guarantee, so row position is not usable)
+      val got = spark.table("recent_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (uid, rows) =>
+          uid -> rows.maxBy(_.getLong(2)).getString(1) }
       val want = SparkEntry.queries("st11_recent_events")(spark, sf)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got.keySet == want.keySet)
