@@ -133,6 +133,16 @@ object HiveCompat {
       BloomFilterMightContain(es(1), es.head)
     }
 
+    // hive_hash(...) — the reference's hash() semantics (GenericUDFHash:
+    // r = r*31 + ObjectInspectorUtils.hashCode per arg), for users
+    // migrating data BUCKETED on Hive's hash(). Spark's builtin hash()
+    // is Murmur3 (kept as-is — q43 covers it); the Hive algorithm ships
+    // in Catalyst as the codegen'd HiveHash expression (hive-bucketing
+    // compat machinery) and only lacks a registry name. FunctionSpec
+    // pins known Hive values (ints identity, ASCII text = Text
+    // .hashCode, multi-arg 31-fold, null→0).
+    reg(spark, "hive_hash") { es => HiveHash(es) }
+
     // sort_array_by + in_file need bespoke eval — see expressions.scala.
     reg(spark, "sort_array_by") { es => SortArrayByField(es) }
     reg(spark, "in_file") { es => InFile(es.head, es(1)) }

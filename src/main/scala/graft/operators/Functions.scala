@@ -143,6 +143,25 @@ object Functions {
       length(md5($"c_name")).as("h_len"))
   }
 
+  /** q43b: `hive_hash` — the reference hash() semantic twin
+    * (GenericUDFHash; registered in HiveCompat on Catalyst's codegen'd
+    * HiveHash, the hive-bucketing-compat algorithm). For INTEGRAL args
+    * Hive's hash is pure arithmetic — a 31-fold of the int values —
+    * so the oracle recomputes it exactly, proving the registered
+    * function end-to-end; string/bool/null/multi-arg semantics are
+    * FunctionSpec-pinned. Users migrating data bucketed on Hive's
+    * hash() re-derive their bucket ids with this function. */
+  val q43bHiveHash: Q = Q(
+    "q43b_hive_hash",
+    """SELECT c_custkey,
+      |  CAST(31 * c_custkey + c_nationkey AS INT) AS hh
+      |FROM customer WHERE c_custkey < 300""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.customer(s, d).filter($"c_custkey" < 300)
+      .selectExpr("c_custkey", "hive_hash(c_custkey, c_nationkey) AS hh")
+  }
+
   /** ngrams aggregator over real text (graft custom Aggregator,
     * functions/NGrams.scala). The aggregator's small-k mode prunes
     * partial buffers (partition-dependent estimates — the reference's
@@ -250,6 +269,6 @@ object Functions {
   }
 
   val all: Seq[Q] = Seq(q39StringFuncs, q40DateFuncs, q41MathFuncs,
-    q42Conditionals, q43Hash, q44NgramsDocs, q44bContextNgrams,
+    q42Conditionals, q43Hash, q43bHiveHash, q44NgramsDocs, q44bContextNgrams,
     q66TryFuncs)
 }

@@ -317,10 +317,59 @@ object Windows {
         (cumP > cumV).as("purchase_ahead"))
   }
 
+  /** matchpath-lite (reference MatchPath PTF — the last §2.4 item with
+    * no functional equivalent until now): match a chain of CONSECUTIVE
+    * symbols over each partition's time-ordered rows and emit one row
+    * per match start with the span's end coordinates. This is the
+    * practical core of the PTF (a literal symbol chain; Hive's
+    * `A.B*.C` quantifiers compile to the same lead() scheme plus a
+    * gaps-and-islands collapse, q76's machinery). The NFA is a
+    * conjunction of lead() lookaheads over ONE window — a single
+    * shuffle on the partition key, no self-joins, WindowExec streams
+    * each partition once. Overlapping matches are all emitted
+    * (matchpath semantics: every row can start a path). */
+  def matchPath(events: org.apache.spark.sql.DataFrame,
+      pattern: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(pattern.nonEmpty, "empty symbol pattern")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val isMatch = pattern.zipWithIndex.map { case (sym, i) =>
+      lead(col("event_type"), i).over(w) === sym
+    }.reduce(_ && _)
+    events
+      .withColumn("end_event", lead(col("event_id"), pattern.size - 1).over(w))
+      .withColumn("end_ts", lead(col("ts"), pattern.size - 1).over(w))
+      .withColumn("m", isMatch)
+      .filter(col("m"))
+      .select(col("user_id"), col("event_id").as("start_event"),
+        col("ts").as("start_ts"), col("end_event"), col("end_ts"))
+  }
+
+  /** q80: the view→view→purchase funnel through [[matchPath]]. */
+  val q80MatchPath: Q = Q(
+    "q80_matchpath_funnel",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, event_id, ts,
+      |        event_type AS s0,
+      |        lead(event_type, 1) OVER w AS s1,
+      |        lead(event_type, 2) OVER w AS s2,
+      |        lead(event_id, 2) OVER w AS end_event,
+      |        lead(ts, 2) OVER w AS end_ts
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS start_event, ts AS start_ts,
+      |  end_event, end_ts
+      |FROM m
+      |WHERE s0 = 'view' AND s1 = 'view' AND s2 = 'purchase'"""
+      .stripMargin) { (s, d) =>
+    matchPath(Tables.events(s, d), Seq("view", "view", "purchase"))
+  }
+
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
-    q79CumulativeCrossover)
+    q79CumulativeCrossover, q80MatchPath)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

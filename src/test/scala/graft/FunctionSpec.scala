@@ -219,6 +219,27 @@ class FunctionSpec extends AnyFunSuite {
     assert(one("translate('abcd', 'ad', 'xy')") == "xbcy")
   }
 
+  test("hive_hash reproduces Hive's GenericUDFHash values") {
+    // Hive semantics (public GenericUDFHash / ObjectInspectorUtils):
+    // multi-arg fold r = r*31 + h(arg); int hashes to itself; boolean
+    // to 1/0; long to (int)(v ^ v>>>32); string to Text.hashCode
+    // (byte-wise h = h*31 + b over UTF-8 — equals String.hashCode for
+    // ASCII); null contributes 0. Spark's builtin hash() is Murmur3
+    // and stays untouched.
+    assert(one("hive_hash(42)") == 42)
+    assert(one("hive_hash(true)") == 1)
+    assert(one("hive_hash(false)") == 0)
+    assert(one("hive_hash(CAST(1 AS BIGINT))") == 1)
+    assert(one("hive_hash('ABC')") == "ABC".hashCode) // 64578
+    assert(one("hive_hash('')") == 0)
+    assert(one("hive_hash(1, 2)") == 33)       // 31*1 + 2
+    assert(one("hive_hash(1, 2, 3)") == 1026)  // 31*33 + 3
+    assert(one("hive_hash(CAST(NULL AS INT))") == 0)
+    assert(one("hive_hash(1, CAST(NULL AS INT), 2)") == 31 * 31 * 1 + 2)
+    // differs from Spark's Murmur3 hash() by design
+    assert(one("hive_hash(42)") != one("hash(42)"))
+  }
+
   test("math-family builtins match Hive semantics") {
     assert(one("conv('ff', 16, 10)") == "255")
     assert(one("bin(13)") == "1101")
