@@ -49,46 +49,55 @@ object Ranks {
   }
 
   /** Distributed global running sum of `value` in the total order
-    * `sortKeys` (frame UNBOUNDED PRECEDING .. CURRENT ROW): pass 1
-    * range-partitions and cumsums within each partition; pass 2 adds
-    * each partition's broadcast offset (the sum of all earlier
-    * partitions' totals, itself computed by a P×P broadcast self-join
-    * over the P-row totals frame — no window anywhere).
+    * `sortKeys` (frame UNBOUNDED PRECEDING .. CURRENT ROW), bucketed
+    * by a caller-supplied `bucket` expression: materialize the narrow
+    * (keys+value+bucket) frame once, aggregate per-bucket totals
+    * (map-side-combinable, materialized — B rows), turn them into
+    * broadcast offsets via a B×B self-join, then cumsum within each
+    * bucket (Window.partitionBy(bucket)) and add the bucket's offset.
+    * ONE scan of the input, one bucket shuffle, no window without
+    * partitionBy anywhere. (Measured alternatives at fixture scale:
+    * repartitionByRange+pid pays a sampling job and a wide
+    * checkpoint; deriving totals from max(cumsum) loses scan reuse to
+    * column pruning — 3 scans, ReuseExchange never fires.)
     *
-    * The ranged frame is localCheckpointed: the cumsum pass and the
-    * totals pass MUST observe the same partition boundaries (range
-    * boundaries come from sampling; two independent executions could
-    * legally differ), and the checkpoint also runs the scan+exchange
-    * once instead of twice. At cluster scale use persist(DISK_ONLY)
-    * on the (narrow — keep it keys+value only) input instead.
-    *
-    * `sortKeys` must be a total order (unique) — exactness of the
-    * merged prefix sum depends on no key straddling a boundary tie. */
-  def runningSum(df: DataFrame, sortKeys: Seq[Column], value: Column,
-      out: String): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sortKeys: _*)
-      .withColumn("__ps_pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = ranged.groupBy(col("__ps_pid")).agg(sum(value).as("__ps_t"))
+    * `bucket` MUST be a pure function of the sort key that respects
+    * the total order (b(x) < b(y) whenever x precedes y across
+    * buckets) — e.g. a leading hex prefix of a hash sort key, or the
+    * (negated) leading numeric key. Purity is what makes the two
+    * passes independently recomputable with NO checkpoint and NO
+    * range-partitioner sampling job (a repartitionByRange variant
+    * measured 3× slower at fixture scale from exactly those extra
+    * jobs — r4 bench); order-respect is what makes offset+local
+    * exact. Bucket-count guidance: a few hundred — enough spread for
+    * the per-bucket windows, trivial for the broadcast self-join. */
+  def runningSum(df: DataFrame, bucket: Column, sortKeys: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    // narrow by contract (callers project keys+value only); both the
+    // totals pass and the window pass read THIS, not the source scan.
+    // At cluster scale: persist(DISK_ONLY) instead.
+    val withB = df.withColumn("__ps_b", bucket).localCheckpoint()
+    val totals = withB.groupBy(col("__ps_b")).agg(sum(value).as("__ps_t"))
+      .localCheckpoint() // B rows; the self-join would re-aggregate twice
     val offsets = totals
-      .join(broadcast(totals.select(col("__ps_pid").as("__ps_pb"),
+      .join(broadcast(totals.select(col("__ps_b").as("__ps_bb"),
           col("__ps_t").as("__ps_tb"))),
-        col("__ps_pb") < col("__ps_pid"), "left")
-      .groupBy(col("__ps_pid"))
+        col("__ps_bb") < col("__ps_b"), "left")
+      .groupBy(col("__ps_b"))
       .agg(coalesce(sum(col("__ps_tb")), lit(0L)).as("__ps_off"))
-    val wLocal = Window.partitionBy(col("__ps_pid"))
+    val wLocal = Window.partitionBy(col("__ps_b"))
       .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.withColumn("__ps_loc", sum(value).over(wLocal))
-      .join(broadcast(offsets), "__ps_pid")
+    withB.withColumn("__ps_loc", sum(value).over(wLocal))
+      .join(broadcast(offsets), "__ps_b")
       .withColumn(out, col("__ps_loc") + col("__ps_off"))
-      .drop("__ps_pid", "__ps_loc", "__ps_off")
+      .drop("__ps_b", "__ps_loc", "__ps_off")
   }
 
   /** Global 1..N row rank in the total order `sortKeys` — a running
     * count. Long-typed (row_number() is int; callers cast if the
     * narrower type matters). */
-  def globalRank(df: DataFrame, sortKeys: Seq[Column], out: String): DataFrame =
-    runningSum(df, sortKeys, lit(1L), out)
+  def globalRank(df: DataFrame, bucket: Column, sortKeys: Seq[Column],
+      out: String): DataFrame =
+    runningSum(df, bucket, sortKeys, lit(1L), out)
 }

@@ -131,8 +131,11 @@ object Splits {
     // bottleneck. Rank values (and so the round-robin deal) unchanged.
     val t = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+    // bucket = -n_tokens: ascending buckets == descending token order,
+    // so the bucket is order-respecting; one bucket per distinct count
+    // (hundreds — fine for the broadcast offsets join)
     val shards = Ranks
-      .globalRank(t, Seq($"n_tokens".desc, $"doc_id"), "rn")
+      .globalRank(t, -$"n_tokens", Seq($"n_tokens".desc, $"doc_id"), "rn")
       .groupBy((($"rn" - 1) % 16).cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").cast("long").as("shard_tokens"))
@@ -302,9 +305,12 @@ object Splits {
     val toks = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
         md5(concat($"doc_id".cast("string"), lit(":e0"))).as("k"))
-    // integer DIV, not floor(double /): token totals beyond 2^53 would
-    // silently lose exactness in the double quotient (oracle uses //)
-    Ranks.runningSum(toks, Seq($"k", $"doc_id"), $"n_toks", "cum")
+    // bucket = first two hex chars of the md5 sort key: 256 uniform
+    // buckets whose string order IS the k order. Integer DIV, not
+    // floor(double /): token totals beyond 2^53 would silently lose
+    // exactness in the double quotient (oracle uses //)
+    Ranks.runningSum(toks, substring($"k", 1, 2), Seq($"k", $"doc_id"),
+      $"n_toks", "cum")
       .selectExpr("doc_id", "n_toks",
         "(cum - n_toks) DIV 2048 AS bin",
         "(cum - 1) DIV 2048 AS bin_end")

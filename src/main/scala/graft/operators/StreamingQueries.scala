@@ -173,7 +173,8 @@ object StreamingQueries {
       |    AS window_end,
       |  event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      |FROM events WHERE ts < TIMESTAMP '2024-01-04'
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
     import s.implicits._
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_st09_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
@@ -182,7 +183,12 @@ object StreamingQueries {
       f.delete(); ()
     }
     rmrf(new java.io.File(dest)) // stale partitions of an old fixture
+    // 3 days of events = 72 hourly partitions: the full semantics
+    // (partial delivery, full redelivery, per-window overwrite) at a
+    // tenth of the 720-partition file-op cost — the sink's per-batch
+    // cost is |touched windows|, which is exactly what this bounds
     val events = Tables.events(s, d)
+      .filter($"ts" < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
     // delivery 1: partial per-window aggregates (half the events seen)
     Streams.upsertWindowTotals(
       Streams.tumblingCounts(events.filter($"event_id" % 2 === 0)), dest)
