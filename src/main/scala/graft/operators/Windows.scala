@@ -345,6 +345,59 @@ object Windows {
         col("ts").as("start_ts"), col("end_event"), col("end_ts"))
   }
 
+  /** matchpath star-quantifier shape `A.B*.C` (zero or more B between
+    * A and C, all consecutive) — the funnel-with-noise pattern (e.g.
+    * view, any clicks, purchase). One window, no NFA state: for each
+    * row, `last_value(..., ignoreNulls=true)` over the preceding rows
+    * yields the nearest preceding NON-B symbol and its coordinates;
+    * every row between that row and the current one is B by
+    * construction, so consecutiveness needs no extra check. A match
+    * ends at a C whose nearest preceding non-B symbol is A. Same
+    * scale shape as [[matchPath]]: one shuffle on the partition key. */
+  def matchPathStar(events: org.apache.spark.sql.DataFrame,
+      pre: String, star: String, post: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def lastNonStar(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      last(when(col("event_type") =!= star, c), ignoreNulls = true).over(w)
+    events
+      .withColumn("p_sym", lastNonStar(col("event_type")))
+      .withColumn("p_event", lastNonStar(col("event_id")))
+      .withColumn("p_ts", lastNonStar(col("ts")))
+      .filter(col("event_type") === post && col("p_sym") === pre)
+      .select(col("user_id"), col("p_event").as("start_event"),
+        col("p_ts").as("start_ts"), col("event_id").as("end_event"),
+        col("ts").as("end_ts"))
+  }
+
+  /** q80b: view→click*→purchase through [[matchPathStar]]. */
+  val q80bMatchPathStar: Q = Q(
+    "q80b_matchpath_star",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, event_id, event_type, ts,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN event_type END IGNORE NULLS) OVER w
+      |          AS p_sym,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN event_id END IGNORE NULLS) OVER w
+      |          AS p_event,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN ts END IGNORE NULLS) OVER w AS p_ts
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND 1 PRECEDING))
+      |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+      |  event_id AS end_event, ts AS end_ts
+      |FROM m
+      |WHERE event_type = 'purchase' AND p_sym = 'view'""".stripMargin) {
+    (s, d) =>
+    matchPathStar(Tables.events(s, d), "view", "click", "purchase")
+  }
+
   /** q80: the view→view→purchase funnel through [[matchPath]]. */
   val q80MatchPath: Q = Q(
     "q80_matchpath_funnel",
@@ -369,7 +422,7 @@ object Windows {
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
-    q79CumulativeCrossover, q80MatchPath)
+    q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

@@ -329,6 +329,18 @@ class PlanSpec extends AnyFunSuite {
       s"funnel re-reads the corpus:\n$p")
   }
 
+  test("q80/q80b: row-pattern matching runs in ONE per-user shuffle") {
+    // the lead()-NFA and the last_value(ignoreNulls) star matcher must
+    // each compile to a single hashpartitioning exchange on user_id —
+    // a second exchange would mean the lookahead columns forced a
+    // re-shuffle
+    Seq("q80_matchpath_funnel", "q80b_matchpath_star").foreach { n =>
+      val p = plan(n)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$n: expected 1 exchange, got $exchanges:\n$p")
+    }
+  }
+
   test("s06/s07/p03/p07: no single-partition global Window in ANY job") {
     // Round-3 verdict's one remaining 100×-scale defect class:
     // row_number()/sum() over Window.orderBy(...) with no partitionBy
