@@ -54,7 +54,11 @@ class SqlParitySpec extends AnyFunSuite {
     // (d09/c02 excluded: list_slice/unnest-range segmenting is
     // DuckDB-dialect)
     "w04_merge_upsert", "dq01_quality_audit", "q78_moving_avg",
-    "q79_cumulative_crossover")
+    "q79_cumulative_crossover",
+    // round-4: lead()-NFA row-pattern text form (q80b excluded: its
+    // oracle puts IGNORE NULLS inside the call parens, DuckDB-dialect;
+    // Spark placement covered inline below)
+    "q80_matchpath_funnel")
 
   dualDialect.foreach { n =>
     test(s"$n: SQL text == DSL builder") {
@@ -65,6 +69,30 @@ class SqlParitySpec extends AnyFunSuite {
         s"columns ${viaSql.columns.toSeq} vs ${viaDsl.columns.toSeq}")
       assert(canon(viaSql) == canon(viaDsl))
     }
+  }
+
+  test("star-quantifier pattern SQL text (Spark IGNORE NULLS) == DSL") {
+    register()
+    val viaSql = spark.sql(
+      """WITH m AS (SELECT user_id, event_id, event_type, ts,
+        |    last_value(CASE WHEN event_type <> 'click'
+        |                    THEN event_type END) IGNORE NULLS OVER w
+        |      AS p_sym,
+        |    last_value(CASE WHEN event_type <> 'click'
+        |                    THEN event_id END) IGNORE NULLS OVER w
+        |      AS p_event,
+        |    last_value(CASE WHEN event_type <> 'click'
+        |                    THEN ts END) IGNORE NULLS OVER w AS p_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING))
+        |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+        |  event_id AS end_event, ts AS end_ts
+        |FROM m
+        |WHERE event_type = 'purchase' AND p_sym = 'view'""".stripMargin)
+    val viaDsl = SparkEntry.queries("q80b_matchpath_star")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
   }
 
   test("LATERAL VIEW explode text form matches the DSL explode plan") {
