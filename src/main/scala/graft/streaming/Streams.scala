@@ -21,6 +21,17 @@ final case class RecentEvent(ts: java.sql.Timestamp, event_id: Long)
   * memory sink preserves cross-batch append order (undocumented). */
 final case class UserRecent(user_id: Long, recent_ids: String, n_seen: Long)
 
+/** One buffered event awaiting watermark finalization in
+  * [[Streams.FunnelProcessor]]. */
+final case class PendingEvent(ts: java.sql.Timestamp, event_id: Long,
+    event_type: String)
+
+/** One matched symbol chain from [[Streams.FunnelProcessor]] — same
+  * shape as the batch matchPath output (q80). */
+final case class FunnelMatch(user_id: Long, start_event: Long,
+    start_ts: java.sql.Timestamp, end_event: Long,
+    end_ts: java.sql.Timestamp)
+
 /** A closed session emitted by [[Streams.SessionTimerProcessor]] when
   * its event-time timer fires (or an in-batch gap closes it). */
 final case class UserSessionClosed(user_id: Long,
@@ -280,6 +291,80 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** STREAMING row-pattern matching — the streaming face of
+    * [[graft.operators.Windows.matchPath]] (real-time funnel
+    * detection): match a consecutive symbol chain over each user's
+    * events in FINAL event-time order, on an out-of-order stream.
+    *
+    * Order is only final BEHIND the watermark (rows below it are
+    * dropped as late; surviving arrivals carry ts >= wm, so nothing
+    * can ever insert between two sub-watermark events). Events
+    * therefore buffer in ListState and each input batch arms an
+    * event-time timer just past its newest event. When a timer fires:
+    * sort the buffer, scan the finalized prefix (ts < wm) for pattern
+    * matches, emit them, and evict all finalized events except the
+    * last |pattern|-1 — exactly the prefix a future match could still
+    * extend. Emission is exactly-once by construction (a retained
+    * tail is one event too short to re-match, and stale timers see
+    * nothing newly finalized); state is O(unfinalized + |pattern|)
+    * per user. StreamingSpec replays the fixture and asserts the
+    * emitted set EQUALS the batch matchPath result (q80). */
+  class FunnelProcessor(pattern: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, FunnelMatch] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    require(pattern.nonEmpty, "empty symbol pattern")
+    @transient private var buf: ListState[PendingEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[PendingEvent]("funnel_buf",
+        org.apache.spark.sql.Encoders.product[PendingEvent], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[FunnelMatch] = {
+      val in = rows
+        .map(e => PendingEvent(e.ts, e.event_id, e.event_type)).toArray
+      if (in.nonEmpty) {
+        buf.appendList(in)
+        getHandle.registerTimer(in.map(_.ts.getTime).max + 1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelMatch] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val all = buf.get().toIndexedSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val firstOpen = all.indexWhere(_.ts.getTime >= wm)
+      val nFinal = if (firstOpen == -1) all.size else firstOpen
+      val L = pattern.size
+      val matches = (0 to nFinal - L).iterator
+        .filter(i => pattern.indices
+          .forall(j => all(i + j).event_type == pattern(j)))
+        .map { i =>
+          val a = all(i); val c = all(i + L - 1)
+          FunnelMatch(uid, a.event_id, a.ts, c.event_id, c.ts)
+        }.toList
+      val keep = all.drop(math.max(nFinal - (L - 1), 0)).toArray
+      buf.clear()
+      if (keep.nonEmpty) buf.appendList(keep)
+      matches.iterator
+    }
+  }
+
+  /** Streaming funnel matches through [[FunnelProcessor]]. */
+  def funnelMatchesTws(events: Dataset[Event], pattern: Seq[String])
+      : Dataset[FunnelMatch] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(pattern),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -512,6 +512,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel matcher equals the batch matchPath (q80)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams
+      .funnelMatchesTws(mem.toDS(), Seq("view", "view", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_funnel").toString)
+      .start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // two sentinel batches: advance the watermark past every real
+      // event, then give the engine a batch in which the finalization
+      // timers actually fire (watermark lags one batch)
+      val s0 = sentinel
+      mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-2L,
+        new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSet
+      val want = SparkEntry.queries("q80_matchpath_funnel")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"funnel matches diverge: extra=${got -- want}, missing=${want -- got}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState ListState recent-buffer equals the batch rank") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
