@@ -528,10 +528,15 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Files.createTempDirectory("graft_funnel").toString)
       .start()
     try {
+      // deterministically SCRAMBLE each chunk before delivery: the
+      // matcher's whole point is reconstructing final event-time order
+      // from out-of-order arrival, so the replay must not hand it
+      // pre-sorted input (within-chunk disorder is watermark-safe;
+      // cross-chunk disorder would change what counts as late)
       val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
         e.user_id, e.event_type, e.value, e.props))
       evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
-        mem.addData(chunk)
+        mem.addData(chunk.sortBy(e => (e.event_id * 2654435761L) & 0xffffffffL))
         q.processAllAvailable()
       }
       // two sentinel batches: advance the watermark past every real
