@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *     counting strict predecessors through a broadcast self-join —
   *     O(k²) comparisons on k rows, no global window node at all.
   *   - [[runningSum]]: the classic two-pass distributed prefix sum —
-  *     range-partition on the total order, cumsum within partitions,
-  *     add broadcast per-partition offsets. Output values are exactly
-  *     those of `sum().over(Window.orderBy(...).rowsBetween(
-  *     unboundedPreceding, currentRow))`, independent of where the
-  *     range boundaries fall, because the sort key is a total order.
+  *     bucket by an order-respecting function of the sort key, cumsum
+  *     within buckets, add broadcast per-bucket offsets. Output values
+  *     are exactly those of `sum().over(Window.orderBy(...)
+  *     .rowsBetween(unboundedPreceding, currentRow))` (RanksSpec pins
+  *     the equivalence), because the sort key is a total order and
+  *     every cross-bucket predecessor lands in the offset.
   *
   * PlanSpec asserts the strongest property these enable: the fixed
   * query plans contain ZERO logical Window nodes with an empty
@@ -64,13 +65,14 @@ object Ranks {
     * `bucket` MUST be a pure function of the sort key that respects
     * the total order (b(x) < b(y) whenever x precedes y across
     * buckets) — e.g. a leading hex prefix of a hash sort key, or the
-    * (negated) leading numeric key. Purity is what makes the two
-    * passes independently recomputable with NO checkpoint and NO
-    * range-partitioner sampling job (a repartitionByRange variant
-    * measured 3× slower at fixture scale from exactly those extra
-    * jobs — r4 bench); order-respect is what makes offset+local
-    * exact. Bucket-count guidance: a few hundred — enough spread for
-    * the per-bucket windows, trivial for the broadcast self-join. */
+    * (negated) leading numeric key. Purity removes the determinism
+    * hazard that forced the repartitionByRange variant to checkpoint
+    * its WIDE ranged frame (sampling could legally pick different
+    * boundaries per execution); here the checkpoint is only a cost
+    * choice — skip it and the result is still exact. Order-respect is
+    * what makes offset+local exact. Bucket-count guidance: a few
+    * hundred — enough spread for the per-bucket windows, trivial for
+    * the broadcast self-join. */
   def runningSum(df: DataFrame, bucket: Column, sortKeys: Seq[Column],
       value: Column, out: String): DataFrame = {
     // narrow by contract (callers project keys+value only); both the
