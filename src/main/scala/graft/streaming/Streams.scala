@@ -21,6 +21,12 @@ final case class RecentEvent(ts: java.sql.Timestamp, event_id: Long)
   * memory sink preserves cross-batch append order (undocumented). */
 final case class UserRecent(user_id: Long, recent_ids: String, n_seen: Long)
 
+/** Per-user per-event-type counts from [[Streams.TypeCountsProcessor]]:
+  * `counts_csv` is the sorted `type:count` rendering of the MapState;
+  * `n_seen` is the monotone pick-latest key (see [[UserRecent]]). */
+final case class UserTypeCounts(user_id: Long, counts_csv: String,
+    n_seen: Long)
+
 /** One buffered event awaiting watermark finalization in
   * [[Streams.FunnelProcessor]]. */
 final case class PendingEvent(ts: java.sql.Timestamp, event_id: Long,
@@ -293,6 +299,59 @@ object Streams {
       .transformWithState(new SessionTimerProcessor(),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** Per-user per-event-type running counts on transformWithState
+    * MAPSTATE — the keyed-sub-key state primitive (ValueState,
+    * ListState and event-time timers are exercised by the processors
+    * around this one; MapState completes the Spark 4 state surface).
+    * Each sub-key (event type) updates independently — the state
+    * store reads/writes ONE map entry per input row, not the whole
+    * map (the reason to prefer MapState over a ValueState holding a
+    * serialized map once sub-key cardinality grows). Emission renders
+    * the full map; StreamingSpec picks each user's latest emission by
+    * the monotone n_seen and asserts equality with the batch
+    * (user, type) aggregate. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTypeCounts] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserTypeCounts] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        n += 1
+      }
+      seen.update(n)
+      val csv = counts.iterator().toSeq
+        .sortBy(_._1).map { case (t, c) => s"$t:$c" }.mkString(",")
+      Iterator.single(UserTypeCounts(uid, csv, n))
+    }
+  }
+
+  /** Per-user type counts through [[TypeCountsProcessor]]. */
+  def userTypeCountsTws(events: Dataset[Event]): Dataset[UserTypeCounts] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** STREAMING row-pattern matching — the streaming face of

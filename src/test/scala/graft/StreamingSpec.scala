@@ -512,6 +512,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState per-type counts equal the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams.userTypeCountsTws(mem.toDS())
+      .writeStream.format("memory").queryName("type_counts_out")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_mapstate").toString)
+      .start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("type_counts_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (uid, rows) =>
+          uid -> rows.maxBy(_.getLong(2)).getString(1) }
+      val want = sources.Tables.events(spark, sf)
+        .groupBy($"user_id", $"event_type").count().collect()
+        .groupBy(_.getLong(0))
+        .map { case (uid, rows) =>
+          uid -> rows.map(r => s"${r.getString(1)}:${r.getLong(2)}")
+            .sorted.mkString(",") }
+      assert(got.keySet == want.keySet)
+      got.foreach { case (uid, csv) =>
+        assert(csv == want(uid), s"user $uid: $csv vs ${want(uid)}")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel matcher equals the batch matchPath (q80)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
