@@ -27,14 +27,30 @@ import org.apache.spark.sql.functions._
   * partitionSpec. */
 object Ranks {
 
+  /** Contract bound for [[tinyRank]]: the O(k²) broadcast nested-loop
+    * is the DESIGN (it exists to rank the tiny survivor set of a
+    * distributed top-k without any global window), so k must stay
+    * tiny. 4096² = 16.8M comparisons is still trivial; anything
+    * growing past this constant belongs in [[globalRank]]. */
+  val TinyRankMaxK = 4096
+
   /** Dense 1..N rank over an ALREADY-SMALL frame (e.g. the k rows a
     * TakeOrderedAndProject produced) without a global window: each
     * row's rank is 1 + the number of rows whose (unique) sort key is
     * strictly smaller, counted via a broadcast nested-loop self-join.
+    * k is bounded by [[TinyRankMaxK]] — larger frames are
+    * [[globalRank]]'s job.
     *
     * `df` is evaluated three times (left side, broadcast key list,
     * and the caller's downstream use) — callers localCheckpoint the
     * limited frame first so the top-k heap runs once.
+    *
+    * Both contracts FAIL LOUDLY at execution, in the same pass that
+    * computes the ranks: the self-join counts `<=` matches and splits
+    * them into strict predecessors (the rank) and key-equal rows; a
+    * duplicate key (equal-count > 1 — e.g. a hash-only key that
+    * collided) or an over-budget frame (rank > [[TinyRankMaxK]])
+    * raises instead of silently emitting fanned-out equal ranks.
     *
     * @param key a UNIQUE orderable key (use `struct(...)` for
     *            composite keys; struct comparison is lexicographic)
@@ -43,9 +59,21 @@ object Ranks {
     val keyed = df.withColumn("__rk_k", key)
     val ranks = keyed.select(col("__rk_k"))
       .join(broadcast(keyed.select(col("__rk_k").as("__rk_b"))),
-        col("__rk_b") < col("__rk_k"), "left")
+        col("__rk_b") <= col("__rk_k"), "left")
       .groupBy(col("__rk_k"))
-      .agg((count(col("__rk_b")) + 1).as(out))
+      .agg(sum(when(col("__rk_b") < col("__rk_k"), 1L).otherwise(0L))
+          .as("__rk_lt"),
+        count(col("__rk_b")).as("__rk_le"))
+      .select(col("__rk_k"),
+        when(col("__rk_le") - col("__rk_lt") =!= 1L,
+          raise_error(concat(lit("tinyRank: duplicate key "),
+            col("__rk_k").cast("string"))))
+          .otherwise(
+            when(col("__rk_lt") >= TinyRankMaxK,
+              raise_error(lit(s"tinyRank: frame exceeds TinyRankMaxK=" +
+                s"$TinyRankMaxK rows; use Ranks.globalRank")))
+              .otherwise(col("__rk_lt") + 1L))
+          .as(out))
     keyed.join(broadcast(ranks), "__rk_k").drop("__rk_k")
   }
 

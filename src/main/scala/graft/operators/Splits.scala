@@ -131,11 +131,19 @@ object Splits {
     // bottleneck. Rank values (and so the round-robin deal) unchanged.
     val t = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
-    // bucket = -n_tokens: ascending buckets == descending token order,
-    // so the bucket is order-respecting; one bucket per distinct count
-    // (hundreds — fine for the broadcast offsets join)
+    // bucket = fixed-width band of -n_tokens (64-token bands):
+    // ascending bands == descending token order, so the bucket is
+    // order-respecting, and — unlike the raw value, whose bucket
+    // COUNT is the number of DISTINCT lengths (10^5+ for long-doc
+    // corpora, blowing up the B×B offsets join) — the band count is
+    // bounded by maxLen/64 regardless of how many distinct lengths
+    // occur. Band SIZES follow the length histogram's band mass; a
+    // pathologically peaked corpus (most docs truncated at one
+    // length) concentrates one band, for which the documented
+    // salted-striping fallback above is the escape hatch.
     val shards = Ranks
-      .globalRank(t, -$"n_tokens", Seq($"n_tokens".desc, $"doc_id"), "rn")
+      .globalRank(t, floor(-$"n_tokens" / 64.0).cast("long"),
+        Seq($"n_tokens".desc, $"doc_id"), "rn")
       .groupBy((($"rn" - 1) % 16).cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").cast("long").as("shard_tokens"))

@@ -159,13 +159,19 @@ object StreamingQueries {
     * ([[graft.streaming.Streams.upsertWindowTotals]]). The twin
     * actually DRIVES the sink: delivery 1 writes stale partial
     * aggregates (what update mode emits from a half-seen stream),
-    * delivery 2 redelivers the complete aggregate for every window —
-    * Spark's at-least-once foreachBatch contract. Dynamic partition
-    * overwrite must leave the table equal to the LATEST aggregate per
-    * window, so the read-back matches the plain batch aggregate the
-    * oracle computes; double-counting or a surviving stale partial
-    * hash-mismatches. StreamingSpec additionally drives the same sink
-    * through a real checkpointed stream restart with redelivery. */
+    * delivery 2 redelivers the complete aggregate for every group —
+    * Spark's at-least-once foreachBatch contract — and delivery 3
+    * redelivers a SINGLE event type's aggregates, the update-mode
+    * shape (a micro-batch touches only the groups that changed).
+    * Dynamic partition overwrite must leave the table equal to the
+    * LATEST aggregate per (window, event_type) group, so the
+    * read-back matches the plain batch aggregate the oracle computes;
+    * double-counting, a surviving stale partial, or an overwrite that
+    * is COARSER than the aggregation key (a wstart-only layout lets
+    * delivery 3 erase the other types' rows for every hour it
+    * touches) all hash-mismatch. StreamingSpec additionally drives
+    * the same sink through a real checkpointed stream restart with
+    * redelivery. */
   val st09UpsertSink: Q = Q(
     "st09_upsert_sink",
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -189,11 +195,16 @@ object StreamingQueries {
     // cost is |touched windows|, which is exactly what this bounds
     val events = Tables.events(s, d)
       .filter($"ts" < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
-    // delivery 1: partial per-window aggregates (half the events seen)
+    // delivery 1: partial per-group aggregates (half the events seen)
     Streams.upsertWindowTotals(
       Streams.tumblingCounts(events.filter($"event_id" % 2 === 0)), dest)
-    // delivery 2: the complete aggregate, redelivering every window
+    // delivery 2: the complete aggregate, redelivering every group
     Streams.upsertWindowTotals(Streams.tumblingCounts(events), dest)
+    // delivery 3: ONE type's groups only — update-mode emission shape;
+    // must overwrite just those groups (idempotent no-op here), never
+    // the sibling types sharing the hour
+    Streams.upsertWindowTotals(
+      Streams.tumblingCounts(events).filter($"event_type" === "click"), dest)
     s.read.parquet(dest)
       .select($"window_start", $"window_end", $"event_type", $"n",
         $"sum_value")

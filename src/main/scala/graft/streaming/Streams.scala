@@ -394,11 +394,20 @@ object Streams {
       Iterator.empty
     }
 
+    /** Full microsecond sort key: `getTime` alone truncates to millis,
+      * so two events a few microseconds apart would tie-break by
+      * event_id here while the batch matchPath (q80) orders by the
+      * full timestamp — the emitted matches would diverge from the
+      * pinned batch-parity assertion. Spark timestamps are
+      * microsecond-grained; `getNanos` carries the sub-second part. */
+    private def usec(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[FunnelMatch] = {
       val wm = tv.getCurrentWatermarkInMs()
       val all = buf.get().toIndexedSeq
-        .sortBy(e => (e.ts.getTime, e.event_id))
+        .sortBy(e => (usec(e.ts), e.event_id))
       val firstOpen = all.indexWhere(_.ts.getTime >= wm)
       val nFinal = if (firstOpen == -1) all.size else firstOpen
       val L = pattern.size
@@ -556,19 +565,29 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** IDEMPOTENT upsert of one micro-batch of windowed totals into a
-    * parquet table partitioned by window start — the exactly-once
-    * foreachBatch sink pattern. Dynamic partition overwrite REPLACES
-    * exactly the windows present in the batch and touches nothing
-    * else, so redelivering the same batch (epoch retry after a sink
-    * failure — Spark's at-least-once foreachBatch contract) rewrites
-    * identical partition content instead of double-counting: sink
-    * state is a pure function of the latest aggregate per window.
+    * parquet table partitioned by the FULL aggregation key — the
+    * exactly-once foreachBatch sink pattern. Dynamic partition
+    * overwrite REPLACES exactly the (window, event_type) groups
+    * present in the batch and touches nothing else, so redelivering
+    * the same batch (epoch retry after a sink failure — Spark's
+    * at-least-once foreachBatch contract) rewrites identical
+    * partition content instead of double-counting: sink state is a
+    * pure function of the latest aggregate per group.
     *
-    * 100 TB notes: per-batch cost is |updated windows|, not |table|
+    * The overwrite granularity MUST equal the emission granularity:
+    * [[tumblingCounts]] aggregates by (window, event_type) and update
+    * mode emits exactly the CHANGED (window, event_type) rows, so the
+    * layout keys on both. Partitioning on wstart alone would let a
+    * micro-batch that changed only SOME types of an hour overwrite
+    * that whole hour's directory and silently drop the other types'
+    * rows — the aggregate-key/layout-key mismatch is the classic
+    * update-mode sink data-loss bug.
+    *
+    * 100 TB notes: per-batch cost is |updated groups|, not |table|
     * (only touched partitions rewrite); the aggregate rows arriving
     * here are already tiny (post-aggregation), so the write is
     * metadata-bound. This is the standard bridge to engines without
-    * transactional MERGE: key the layout on the aggregation window,
+    * transactional MERGE: key the layout on the aggregation key,
     * overwrite by key. */
   def upsertWindowTotals(batch: DataFrame, dest: String): Unit = {
     val s = batch.sparkSession
@@ -579,7 +598,7 @@ object Streams {
           date_format($"window_start", "yyyyMMddHH"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("wstart")
+        .partitionBy("wstart", "event_type")
         .parquet(dest)
     }
   }
