@@ -321,9 +321,9 @@ object Windows {
     * no functional equivalent until now): match a chain of CONSECUTIVE
     * symbols over each partition's time-ordered rows and emit one row
     * per match start with the span's end coordinates. This is the
-    * practical core of the PTF (a literal symbol chain; Hive's
-    * `A.B*.C` quantifiers compile to the same lead() scheme plus a
-    * gaps-and-islands collapse, q76's machinery). The NFA is a
+    * literal-chain core of the PTF; arbitrary `sym*` quantifiers are
+    * [[matchPathQuant]], which generalizes this same one-window
+    * scheme. The NFA is a
     * conjunction of lead() lookaheads over ONE window — a single
     * shuffle on the partition key, no self-joins, WindowExec streams
     * each partition once. Overlapping matches are all emitted
@@ -370,6 +370,173 @@ object Windows {
       .select(col("user_id"), col("p_event").as("start_event"),
         col("p_ts").as("start_ts"), col("event_id").as("end_event"),
         col("ts").as("end_ts"))
+  }
+
+  /** General quantified row-pattern matching — arbitrary chains of
+    * `sym` and `sym*` tokens (e.g. `view.click*.view.click*.purchase`),
+    * subsuming [[matchPath]] (all literals) and [[matchPathStar]] (one
+    * star). Grammar: `(sym | sym*)+` ending in a literal, no two
+    * adjacent stars, and each star's symbol differs from the literal
+    * it precedes — the deterministic chain fragment of the reference
+    * PTF's pattern language (SURVEY.md §2.4).
+    *
+    * Compilation: tokens group into units `(star?, literal)`; units
+    * compile BACKWARD into per-row columns E_k = "a match of units
+    * k..K starts exactly at this row" carrying the match-end
+    * coordinates. The last unit's literal is row-local; every earlier
+    * literal hops to the next row's E_{k+1} via `lead()`; a star
+    * branch hops over its run with `first_value(ignoreNulls)` over
+    * the FOLLOWING frame — the run is all-star by construction (the
+    * first following non-star row is the probe target itself), so
+    * consecutiveness needs no extra check, and the star-run extent is
+    * forced, so each start row yields at most one match (the output
+    * is one row per matching start, like [[matchPath]]).
+    *
+    * The inner-null-vs-skipped distinction in the first_value probe
+    * (a non-star row that does NOT continue the match must STOP the
+    * scan, not be skipped as a null) is kept by sentinel-coalescing
+    * the probed value before the non-star gate — portable to the SQL
+    * texts, where window functions cannot nest in one SELECT either.
+    *
+    * Scale shape: every layer shares ONE window spec (partitionBy
+    * user_id, orderBy ts, event_id), so the whole pattern — any
+    * length — runs as ONE hash-partition exchange and ONE sort;
+    * dependent layers stack as sort-free streaming WindowExec nodes
+    * over the same partitioning (PlanSpec pins 1 exchange + 1 sort
+    * for q80c). */
+  def matchPathQuant(events: org.apache.spark.sql.DataFrame,
+      tokens: Seq[String]): org.apache.spark.sql.DataFrame = {
+    final case class Unit_(star: Option[String], sym: String)
+    require(tokens.nonEmpty, "empty symbol pattern")
+    require(!tokens.last.endsWith("*"), "pattern must end with a literal")
+    val units = {
+      val b = Seq.newBuilder[Unit_]
+      var i = 0
+      while (i < tokens.size) {
+        if (tokens(i).endsWith("*")) {
+          val s = tokens(i).dropRight(1)
+          require(!tokens(i + 1).endsWith("*"),
+            s"adjacent star quantifiers unsupported: ${tokens.mkString(".")}")
+          require(s != tokens(i + 1),
+            "star symbol must differ from the literal it precedes")
+          b += Unit_(Some(s), tokens(i + 1)); i += 2
+        } else { b += Unit_(None, tokens(i)); i += 1 }
+      }
+      b.result()
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wFol = w.rowsBetween(1, Window.unboundedFollowing)
+    val sentTs = lit("1900-01-01 00:00:00").cast("timestamp")
+    val sym = col("event_type")
+    var df = events
+    var ee = ""; var ets = "" // E_{k+1} column names while folding back
+    for (k <- units.indices.reverse) {
+      val u = units(k)
+      // A_k: the unit's literal at this row, match continuing after it
+      val (aEe, aTs) =
+        if (k == units.size - 1)
+          (when(sym === u.sym, col("event_id")),
+            when(sym === u.sym, col("ts")))
+        else
+          (when(sym === u.sym, lead(col(ee), 1).over(w)),
+            when(sym === u.sym, lead(col(ets), 1).over(w)))
+      val (eEe, eTs) = u.star match {
+        case None => (aEe, aTs)
+        case Some(s) =>
+          df = df.withColumn(s"__mp_a_ee_$k", aEe)
+            .withColumn(s"__mp_a_ts_$k", aTs)
+          // probe the first following non-star row, sentinel-wrapped so
+          // a failing probe row stops the scan instead of being skipped
+          df = df.withColumn(s"__mp_f_ee_$k",
+              first(when(sym =!= s, coalesce(col(s"__mp_a_ee_$k"),
+                lit(-1L))), ignoreNulls = true).over(wFol))
+            .withColumn(s"__mp_f_ts_$k",
+              first(when(sym =!= s, coalesce(col(s"__mp_a_ts_$k"),
+                sentTs)), ignoreNulls = true).over(wFol))
+          (when(sym === u.sym, col(s"__mp_a_ee_$k"))
+            .when(sym === s, when(col(s"__mp_f_ee_$k") =!= -1L,
+              col(s"__mp_f_ee_$k"))),
+            when(sym === u.sym, col(s"__mp_a_ts_$k"))
+              .when(sym === s, when(col(s"__mp_f_ee_$k") =!= -1L,
+                col(s"__mp_f_ts_$k"))))
+      }
+      ee = s"__mp_e_ee_$k"; ets = s"__mp_e_ts_$k"
+      df = df.withColumn(ee, eEe).withColumn(ets, eTs)
+    }
+    df.filter(col(ee).isNotNull)
+      .select(col("user_id"), col("event_id").as("start_event"),
+        col("ts").as("start_ts"), col(ee).as("end_event"),
+        col(ets).as("end_ts"))
+  }
+
+  /** q80c: the two-star funnel `view.click*.view.click*.purchase`
+    * through [[matchPathQuant]] — the arbitrary-quantifier depth the
+    * literal chain (q80) and single star (q80b) don't reach. The
+    * oracle transliterates the same backward unit compilation into
+    * windowed CTEs (window functions can't nest in one SELECT, so
+    * each layer is a CTE — exactly the engine's own layering). */
+  val q80cMatchPathQuant: Q = Q(
+    "q80c_matchpath_quant",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |u3a AS (SELECT *,
+      |    CASE WHEN event_type = 'purchase' THEN event_id END AS a3_ee,
+      |    CASE WHEN event_type = 'purchase' THEN ts END AS a3_ts
+      |  FROM e),
+      |u3 AS (SELECT *,
+      |    first_value(CASE WHEN event_type <> 'click'
+      |      THEN coalesce(a3_ee, -1) END IGNORE NULLS) OVER wf AS f3_ee,
+      |    first_value(CASE WHEN event_type <> 'click'
+      |      THEN coalesce(a3_ts, TIMESTAMP '1900-01-01') END IGNORE NULLS)
+      |      OVER wf AS f3_ts
+      |  FROM u3a
+      |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |e3 AS (SELECT *,
+      |    CASE WHEN event_type = 'purchase' THEN a3_ee
+      |         WHEN event_type = 'click' AND f3_ee <> -1 THEN f3_ee
+      |    END AS e3_ee,
+      |    CASE WHEN event_type = 'purchase' THEN a3_ts
+      |         WHEN event_type = 'click' AND f3_ee <> -1 THEN f3_ts
+      |    END AS e3_ts
+      |  FROM u3),
+      |u2a AS (SELECT *,
+      |    CASE WHEN event_type = 'view' THEN lead(e3_ee, 1) OVER wl
+      |    END AS a2_ee,
+      |    CASE WHEN event_type = 'view' THEN lead(e3_ts, 1) OVER wl
+      |    END AS a2_ts
+      |  FROM e3
+      |  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |u2 AS (SELECT *,
+      |    first_value(CASE WHEN event_type <> 'click'
+      |      THEN coalesce(a2_ee, -1) END IGNORE NULLS) OVER wf AS f2_ee,
+      |    first_value(CASE WHEN event_type <> 'click'
+      |      THEN coalesce(a2_ts, TIMESTAMP '1900-01-01') END IGNORE NULLS)
+      |      OVER wf AS f2_ts
+      |  FROM u2a
+      |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |e2 AS (SELECT *,
+      |    CASE WHEN event_type = 'view' THEN a2_ee
+      |         WHEN event_type = 'click' AND f2_ee <> -1 THEN f2_ee
+      |    END AS e2_ee,
+      |    CASE WHEN event_type = 'view' THEN a2_ts
+      |         WHEN event_type = 'click' AND f2_ee <> -1 THEN f2_ts
+      |    END AS e2_ts
+      |  FROM u2),
+      |e1 AS (SELECT *,
+      |    CASE WHEN event_type = 'view' THEN lead(e2_ee, 1) OVER wl
+      |    END AS e1_ee,
+      |    CASE WHEN event_type = 'view' THEN lead(e2_ts, 1) OVER wl
+      |    END AS e1_ts
+      |  FROM e2
+      |  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS start_event, ts AS start_ts,
+      |  e1_ee AS end_event, e1_ts AS end_ts
+      |FROM e1 WHERE e1_ee IS NOT NULL""".stripMargin) { (s, d) =>
+    matchPathQuant(Tables.events(s, d),
+      Seq("view", "click*", "view", "click*", "purchase"))
   }
 
   /** q80b: view→click*→purchase through [[matchPathStar]]. */
@@ -422,7 +589,8 @@ object Windows {
   val all: Seq[Q] = Seq(q13WindowRank, q14WindowRunning, q15WindowRange,
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
-    q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar)
+    q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar,
+    q80cMatchPathQuant)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

@@ -329,16 +329,27 @@ class PlanSpec extends AnyFunSuite {
       s"funnel re-reads the corpus:\n$p")
   }
 
-  test("q80/q80b: row-pattern matching runs in ONE per-user shuffle") {
-    // the lead()-NFA and the last_value(ignoreNulls) star matcher must
-    // each compile to a single hashpartitioning exchange on user_id —
-    // a second exchange would mean the lookahead columns forced a
-    // re-shuffle
-    Seq("q80_matchpath_funnel", "q80b_matchpath_star").foreach { n =>
+  test("q80/q80b/q80c: row-pattern matching runs in ONE per-user shuffle") {
+    // the lead()-NFA, the last_value(ignoreNulls) star matcher, and the
+    // general quantified compiler must each plan a single
+    // hashpartitioning exchange on user_id — a second exchange would
+    // mean a lookahead layer forced a re-shuffle
+    Seq("q80_matchpath_funnel", "q80b_matchpath_star",
+        "q80c_matchpath_quant").foreach { n =>
       val p = plan(n)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(exchanges == 1, s"$n: expected 1 exchange, got $exchanges:\n$p")
     }
+  }
+
+  test("q80c: dependent pattern layers stack sort-free (ONE sort total)") {
+    // matchPathQuant's layers all share (partitionBy user_id,
+    // orderBy ts, event_id): Catalyst must sort ONCE and stream every
+    // subsequent WindowExec over the same partitioning — a per-layer
+    // re-sort would multiply the pattern length into the runtime
+    val p = plan("q80c_matchpath_quant")
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts == 1, s"expected 1 sort, got $sorts:\n$p")
   }
 
   test("s06/s07/p03/p07: no single-partition global Window in ANY job") {

@@ -95,6 +95,84 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(viaSql) == canon(viaDsl))
   }
 
+  test("quantified pattern SQL text (Spark IGNORE NULLS) == DSL") {
+    // q80c's oracle is DuckDB-dialect (IGNORE NULLS inside the call
+    // parens); this is the same backward unit compilation in Spark's
+    // placement — both texts and the DSL must agree row-for-row
+    register()
+    val viaSql = spark.sql(
+      """WITH u3a AS (SELECT *,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END AS a3_ee,
+        |    CASE WHEN event_type = 'purchase' THEN ts END AS a3_ts
+        |  FROM events),
+        |u3 AS (SELECT *,
+        |    first_value(CASE WHEN event_type <> 'click'
+        |      THEN coalesce(a3_ee, -1) END) IGNORE NULLS OVER wf AS f3_ee,
+        |    first_value(CASE WHEN event_type <> 'click'
+        |      THEN coalesce(a3_ts, TIMESTAMP '1900-01-01') END)
+        |      IGNORE NULLS OVER wf AS f3_ts
+        |  FROM u3a
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |e3 AS (SELECT *,
+        |    CASE WHEN event_type = 'purchase' THEN a3_ee
+        |         WHEN event_type = 'click' AND f3_ee <> -1 THEN f3_ee
+        |    END AS e3_ee,
+        |    CASE WHEN event_type = 'purchase' THEN a3_ts
+        |         WHEN event_type = 'click' AND f3_ee <> -1 THEN f3_ts
+        |    END AS e3_ts
+        |  FROM u3),
+        |u2a AS (SELECT *,
+        |    CASE WHEN event_type = 'view' THEN lead(e3_ee, 1) OVER wl
+        |    END AS a2_ee,
+        |    CASE WHEN event_type = 'view' THEN lead(e3_ts, 1) OVER wl
+        |    END AS a2_ts
+        |  FROM e3
+        |  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u2 AS (SELECT *,
+        |    first_value(CASE WHEN event_type <> 'click'
+        |      THEN coalesce(a2_ee, -1) END) IGNORE NULLS OVER wf AS f2_ee,
+        |    first_value(CASE WHEN event_type <> 'click'
+        |      THEN coalesce(a2_ts, TIMESTAMP '1900-01-01') END)
+        |      IGNORE NULLS OVER wf AS f2_ts
+        |  FROM u2a
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |e2 AS (SELECT *,
+        |    CASE WHEN event_type = 'view' THEN a2_ee
+        |         WHEN event_type = 'click' AND f2_ee <> -1 THEN f2_ee
+        |    END AS e2_ee,
+        |    CASE WHEN event_type = 'view' THEN a2_ts
+        |         WHEN event_type = 'click' AND f2_ee <> -1 THEN f2_ts
+        |    END AS e2_ts
+        |  FROM u2),
+        |e1 AS (SELECT *,
+        |    CASE WHEN event_type = 'view' THEN lead(e2_ee, 1) OVER wl
+        |    END AS e1_ee,
+        |    CASE WHEN event_type = 'view' THEN lead(e2_ts, 1) OVER wl
+        |    END AS e1_ts
+        |  FROM e2
+        |  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_event, ts AS start_ts,
+        |  e1_ee AS end_event, e1_ts AS end_ts
+        |FROM e1 WHERE e1_ee IS NOT NULL""".stripMargin)
+    val viaDsl = SparkEntry.queries("q80c_matchpath_quant")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("matchPathQuant degenerates to matchPath / matchPathStar") {
+    // the general compiler must agree with the two fixed matchers on
+    // their own patterns (all-literal chain; single A.B*.C star) —
+    // three independently-derived formulations, one match set
+    val ev = sources.Tables.events(spark, sf)
+    assert(canon(operators.Windows.matchPathQuant(ev,
+        Seq("view", "view", "purchase"))) ==
+      canon(SparkEntry.queries("q80_matchpath_funnel")(spark, sf)))
+    assert(canon(operators.Windows.matchPathQuant(ev,
+        Seq("view", "click*", "purchase"))) ==
+      canon(SparkEntry.queries("q80b_matchpath_star")(spark, sf)))
+  }
+
   test("LATERAL VIEW explode text form matches the DSL explode plan") {
     register()
     val viaSql = spark.sql(
