@@ -257,7 +257,105 @@ object StreamingQueries {
         x => x.getField("event_id").cast("string")), ",").as("recent_ids"))
   }
 
+  /** st12: the streaming row-pattern funnel
+    * ([[graft.streaming.Streams.FunnelProcessor]]) as a driver-facing
+    * CORRECTNESS row. Unlike the other st* twins (same code path over
+    * a batch frame), the funnel's batch twin IS q80's matchPath — so
+    * this registration drives the REAL streaming engine end-to-end:
+    * a file source delivers the first 7 days of events in two
+    * time-ordered chunks (plus two watermark-flush sentinel batches —
+    * the watermark lags a batch, and the finalization timers fire
+    * only after it passes the data), through a checkpointed
+    * transformWithState query on the RocksDB state store, into an
+    * append-parquet foreachBatch sink. The read-back must equal the
+    * batch matchPath over the same slice — the oracle is exactly
+    * q80's frame with the slice filter. Everything stays distributed:
+    * chunking is two filtered writes, the sink appends per batch, no
+    * driver-side replay buffer. StreamingSpec additionally proves the
+    * SCRAMBLED-arrival path (within-chunk disorder) against q80. */
+  val st12Funnel: Q = Q(
+    "st12_funnel",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events
+      |           WHERE ts < TIMESTAMP '2024-01-08'),
+      |m AS (SELECT user_id, event_id, ts,
+      |        event_type AS s0,
+      |        lead(event_type, 1) OVER w AS s1,
+      |        lead(event_type, 2) OVER w AS s2,
+      |        lead(event_id, 2) OVER w AS end_event,
+      |        lead(ts, 2) OVER w AS end_ts
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS start_event, ts AS start_ts,
+      |  end_event, end_ts
+      |FROM m
+      |WHERE s0 = 'view' AND s1 = 'view' AND s2 = 'purchase'"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st12_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"
+    new java.io.File(dest).mkdirs()
+    new java.io.File(src).mkdirs() // file source requires an existing path
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val events = Tables.events(s, d).filter($"ts" < lit(t("2024-01-08 00:00:00")))
+    val schema = events.schema
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.Streams
+        .funnelMatchesTws(
+          s.readStream.schema(schema).parquet(src)
+            .as[graft.streaming.Event],
+          Seq("view", "view", "purchase"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.FunnelMatch],
+              _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(dest)
+        }
+        .start()
+      try {
+        // two time-ordered chunks: cross-chunk order preserves
+        // watermark safety (nothing in chunk 2 is late w.r.t. chunk
+        // 1's max - 1h); within a chunk the file source delivers
+        // whatever partition order the write produced
+        val cut = t("2024-01-04 12:00:00")
+        events.filter($"ts" < cut).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        events.filter($"ts" >= cut).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        // watermark-flush sentinels (never match, user_id -1): first
+        // advances the watermark past every real event, second gives
+        // the engine a batch in which the timers fire
+        Seq(graft.streaming.Event(-1L, t("2024-06-01 00:00:00"), -1L,
+          "__sentinel", 0.0, "{}")).toDF()
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        Seq(graft.streaming.Event(-2L, t("2024-06-01 00:01:00"), -1L,
+          "__sentinel", 0.0, "{}")).toDF()
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.read.schema(org.apache.spark.sql.Encoders
+        .product[graft.streaming.FunnelMatch].schema)
+      .parquet(dest)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
-    st09UpsertSink, st10ReplayGate, st11RecentEvents)
+    st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel)
 }
