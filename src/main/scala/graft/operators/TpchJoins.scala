@@ -228,14 +228,17 @@ object TpchJoins {
 
   /** Q15 shape: supplier(s) with the MAX windowed revenue. The oracle
     * keeps the classic scalar-subquery-over-CTE text; the DSL builds
-    * the plan you actually want at 100 TB: aggregate lineitem ONCE,
-    * then take rank()==1 over the |suppliers|-sized result (a global
-    * window over a dimension-sized relation — cheap), instead of
-    * consuming the CTE twice. Spark does NOT reuse the two aggregate
-    * subtrees even under AQE (the join branch picks up an extra
-    * isnotnull(l_suppkey) filter, breaking canonical equality), so the
-    * naive two-reference form scans the fact table twice — the window
-    * form halves the fact I/O. Ties: rank()==1 keeps all maxima,
+    * the plan you actually want at 100 TB: aggregate lineitem ONCE
+    * into a checkpointed |suppliers|-sized frame, reduce it to a
+    * broadcast 1-row max, and filter — no window anywhere. (Earlier
+    * rounds used rank()==1 over a GLOBAL window here; the registry-
+    * wide PlanSpec invariant now bans that shape — at TPC-H SF100k
+    * the revenue relation is ~1M suppliers through one task. Spark
+    * does NOT reuse the two aggregate subtrees of the naive
+    * twice-referenced CTE even under AQE — the join branch picks up
+    * an extra isnotnull(l_suppkey) filter, breaking canonical
+    * equality — so the checkpoint is also what keeps the fact scan
+    * single.) Ties: the decimal-equality filter keeps all maxima,
     * matching `r = (SELECT max(r) ...)`. Comparison stays in DECIMAL
     * space → exact in both engines. */
   val q55TopSupplier: Q = Q(
@@ -257,11 +260,11 @@ object TpchJoins {
       .groupBy($"l_suppkey")
       .agg(Exact.dsumDec($"l_extendedprice" * (lit(1) - $"l_discount"))
         .as("r"))
+      .localCheckpoint() // one fact scan feeds both the max and the filter
+    val mx = rev.agg(max($"r").as("rmax"))
     rev
-      .withColumn("rk",
-        rank().over(org.apache.spark.sql.expressions.Window
-          .orderBy($"r".desc)))
-      .filter($"rk" === 1)
+      .crossJoin(broadcast(mx))
+      .filter($"r" === $"rmax")
       .join(Tables.supplier(s, d), $"s_suppkey" === $"l_suppkey")
       .select($"s_suppkey", $"s_name",
         $"r".cast("double").as("total_revenue"))
@@ -366,12 +369,14 @@ object TpchJoins {
     * predicate stays meaningful at every scale factor, unlike Q11's
     * fixed global fraction whose selectivity collapses as |parts|
     * grows). The oracle keeps the scalar-subquery-over-CTE text; the
-    * DSL aggregates per part ONCE and takes the global threshold as a
-    * window aggregate over the parts-sized relation (same
-    * single-fact-scan rationale as q55 — the twice-referenced CTE would
-    * scan lineitem twice). All sums in decimal space; the threshold is
-    * derived from the exact decimal by identical double ops in both
-    * engines. */
+    * DSL aggregates per part ONCE into a checkpointed parts-sized
+    * frame and broadcasts the 1-row mean threshold (same
+    * single-fact-scan rationale as q55 — the twice-referenced CTE
+    * would scan lineitem twice; and same no-global-window rule — the
+    * earlier Window.partitionBy(lit(1)) folds to an empty partition
+    * spec, one task holding every part). All sums in decimal space;
+    * the threshold is derived from the exact decimal by identical
+    * double ops in both engines. */
   val q61ValueConcentration: Q = Q(
     "q61_value_concentration",
     """WITH pv AS (
@@ -389,11 +394,11 @@ object TpchJoins {
       .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
       .groupBy($"l_partkey")
       .agg(Exact.dsumDec($"l_quantity" * $"p_retailprice").as("v"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .localCheckpoint() // one fact scan feeds threshold and filter
+    val thr = pv.agg(
+      (sum($"v").cast("double") / count(lit(1)) * 1.5).as("thr"))
     pv
-      .withColumn("thr",
-        sum($"v").over(wAll).cast("double")
-          / count(lit(1)).over(wAll) * 1.5)
+      .crossJoin(broadcast(thr))
       .filter($"v".cast("double") > $"thr")
       .select($"l_partkey".as("p_partkey"),
         $"v".cast("double").as("part_value"))

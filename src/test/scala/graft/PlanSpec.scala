@@ -53,12 +53,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("q55: derived revenue view is computed once and reused for its max") {
     // Q15 shape: the naive two-reference CTE form scans the fact table
-    // twice (AQE can't reuse — see the builder's scaladoc). The window
-    // form must scan lineitem exactly ONCE and take the max via rank.
+    // twice (AQE can't reuse — see the builder's scaladoc). The
+    // checkpointed revenue frame must leave AT MOST one lineitem scan
+    // (zero in the final plan: the single scan ran in the checkpoint
+    // job) and take the max as a broadcast 1-row aggregate, windowless.
     val p = plan("q55_top_supplier")
-    assert(p.split("lineitem.parquet", -1).length - 1 == 1,
+    assert(p.split("lineitem.parquet", -1).length - 1 <= 1,
       s"lineitem scanned more than once:\n$p")
-    assert(p.contains("Window"), s"no window max:\n$p")
+    assert(!p.contains("Window"), s"q55 regrew a window:\n$p")
   }
 
   test("q57: nested IN + HAVING plans as two semi joins, part side broadcast") {
@@ -352,7 +354,7 @@ class PlanSpec extends AnyFunSuite {
     assert(sorts == 1, s"expected 1 sort, got $sorts:\n$p")
   }
 
-  test("s06/s07/p03/p07: no single-partition global Window in ANY job") {
+  test("REGISTRY-WIDE: no single-partition global Window in ANY job") {
     // Round-3 verdict's one remaining 100×-scale defect class:
     // row_number()/sum() over Window.orderBy(...) with no partitionBy
     // funnels the whole input through one task. The fixes (top-k heap +
@@ -362,6 +364,17 @@ class PlanSpec extends AnyFunSuite {
     // lineage barriers, so inspecting the final plan is not enough: a
     // QueryExecutionListener audits EVERY executed plan (checkpoint
     // jobs included), recursing through AQE wrappers.
+    //
+    // Round 5 makes the invariant DURABLE: every query in
+    // SparkEntry.queries executes under the listener, so a future
+    // registration cannot silently reintroduce the pattern. The only
+    // exceptions, excluded by explicit allowlist, are the two whose
+    // global window is documented semantics:
+    //   - q17_ntile_stats: global percent_rank/ntile — a total order
+    //     is the QUERY's meaning; q17a is its registered scale twin
+    //   - q79_cumulative_crossover: cumsum over the DAY rollup —
+    //     cardinality = #days, collapsed before the window
+    val allow = Set("q17_ntile_stats", "q79_cumulative_crossover")
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
@@ -392,20 +405,31 @@ class PlanSpec extends AnyFunSuite {
       }
     }
     spark.listenerManager.register(listener)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      Seq("s06_kmeans", "s07_knn_pq", "p03_shard_pack", "p07_sequence_pack")
-        .foreach(n => SparkEntry.queries(n)(spark, sf).collect())
+      names.foreach { n =>
+        val before = bad.size
+        SparkEntry.queries(n)(spark, sf).collect()
+        ran += n
+        // fuzzy attribution: async listener delivery means a late
+        // event can land under the next query's name — the recorded
+        // name narrows the search, the plan string pins the culprit
+        if (bad.size > before) ran += s"^^^ new offender near $n"
+      }
       // listener delivery is async on the shared bus: poll until the
-      // event count is stable for 1s (bounded at 15s)
+      // event count is stable for 1s (bounded at 30s)
       var last = -1; var stable = 0; var waited = 0
-      while (stable < 2 && waited < 15000) {
+      while (stable < 2 && waited < 30000) {
         Thread.sleep(500); waited += 500
         val now = seen.get()
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
     } finally spark.listenerManager.unregister(listener)
-    assert(seen.get() > 4, s"listener saw only ${seen.get()} executions")
+    assert(seen.get() > names.size,
+      s"listener saw only ${seen.get()} executions for ${names.size} queries")
     assert(bad.isEmpty,
-      s"single-partition WindowExec survived:\n${String.join("\n", bad)}")
+      s"single-partition WindowExec survived (ran: ${
+        ran.takeRight(6).mkString(", ")}):\n${String.join("\n", bad)}")
   }
 }
