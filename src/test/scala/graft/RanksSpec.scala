@@ -52,6 +52,58 @@ class RanksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("PROPERTY: any order-respecting bucket fn => bit-identical runningSum") {
+    // the bucket contract (Ranks.runningSum scaladoc): for ANY pure
+    // bucket function that respects the sort-key total order, the
+    // two-pass prefix sum equals the single-reducer global window
+    // bit-for-bit. ScalaCheck drives random value lists, random key
+    // distributions (duplicates included — bucket is a function of
+    // the key alone, so key-ties always share a bucket), and a random
+    // monotone band bucket floor((k - off) / width); the reference is
+    // computed driver-side, independent of any Spark window.
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      n <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      ks <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      width <- Gen.choose(1L, 200L)
+      off <- Gen.choose(-100L, 100L)
+    } yield (ks.zip(vs), width, off)
+    val prop = Prop.forAllNoShrink(genCase) { case (rows, width, off) =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }.toDF("id", "k", "v")
+      val bucket = floor(($"k" - off) / width.toDouble).cast("long")
+      val got = operators.Ranks
+        .runningSum(df, bucket, Seq($"k", $"id"), $"v", "cum")
+        .select($"id", $"cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sorted = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .sortBy { case (i, k, _) => (k, i) }
+      val want = sorted.zip(sorted.scanLeft(0L) { case (acc, (_, _, v)) =>
+        acc + v }.tail).map { case ((i, _, _), cum) => i -> cum }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tinyRank fails loudly on a duplicate key (violated contract)") {
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+      .localCheckpoint()
+    val ex = intercept[Exception] {
+      operators.Ranks.tinyRank(dup, $"k", "r").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("tinyRank: duplicate key")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("tinyRank equals row_number on a top-k survivor frame") {
     import spark.implicits._
     val pool = fixture.orderBy($"k", $"id").limit(16).localCheckpoint()
