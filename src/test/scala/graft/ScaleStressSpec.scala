@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-stress proof for the documented sub-quadratic scale paths
+  * (round-4 verdict ask #4): inflate documents/embeddings 10× with
+  * graded near-duplicate structure, then measure that the banded/
+  * bucketed operators HOLD RECALL against their quadratic ground
+  * truths at a size where those ground truths visibly blow up
+  * (the exact pair set grows ~250×; brute-force kNN scores 10×
+  * the corpus per query).
+  *
+  * Inflation is deterministic:
+  *  - documents: copy c∈[0,10) of each doc replaces tokens at
+  *    positions p with p%10 < c by position-class markers shared
+  *    ACROSS copies — adjacent copies overlap heavily (high
+  *    Jaccard), distant copies diverge, so true pairs populate a
+  *    band around the 0.5 threshold instead of trivially sitting
+  *    at 1.0 (identical copies would make LSH recall a tautology).
+  *  - embeddings: copy c adds per-(copy, dim) md5-derived noise, so
+  *    copies are strong-but-not-identical cosine neighbors (the
+  *    regime where sketch bits actually flip).
+  *
+  * Measured recall numbers are recorded in BASELINE.md §round-5. */
+class ScaleStressSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val Copies = 10
+  private val Dim = 64
+
+  /** md5-derived deterministic noise in [-0.05, 0.05] — the same
+    * portable pseudo-random construction as s02's hyperplane family. */
+  private def noiseW(c: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"stress:$c:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0 * 0.05
+  }
+
+  /** The 10×-inflated fixture dir, built once per JVM. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stress")
+      .toString
+    val docs = sources.Tables.documents(spark, sf)
+    (0 until Copies).map { c =>
+      val t =
+        if (c == 0) $"text"
+        else concat_ws(" ", transform(split($"text", " "),
+          (tok, i) => when(i % 10 < c,
+            concat(lit("mrk"), (i % 10).cast("string"))).otherwise(tok)))
+      docs.select(($"doc_id" + c * 100000L).as("doc_id"), t.as("text"),
+        $"lang", $"source", length(t).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.parquet(s"$base/documents.parquet")
+    val emb = sources.Tables.embeddings(spark, sf)
+    (0 until Copies).map { c =>
+      val noise = array((0 until Dim).map(i => lit(noiseW(c, i))): _*)
+      emb.select(($"vec_id" + c * 100000L).as("vec_id"),
+        zip_with($"embedding", noise,
+          (x, n) => (x.cast("double") + n).cast("float")).as("embedding"),
+        $"label")
+    }.reduce(_ unionByName _)
+      .write.parquet(s"$base/embeddings.parquet")
+    base
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("10x corpus: MinHash-LSH (d03) holds recall vs exact Jaccard (d04)") {
+    import spark.implicits._
+    val exactDf = SparkEntry.queries("d04_ngram_jaccard")(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard").localCheckpoint()
+    val exact = pairSet(exactDf)
+    val lsh = pairSet(SparkEntry.queries("d03_minhash_lsh")(spark, dir))
+    // the ground truth has visibly blown up: thousands of true pairs
+    // where the base fixture has a handful
+    assert(exact.size >= 500, s"inflation too weak: ${exact.size} pairs")
+    // d03 exact-verifies its candidates, so it can only MISS, never
+    // invent — recall is the single number that matters
+    assert(lsh.subsetOf(exact),
+      s"LSH invented pairs: ${(lsh -- exact).take(5)}")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"d03-vs-d04 recall at 10x: $recall%.4f (${lsh.size}/${exact.size})")
+    // 16 bands x 4 rows puts the S-curve midpoint AT the 0.5
+    // threshold — pairs sitting exactly on it detect at ~50% by
+    // design, so overall recall is distribution-dependent; 0.65 is
+    // the analytic worst case when ALL mass sits on the threshold
+    assert(recall >= 0.65, f"LSH recall collapsed: $recall%.4f")
+    // the guarantee that must NOT depend on the distribution: pairs
+    // clearly above threshold (j >= 0.7 -> per-band hit 0.24,
+    // P(any of 16) ~ 0.99) are caught essentially always
+    val clear = exactDf.filter($"jaccard" >= 0.7)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clear.size >= 100, s"no clear-pair mass: ${clear.size}")
+    val clearRecall = (lsh & clear).size.toDouble / clear.size
+    info(f"d03 clear-pair (j>=0.7) recall at 10x: $clearRecall%.4f " +
+      f"(${(lsh & clear).size}/${clear.size})")
+    assert(clearRecall >= 0.95, f"clear-pair recall: $clearRecall%.4f")
+  }
+
+  test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {
+    val truth = knnSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    assert(truth.size >= 400, s"ground truth too small: ${truth.size}")
+    val lsh = knnSet(SparkEntry.queries("s02_knn_lsh")(spark, dir))
+    val ivf = knnSet(SparkEntry.queries("s04_knn_ivf")(spark, dir))
+    val rLsh = (lsh & truth).size.toDouble / truth.size
+    val rIvf = (ivf & truth).size.toDouble / truth.size
+    info(f"s02-vs-s01 top-5 recall at 10x: $rLsh%.4f")
+    info(f"s04-vs-s01 top-5 recall at 10x: $rIvf%.4f")
+    assert(rLsh >= 0.75, f"LSH ANN recall collapsed: $rLsh%.4f")
+    // IVF with nprobe=2 of ~50 sampled (non-trained) centroids over
+    // near-random vectors is recall-limited by the DATA, not the
+    // scale — the scale claim is NON-DEGRADATION: 10x the corpus
+    // must not erode recall relative to the base fixture (where the
+    // same probe fraction applies), plus an absolute sanity floor
+    val truthBase = knnSet(SparkEntry.queries("s01_knn_brute")(spark, sf))
+    val ivfBase = knnSet(SparkEntry.queries("s04_knn_ivf")(spark, sf))
+    val rIvfBase = (ivfBase & truthBase).size.toDouble / truthBase.size
+    info(f"s04-vs-s01 top-5 recall at base scale: $rIvfBase%.4f")
+    assert(rIvf >= rIvfBase - 0.2,
+      f"IVF recall degraded with scale: $rIvf%.4f vs base $rIvfBase%.4f")
+    assert(rIvf >= 0.25, f"IVF ANN recall collapsed: $rIvf%.4f")
+  }
+
+  test("10x corpus: d07 cluster-size cap binds and sacrifices bounded recall") {
+    import spark.implicits._
+    val (assignRaw, _) = operators.Similarity.kmeans(spark, dir)
+    val assign = assignRaw.select($"vec_id", $"c_id").localCheckpoint()
+    val emb = sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    // the cap must actually BIND at this size: k=8 over 10x vectors
+    // leaves every cluster far above maxClusterSize=100
+    val maxCluster = assign.groupBy($"c_id").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(maxCluster > 100, s"cap would not bind: max cluster $maxCluster")
+    val capped = pairSet(operators.Dedup
+      .semanticPairs(emb, assign, threshold = 0.42, maxClusterSize = 100))
+    val uncapped = pairSet(operators.Dedup
+      .semanticPairs(emb, assign, threshold = 0.42,
+        maxClusterSize = Int.MaxValue))
+    assert(uncapped.size >= 500,
+      s"inflation produced too few semantic pairs: ${uncapped.size}")
+    // salting only ever DROPS cross-cell pairs — never invents
+    assert(capped.subsetOf(uncapped),
+      s"cap invented pairs: ${(capped -- uncapped).take(5)}")
+    val recall = capped.size.toDouble / uncapped.size
+    info(f"d07 capped-vs-uncapped recall at 10x (cap=100): $recall%.4f " +
+      f"(${capped.size}/${uncapped.size})")
+    // with ~625-vector clusters salted into ~7 cells, surviving
+    // within-cell fraction is ~1/cells — the documented trade; what
+    // must NOT happen is collapse to (near) zero or quadratic blowup
+    assert(recall >= 0.05 && capped.nonEmpty,
+      f"capped recall out of range: $recall%.4f")
+  }
+}
