@@ -179,7 +179,7 @@ object StreamingQueries {
       |    AS window_end,
       |  event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      |FROM events WHERE ts < TIMESTAMP '2024-01-04'
+      |FROM events WHERE ts < TIMESTAMP '2024-01-01 12:00:00'
       |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
     import s.implicits._
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_st09_" +
@@ -189,12 +189,16 @@ object StreamingQueries {
       f.delete(); ()
     }
     rmrf(new java.io.File(dest)) // stale partitions of an old fixture
-    // 3 days of events = 72 hourly partitions: the full semantics
-    // (partial delivery, full redelivery, per-window overwrite) at a
-    // tenth of the 720-partition file-op cost — the sink's per-batch
-    // cost is |touched windows|, which is exactly what this bounds
+    // 12 hours of events = 12 hourly windows x 5 event types = 60
+    // partition dirs per full delivery: the full semantics (partial
+    // delivery, full redelivery, single-type redelivery, per-group
+    // overwrite) at a bounded file-op cost — each partitioned-write
+    // dir costs ~15 ms of writer+commit machinery on a local fs
+    // (measured; a cluster parallelizes it across executors), and the
+    // sink's per-batch cost is |touched groups|, which is exactly
+    // what this bounds
     val events = Tables.events(s, d)
-      .filter($"ts" < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+      .filter($"ts" < lit(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
     // delivery 1: partial per-group aggregates (half the events seen)
     Streams.upsertWindowTotals(
       Streams.tumblingCounts(events.filter($"event_id" % 2 === 0)), dest)
@@ -262,10 +266,12 @@ object StreamingQueries {
     * CORRECTNESS row. Unlike the other st* twins (same code path over
     * a batch frame), the funnel's batch twin IS q80's matchPath — so
     * this registration drives the REAL streaming engine end-to-end:
-    * a file source delivers the first 7 days of events in two
-    * time-ordered chunks (plus two watermark-flush sentinel batches —
-    * the watermark lags a batch, and the finalization timers fire
-    * only after it passes the data), through a checkpointed
+    * a file source delivers the first 3 days of events in two
+    * time-ordered chunks (plus watermark-flush sentinels — the
+    * watermark lags a batch, so a far-future sentinel rides the last
+    * chunk to advance it and one more sentinel batch gives the
+    * engine a batch in which the finalization timers actually
+    * fire), through a checkpointed
     * transformWithState query on the RocksDB state store, into an
     * append-parquet foreachBatch sink. The read-back must equal the
     * batch matchPath over the same slice — the oracle is exactly
@@ -277,7 +283,7 @@ object StreamingQueries {
     "st12_funnel",
     """WITH e AS (SELECT user_id, event_id, event_type,
       |             CAST(ts AS TIMESTAMP) AS ts FROM events
-      |           WHERE ts < TIMESTAMP '2024-01-08'),
+      |           WHERE ts < TIMESTAMP '2024-01-04'),
       |m AS (SELECT user_id, event_id, ts,
       |        event_type AS s0,
       |        lead(event_type, 1) OVER w AS s1,
@@ -304,12 +310,27 @@ object StreamingQueries {
     new java.io.File(dest).mkdirs()
     new java.io.File(src).mkdirs() // file source requires an existing path
     def t(x: String) = java.sql.Timestamp.valueOf(x)
-    val events = Tables.events(s, d).filter($"ts" < lit(t("2024-01-08 00:00:00")))
+    val events = Tables.events(s, d).filter($"ts" < lit(t("2024-01-04 00:00:00")))
     val schema = events.schema
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = s.conf.getOption(provKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider")
+    // state-partition count is pinned from shuffle partitions at query
+    // start and every micro-batch opens one RocksDB store PER state
+    // partition — at fixture volume 4 partitions cut store-open
+    // overhead 8x while the keyspace (user_id) stays well spread; a
+    // production deployment sizes this to its key cardinality
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.getOption(shufKey)
+    s.conf.set(shufKey, "4")
+    // changelog checkpointing: each commit uploads the batch's delta
+    // instead of a full RocksDB snapshot — the production-recommended
+    // setting, and the dominant term in per-batch commit cost
+    val clogKey = "spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled"
+    val prevClog = s.conf.getOption(clogKey)
+    s.conf.set(clogKey, "true")
     try {
       val q = graft.streaming.Streams
         .funnelMatchesTws(
@@ -329,26 +350,37 @@ object StreamingQueries {
         // watermark safety (nothing in chunk 2 is late w.r.t. chunk
         // 1's max - 1h); within a chunk the file source delivers
         // whatever partition order the write produced
-        val cut = t("2024-01-04 12:00:00")
+        val cut = t("2024-01-02 12:00:00")
         events.filter($"ts" < cut).write.mode("append").parquet(src)
         q.processAllAvailable()
-        events.filter($"ts" >= cut).write.mode("append").parquet(src)
-        q.processAllAvailable()
-        // watermark-flush sentinels (never match, user_id -1): first
-        // advances the watermark past every real event, second gives
-        // the engine a batch in which the timers fire
-        Seq(graft.streaming.Event(-1L, t("2024-06-01 00:00:00"), -1L,
-          "__sentinel", 0.0, "{}")).toDF()
+        // chunk 2 carries the first watermark-flush sentinel (never
+        // matches, user_id -1): the watermark computed at this batch's
+        // END passes every real event, so the timers all become due
+        events.filter($"ts" >= cut)
+          .union(Seq(graft.streaming.Event(-1L, t("2024-06-01 00:00:00"),
+            -1L, "__sentinel", 0.0, "{}")).toDF())
           .write.mode("append").parquet(src)
         q.processAllAvailable()
+        // one more sentinel batch: the batch in which the (now-due)
+        // finalization timers actually fire
         Seq(graft.streaming.Event(-2L, t("2024-06-01 00:01:00"), -1L,
           "__sentinel", 0.0, "{}")).toDF()
           .write.mode("append").parquet(src)
         q.processAllAvailable()
       } finally q.stop()
-    } finally prevProv match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
+    } finally {
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      prevShuf match {
+        case Some(v) => s.conf.set(shufKey, v)
+        case None => s.conf.unset(shufKey)
+      }
+      prevClog match {
+        case Some(v) => s.conf.set(clogKey, v)
+        case None => s.conf.unset(clogKey)
+      }
     }
     s.read.schema(org.apache.spark.sql.Encoders
         .product[graft.streaming.FunnelMatch].schema)

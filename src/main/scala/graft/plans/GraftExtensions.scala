@@ -11,5 +11,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(StatsAnsweredAggregates.apply)
+    // SQL-callable row-pattern PTF: SELECT * FROM matchpath(...)
+    ext.injectTableFunction((MatchPathTvf.identifier, MatchPathTvf.info,
+      MatchPathTvf.build))
   }
 }

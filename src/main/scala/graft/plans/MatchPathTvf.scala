@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+
+/** SQL front-end for the row-pattern matcher: a table-valued function
+  *
+  * {{{
+  *   SELECT * FROM matchpath('events', 'view', 'click*', 'purchase')
+  * }}}
+  *
+  * — first argument names a table/view, the rest are the pattern
+  * tokens of [[graft.operators.Windows.matchPathQuant]] (`sym` or
+  * `sym*`, ending in a literal). This is the reference PTF's own
+  * calling convention surface (SURVEY.md §2.4 matchpath is a table
+  * function in the reference too); the compiled plan is IDENTICAL to
+  * the DSL's — the TVF builder just returns matchPathQuant's logical
+  * plan, so the one-exchange/one-sort shape carries over unchanged.
+  *
+  * Registered through `SparkSessionExtensions.injectTableFunction`
+  * (see [[GraftExtensions]]), Spark's public hook for catalog table
+  * functions — no parser changes needed. */
+object MatchPathTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("matchpath")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    MatchPathTvf.getClass.getName, "matchpath")
+
+  /** args => logical plan. All arguments must be string literals: the
+    * table name, then >= 1 pattern tokens. */
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val strs = args.map {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"matchpath arguments must be string literals, got: $other")
+    }
+    require(strs.size >= 2,
+      "usage: matchpath(<table>, <sym | sym*> ..., <sym>)")
+    val events = SparkSession.active.table(strs.head)
+    graft.operators.Windows.matchPathQuant(events, strs.tail)
+      .queryExecution.logical
+  }
+}

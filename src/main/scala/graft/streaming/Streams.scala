@@ -596,6 +596,11 @@ object Streams {
       batch
         .withColumn("wstart",
           date_format($"window_start", "yyyyMMddHH"))
+        // co-locate each partition dir's rows in one task: without
+        // this every shuffle task carries a slice of every group and
+        // opens |groups| files — the write becomes file-handle-bound
+        // (post-aggregation rows are tiny; this shuffle is free)
+        .repartition($"wstart", $"event_type")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("wstart", "event_type")

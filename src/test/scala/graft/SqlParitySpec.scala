@@ -160,6 +160,17 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(viaSql) == canon(viaDsl))
   }
 
+  test("matchpath table-valued function: SQL call == DSL plan") {
+    // the reference PTF's own calling convention — a table function in
+    // the FROM clause; the TVF returns matchPathQuant's logical plan
+    // verbatim, so values AND shape match the registered q80c
+    register()
+    val viaSql = spark.sql("SELECT * FROM matchpath('events', " +
+      "'view', 'click*', 'view', 'click*', 'purchase')")
+    val viaDsl = SparkEntry.queries("q80c_matchpath_quant")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
   test("matchPathQuant degenerates to matchPath / matchPathStar") {
     // the general compiler must agree with the two fixed matchers on
     // their own patterns (all-literal chain; single A.B*.C star) —
