@@ -373,12 +373,15 @@ object Windows {
   }
 
   /** General quantified row-pattern matching — arbitrary chains of
-    * `sym` and `sym*` tokens (e.g. `view.click*.view.click*.purchase`),
-    * subsuming [[matchPath]] (all literals) and [[matchPathStar]] (one
-    * star). Grammar: `(sym | sym*)+` ending in a literal, no two
-    * adjacent stars, and each star's symbol differs from the literal
-    * it precedes — the deterministic chain fragment of the reference
-    * PTF's pattern language (SURVEY.md §2.4).
+    * `sym`, `sym*` and `sym+` tokens (e.g.
+    * `view.click*.view.click+.purchase`), subsuming [[matchPath]] (all
+    * literals) and [[matchPathStar]] (one star). Grammar:
+    * `(sym | sym* | sym+)+` ending in a literal (`s+` rewrites to
+    * `s.s*` before compilation, so a TRAILING `s+` is rejected by the
+    * literal-end rule like any trailing star), no two adjacent
+    * quantified runs, and each quantified run's symbol differs from
+    * the literal it precedes — the deterministic chain fragment of the
+    * reference PTF's pattern language (SURVEY.md §2.4).
     *
     * Compilation: tokens group into units `(star?, literal)`; units
     * compile BACKWARD into per-row columns E_k = "a match of units
@@ -405,8 +408,13 @@ object Windows {
     * over the same partitioning (PlanSpec pins 1 exchange + 1 sort
     * for q80c). */
   def matchPathQuant(events: org.apache.spark.sql.DataFrame,
-      tokens: Seq[String]): org.apache.spark.sql.DataFrame = {
+      rawTokens: Seq[String]): org.apache.spark.sql.DataFrame = {
     final case class Unit_(star: Option[String], sym: String)
+    // one-or-more: s+ == s.s* (one literal anchor, then a star run)
+    val tokens = rawTokens.flatMap { t =>
+      if (t.endsWith("+")) Seq(t.dropRight(1), t.dropRight(1) + "*")
+      else Seq(t)
+    }
     require(tokens.nonEmpty, "empty symbol pattern")
     require(!tokens.last.endsWith("*"), "pattern must end with a literal")
     val units = {
@@ -539,6 +547,41 @@ object Windows {
       Seq("view", "click*", "view", "click*", "purchase"))
   }
 
+  /** q80d: the one-or-more funnel `view.click+.purchase` through
+    * [[matchPathQuant]]'s `+` rewrite (`click+` == `click.click*`).
+    * The oracle deliberately derives the SAME semantics a different
+    * way than the engine's backward unit compilation: a purchase
+    * matches iff its IMMEDIATE predecessor is a click (the >= 1 part)
+    * and its nearest preceding non-click row is a view (the run part,
+    * q80b's last_value trick) — so the two independent formulations
+    * must land on identical rows, start coordinates included. */
+  val q80dMatchPathPlus: Q = Q(
+    "q80d_matchpath_plus",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, event_id, event_type, ts,
+      |        lag(event_type, 1) OVER w0 AS l_sym,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN event_type END IGNORE NULLS) OVER w
+      |          AS p_sym,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN event_id END IGNORE NULLS) OVER w
+      |          AS p_event,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN ts END IGNORE NULLS) OVER w AS p_ts
+      |      FROM e
+      |      WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |             w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND 1 PRECEDING))
+      |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+      |  event_id AS end_event, ts AS end_ts
+      |FROM m WHERE event_type = 'purchase' AND l_sym = 'click'
+      |  AND p_sym = 'view'""".stripMargin) { (s, d) =>
+    matchPathQuant(Tables.events(s, d),
+      Seq("view", "click+", "purchase"))
+  }
+
   /** q80b: view→click*→purchase through [[matchPathStar]]. */
   val q80bMatchPathStar: Q = Q(
     "q80b_matchpath_star",
@@ -590,7 +633,7 @@ object Windows {
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
     q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar,
-    q80cMatchPathQuant)
+    q80cMatchPathQuant, q80dMatchPathPlus)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.StringType
   * }}}
   *
   * — first argument names a table/view, the rest are the pattern
-  * tokens of [[graft.operators.Windows.matchPathQuant]] (`sym` or
-  * `sym*`, ending in a literal). This is the reference PTF's own
+  * tokens of [[graft.operators.Windows.matchPathQuant]] (`sym`,
+  * `sym*` or `sym+`, ending in a literal). This is the reference PTF's own
   * calling convention surface (SURVEY.md §2.4 matchpath is a table
   * function in the reference too); the compiled plan is IDENTICAL to
   * the DSL's — the TVF builder just returns matchPathQuant's logical
@@ -39,7 +39,7 @@ object MatchPathTvf {
         s"matchpath arguments must be string literals, got: $other")
     }
     require(strs.size >= 2,
-      "usage: matchpath(<table>, <sym | sym*> ..., <sym>)")
+      "usage: matchpath(<table>, <sym | sym* | sym+> ..., <sym>)")
     val events = SparkSession.active.table(strs.head)
     graft.operators.Windows.matchPathQuant(events, strs.tail)
       .queryExecution.logical

@@ -337,21 +337,23 @@ class PlanSpec extends AnyFunSuite {
     // hashpartitioning exchange on user_id — a second exchange would
     // mean a lookahead layer forced a re-shuffle
     Seq("q80_matchpath_funnel", "q80b_matchpath_star",
-        "q80c_matchpath_quant").foreach { n =>
+        "q80c_matchpath_quant", "q80d_matchpath_plus").foreach { n =>
       val p = plan(n)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(exchanges == 1, s"$n: expected 1 exchange, got $exchanges:\n$p")
     }
   }
 
-  test("q80c: dependent pattern layers stack sort-free (ONE sort total)") {
+  test("q80c/q80d: dependent pattern layers stack sort-free (ONE sort total)") {
     // matchPathQuant's layers all share (partitionBy user_id,
     // orderBy ts, event_id): Catalyst must sort ONCE and stream every
     // subsequent WindowExec over the same partitioning — a per-layer
     // re-sort would multiply the pattern length into the runtime
-    val p = plan("q80c_matchpath_quant")
-    val sorts = "\\bSort \\[".r.findAllIn(p).size
-    assert(sorts == 1, s"expected 1 sort, got $sorts:\n$p")
+    Seq("q80c_matchpath_quant", "q80d_matchpath_plus").foreach { n =>
+      val p = plan(n)
+      val sorts = "\\bSort \\[".r.findAllIn(p).size
+      assert(sorts == 1, s"$n: expected 1 sort, got $sorts:\n$p")
+    }
   }
 
   test("REGISTRY-WIDE: no single-partition global Window in ANY job") {

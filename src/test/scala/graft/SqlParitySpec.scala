@@ -182,6 +182,11 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(operators.Windows.matchPathQuant(ev,
         Seq("view", "click*", "purchase"))) ==
       canon(SparkEntry.queries("q80b_matchpath_star")(spark, sf)))
+    // the + rewrite: s+ must equal its s.s* expansion written out
+    assert(canon(operators.Windows.matchPathQuant(ev,
+        Seq("view", "click+", "purchase"))) ==
+      canon(operators.Windows.matchPathQuant(ev,
+        Seq("view", "click", "click*", "purchase"))))
   }
 
   test("LATERAL VIEW explode text form matches the DSL explode plan") {
