@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzzing for the quantified row-pattern compiler
+  * ([[graft.operators.Windows.matchPathQuant]]): random event
+  * sequences x random valid patterns, checked row-for-row against a
+  * driver-side brute-force matcher that implements the FORCED-extent
+  * semantics directly (consume the whole quantified run, then require
+  * the literal). The two implementations share nothing — one is a
+  * stack of window layers, the other a per-start linear walk — so
+  * agreement over random inputs pins the compiler's semantics far
+  * beyond the three registered fixture patterns (q80c/q80d and the
+  * degeneration cases).
+  *
+  * Also pins the grammar edges the registered queries never reach:
+  * star-FIRST patterns (matches may start anywhere inside the leading
+  * run) and the loud rejection of a trailing `+`/`*`. */
+class MatchPathSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private case class Ev(user: Long, id: Long, sym: String)
+
+  /** Brute-force reference: one (start, end) per index where the
+    * expanded pattern matches with forced quantified-run extent.
+    * Events must already be in (ts, event_id) order per user. */
+  private def reference(seq: IndexedSeq[Ev], tokens: Seq[String])
+      : Seq[(Long, Long)] = {
+    val expanded = tokens.flatMap { t =>
+      if (t.endsWith("+")) Seq(t.dropRight(1), t.dropRight(1) + "*")
+      else Seq(t)
+    }
+    // group into (starRun, literal) units exactly like the compiler
+    val units = {
+      val b = Seq.newBuilder[(Option[String], String)]
+      var i = 0
+      while (i < expanded.size) {
+        if (expanded(i).endsWith("*")) {
+          b += ((Some(expanded(i).dropRight(1)), expanded(i + 1)))
+          i += 2
+        } else { b += ((None, expanded(i))); i += 1 }
+      }
+      b.result()
+    }
+    seq.indices.flatMap { start =>
+      var p = start
+      var ok = true
+      var endId = -1L
+      units.foreach { case (star, lit) =>
+        if (ok) {
+          star.foreach { s =>
+            while (p < seq.size && seq(p).sym == s) p += 1
+          }
+          if (p < seq.size && seq(p).sym == lit) { endId = seq(p).id; p += 1 }
+          else ok = false
+        }
+      }
+      if (ok) Some((seq(start).id, endId)) else None
+    }
+  }
+
+  test("PROPERTY: matchPathQuant == brute-force matcher on random input") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val syms = Seq("a", "b", "c")
+    // generate patterns in unit form, valid BY CONSTRUCTION: each
+    // element is a bare literal, a star run + its literal anchor, or a
+    // plus run + its anchor (run symbol != anchor per the grammar);
+    // elements always end in a literal so no two quantified tokens can
+    // become adjacent after the s+ expansion
+    val genElem: Gen[Seq[String]] = for {
+      s <- Gen.oneOf(syms)
+      l <- Gen.oneOf(syms.filterNot(_ == s))
+      e <- Gen.frequency(
+        3 -> Gen.const(Seq(s)),
+        2 -> Gen.const(Seq(s + "*", l)),
+        2 -> Gen.const(Seq(s + "+", l)))
+    } yield e
+    val genPattern = Gen.choose(1, 3)
+      .flatMap(Gen.listOfN(_, genElem)).map(_.flatten)
+    val genEvents = for {
+      nUsers <- Gen.choose(1, 3)
+      evs <- Gen.listOfN(nUsers,
+        Gen.choose(2, 12).flatMap(
+          Gen.listOfN(_, Gen.oneOf(syms :+ "x"))))
+    } yield evs
+    val prop = Prop.forAllNoShrink(genEvents, genPattern) { (evs, pat) =>
+      val rows = evs.zipWithIndex.flatMap { case (es, u) =>
+        es.zipWithIndex.map { case (sym, i) =>
+          Ev(u.toLong, (u * 1000 + i).toLong, sym)
+        }
+      }
+      val df = rows
+        .map(e => (e.user, e.id,
+          // duplicate ts for every id pair: the (ts, event_id)
+          // tie-break must carry the order, not ts alone
+          new java.sql.Timestamp(86400000L + (e.id / 2) * 1000), e.sym))
+        .toDF("user_id", "event_id", "ts", "event_type")
+      val got = operators.Windows.matchPathQuant(df, pat)
+        .select("user_id", "start_event", "end_event")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = rows.groupBy(_.user).flatMap { case (u, es) =>
+        reference(es.sortBy(_.id).toIndexedSeq, pat)
+          .map { case (s, e) => (u, s, e) }
+      }.toSet
+      if (got != want) {
+        println(s"MISMATCH pattern=${pat.mkString(".")} events=" +
+          evs.map(_.mkString).mkString("|") +
+          s"\n  got=$got\n  want=$want")
+      }
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("star-first pattern: matches start anywhere inside the leading run") {
+    import spark.implicits._
+    // a a b  with pattern a*.b: starts at BOTH a's and at b itself
+    val df = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000), "a"),
+      (1L, 2L, new java.sql.Timestamp(2000), "a"),
+      (1L, 3L, new java.sql.Timestamp(3000), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = operators.Windows.matchPathQuant(df, Seq("a*", "b"))
+      .select("start_event", "end_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
+  test("trailing quantifier is rejected loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, new java.sql.Timestamp(1000), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    for (bad <- Seq(Seq("a", "b*"), Seq("a", "b+"))) {
+      val ex = intercept[IllegalArgumentException] {
+        operators.Windows.matchPathQuant(df, bad)
+      }
+      assert(ex.getMessage.contains("end with a literal"))
+    }
+  }
+}
