@@ -329,6 +329,87 @@ object Splits {
         count(when($"bin_end" > $"bin", 1)).cast("long").as("n_straddle"))
   }
 
+  /** p08: DSIR-style importance weighting for domain-relevant data
+    * selection (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", 2023): score every document by
+    * the log likelihood ratio of a TARGET domain's hashed-feature
+    * distribution vs the raw corpus's, then keep the top-weighted docs
+    * per source. Features are md5-hashed word buckets (B = 256, the
+    * portable-hash idiom of d03); the target here is the `lang = 'en'`
+    * slice standing in for "quality domain sample".
+    *
+    * Exactness design: the per-FEATURE log ratio is quantized ONCE to
+    * an integer milli-nat score l_f = floor(1000 * (ln p_T(f) -
+    * ln p_R(f))) (add-1 smoothing) — the only float op in the whole
+    * query, and floor() only flips across engines if libm's ln lands
+    * within ~1e-13 of a quantization boundary. Every per-DOCUMENT
+    * score is then an exact BIGINT sum of those integers — partition-
+    * order-independent, so byte-identical duplicate documents tie
+    * EXACTLY and the (score DESC, doc_id) rank is deterministic. The
+    * float-sum alternative (sum of per-word doubles) would jitter at
+    * ulp level between runs and engines, making ranks of tied
+    * duplicates unstable.
+    *
+    * Scale shape: feature table is B rows (two corpus scans with
+    * map-side-combined 256-key aggregates — the shuffle carries at
+    * most B rows per map partition), scoring is explode → BROADCAST
+    * join against the B-row score table → one doc_id-keyed exact sum
+    * (t12's shape), and the per-source top-3 plans as WindowGroupLimit
+    * per-partition heaps. No driver-side collect; the 100 TB cost is
+    * two text scans + one doc-keyed shuffle. */
+  val p08Dsir: Q = Q(
+    "p08_dsir",
+    """WITH wf AS (SELECT doc_id, lang,
+      |         ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS f
+      |       FROM (SELECT doc_id, lang,
+      |               unnest(string_split(text, ' ')) AS w
+      |             FROM documents)),
+      |feat AS (SELECT f, count(*) AS r_f,
+      |           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_f
+      |         FROM wf GROUP BY f),
+      |tot AS (SELECT sum(r_f) AS rr, sum(t_f) AS tt FROM feat),
+      |scores AS (SELECT f,
+      |             CAST(floor(1000.0 * (ln((t_f + 1.0) / (tt + 256.0))
+      |               - ln((r_f + 1.0) / (rr + 256.0)))) AS BIGINT) AS l_f
+      |           FROM feat, tot),
+      |ds AS (SELECT doc_id, CAST(sum(l_f) AS BIGINT) AS score_milli
+      |       FROM wf JOIN scores USING (f) GROUP BY doc_id),
+      |r AS (SELECT d.source, ds.doc_id, ds.score_milli,
+      |        row_number() OVER (PARTITION BY d.source
+      |          ORDER BY ds.score_milli DESC, ds.doc_id) AS rk
+      |      FROM ds JOIN documents d USING (doc_id))
+      |SELECT source, CAST(rk AS INT) AS rk, doc_id, score_milli
+      |FROM r WHERE rk <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val words = docs
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"w"), 1, 6), 16, 10).cast("long") % 256)
+          .as("f"))
+    // checkpoint the B-row feature table: tot and scores both read it,
+    // so the corpus is exploded twice (feat + docScore), not three
+    // times — same recompute-by-design budget as t12's token table
+    val feat = words.groupBy($"f").agg(
+      count(lit(1)).as("r_f"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_f"))
+      .localCheckpoint()
+    val tot = feat.agg(sum($"r_f").as("rr"), sum($"t_f").as("tt"))
+    val scores = feat.crossJoin(broadcast(tot))
+      .select($"f",
+        floor(lit(1000.0) *
+          (log(($"t_f" + 1.0) / ($"tt" + 256.0)) -
+            log(($"r_f" + 1.0) / ($"rr" + 256.0)))).cast("long").as("l_f"))
+    val docScore = words.join(broadcast(scores), Seq("f"))
+      .groupBy($"doc_id").agg(sum($"l_f").as("score_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score_milli".desc, $"doc_id")
+    docs.select($"doc_id", $"source").join(docScore, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"source", $"rk", $"doc_id", $"score_milli")
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
-    p04ChunkDocs, p05WeightedSample, p06EpochShuffle, p07SequencePack)
+    p04ChunkDocs, p05WeightedSample, p06EpochShuffle, p07SequencePack,
+    p08Dsir)
 }
