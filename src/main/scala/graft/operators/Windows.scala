@@ -408,7 +408,33 @@ object Windows {
     * over the same partitioning (PlanSpec pins 1 exchange + 1 sort
     * for q80c). */
   def matchPathQuant(events: org.apache.spark.sql.DataFrame,
-      rawTokens: Seq[String]): org.apache.spark.sql.DataFrame = {
+      rawTokens: Seq[String]): org.apache.spark.sql.DataFrame =
+    matchPathQuant(events, rawTokens, Map.empty)
+
+  /** [[matchPathQuant]] with SYMBOL DEFINITIONS — the reference PTF's
+    * full calling convention: a pattern symbol may be defined by an
+    * arbitrary boolean expression over the row (the reference's
+    * `matchpath(..., 'LATE', arrival_delay > 15, ...)` argument
+    * pairs), not just equality on `event_type`. Symbols absent from
+    * the map keep the default `event_type = name` meaning, so the
+    * 2-arg form is the all-default special case.
+    *
+    * Predicate semantics: a null predicate result counts as false
+    * (SQL boolean semantics would otherwise make the star-run probe
+    * SKIP the row instead of stopping at it). If a run predicate and
+    * its anchor literal's predicate OVERLAP — which the name-
+    * distinctness rule rules out for name symbols but cannot be
+    * checked statically for predicates — the forced-extent semantics
+    * stay well-defined and greedy: a run consumes EVERY consecutive
+    * row satisfying the run predicate, so a row satisfying both can
+    * anchor only a ZERO-length run (a match starting at that row);
+    * it never terminates a nonempty run (MatchPathSpec pins this).
+    * Keep run and anchor predicates disjoint for reference-identical
+    * behavior. */
+  def matchPathQuant(events: org.apache.spark.sql.DataFrame,
+      rawTokens: Seq[String],
+      symbols: Map[String, org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
     final case class Unit_(star: Option[String], sym: String)
     // one-or-more: s+ == s.s* (one literal anchor, then a star run)
     val tokens = rawTokens.flatMap { t =>
@@ -436,37 +462,43 @@ object Windows {
       .orderBy(col("ts"), col("event_id"))
     val wFol = w.rowsBetween(1, Window.unboundedFollowing)
     val sentTs = lit("1900-01-01 00:00:00").cast("timestamp")
-    val sym = col("event_type")
+    // symbol -> row predicate; default is event_type equality, and a
+    // null predicate result counts as false (see scaladoc)
+    def predOf(name: String): org.apache.spark.sql.Column =
+      symbols.get(name).map(p => coalesce(p, lit(false)))
+        .getOrElse(col("event_type") === name)
     var df = events
     var ee = ""; var ets = "" // E_{k+1} column names while folding back
     for (k <- units.indices.reverse) {
       val u = units(k)
+      val lp = predOf(u.sym)
       // A_k: the unit's literal at this row, match continuing after it
       val (aEe, aTs) =
         if (k == units.size - 1)
-          (when(sym === u.sym, col("event_id")),
-            when(sym === u.sym, col("ts")))
+          (when(lp, col("event_id")),
+            when(lp, col("ts")))
         else
-          (when(sym === u.sym, lead(col(ee), 1).over(w)),
-            when(sym === u.sym, lead(col(ets), 1).over(w)))
+          (when(lp, lead(col(ee), 1).over(w)),
+            when(lp, lead(col(ets), 1).over(w)))
       val (eEe, eTs) = u.star match {
         case None => (aEe, aTs)
         case Some(s) =>
+          val sp = predOf(s)
           df = df.withColumn(s"__mp_a_ee_$k", aEe)
             .withColumn(s"__mp_a_ts_$k", aTs)
           // probe the first following non-star row, sentinel-wrapped so
           // a failing probe row stops the scan instead of being skipped
           df = df.withColumn(s"__mp_f_ee_$k",
-              first(when(sym =!= s, coalesce(col(s"__mp_a_ee_$k"),
+              first(when(!sp, coalesce(col(s"__mp_a_ee_$k"),
                 lit(-1L))), ignoreNulls = true).over(wFol))
             .withColumn(s"__mp_f_ts_$k",
-              first(when(sym =!= s, coalesce(col(s"__mp_a_ts_$k"),
+              first(when(!sp, coalesce(col(s"__mp_a_ts_$k"),
                 sentTs)), ignoreNulls = true).over(wFol))
-          (when(sym === u.sym, col(s"__mp_a_ee_$k"))
-            .when(sym === s, when(col(s"__mp_f_ee_$k") =!= -1L,
+          (when(lp, col(s"__mp_a_ee_$k"))
+            .when(sp, when(col(s"__mp_f_ee_$k") =!= -1L,
               col(s"__mp_f_ee_$k"))),
-            when(sym === u.sym, col(s"__mp_a_ts_$k"))
-              .when(sym === s, when(col(s"__mp_f_ee_$k") =!= -1L,
+            when(lp, col(s"__mp_a_ts_$k"))
+              .when(sp, when(col(s"__mp_f_ee_$k") =!= -1L,
                 col(s"__mp_f_ts_$k"))))
       }
       ee = s"__mp_e_ee_$k"; ets = s"__mp_e_ts_$k"
@@ -582,6 +614,45 @@ object Windows {
       Seq("view", "click+", "purchase"))
   }
 
+  /** q80e: predicate-defined symbols — the reference PTF's full
+    * calling convention, where a pattern symbol is an arbitrary
+    * boolean expression over the row rather than an event-type name:
+    * `bigv` is a view with value >= 30 (about half of all views), and
+    * the funnel is bigv.click*.purchase. The oracle is q80b's
+    * last_value formulation with the predicate folded into the
+    * carried flag — an independent derivation of the same semantics,
+    * exercising that the probe layers gate on the PREDICATE, not on
+    * the symbol name. */
+  val q80eMatchPathSymbols: Q = Q(
+    "q80e_matchpath_symbols",
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, event_id, event_type, ts,
+      |        last_value(CASE WHEN NOT (event_type = 'click')
+      |                        THEN CASE WHEN event_type = 'view'
+      |                                   AND value >= 30.0
+      |                             THEN 1 ELSE 0 END
+      |                   END IGNORE NULLS) OVER w AS p_big,
+      |        last_value(CASE WHEN NOT (event_type = 'click')
+      |                        THEN event_id END IGNORE NULLS) OVER w
+      |          AS p_event,
+      |        last_value(CASE WHEN NOT (event_type = 'click')
+      |                        THEN ts END IGNORE NULLS) OVER w AS p_ts
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND 1 PRECEDING))
+      |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+      |  event_id AS end_event, ts AS end_ts
+      |FROM m WHERE event_type = 'purchase' AND p_big = 1""".stripMargin
+    ) { (s, d) =>
+    import org.apache.spark.sql.functions.{col, lit}
+    matchPathQuant(Tables.events(s, d),
+      Seq("bigv", "click*", "purchase"),
+      Map("bigv" -> (col("event_type") === "view" &&
+        col("value") >= lit(30.0))))
+  }
+
   /** q80b: view→click*→purchase through [[matchPathStar]]. */
   val q80bMatchPathStar: Q = Q(
     "q80b_matchpath_star",
@@ -633,7 +704,7 @@ object Windows {
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
     q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar,
-    q80cMatchPathQuant, q80dMatchPathPlus)
+    q80cMatchPathQuant, q80dMatchPathPlus, q80eMatchPathSymbols)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

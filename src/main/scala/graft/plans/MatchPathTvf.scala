@@ -10,11 +10,16 @@ import org.apache.spark.sql.types.StringType
   *
   * {{{
   *   SELECT * FROM matchpath('events', 'view', 'click*', 'purchase')
+  *   SELECT * FROM matchpath('events', 'bigv', 'click*', 'purchase',
+  *                           'bigv := event_type = ''view'' AND value >= 30')
   * }}}
   *
   * — first argument names a table/view, the rest are the pattern
   * tokens of [[graft.operators.Windows.matchPathQuant]] (`sym`,
-  * `sym*` or `sym+`, ending in a literal). This is the reference PTF's own
+  * `sym*` or `sym+`, ending in a literal), optionally followed by
+  * `'name := <boolean sql>'` symbol definitions (the reference PTF's
+  * symbol-expression argument pairs); undefined symbols default to
+  * `event_type = name`. This is the reference PTF's own
   * calling convention surface (SURVEY.md §2.4 matchpath is a table
   * function in the reference too); the compiled plan is IDENTICAL to
   * the DSL's — the TVF builder just returns matchPathQuant's logical
@@ -31,7 +36,8 @@ object MatchPathTvf {
     MatchPathTvf.getClass.getName, "matchpath")
 
   /** args => logical plan. All arguments must be string literals: the
-    * table name, then >= 1 pattern tokens. */
+    * table name, then >= 1 pattern tokens, then optional symbol
+    * definitions (`name := <sql>`). */
   def build(args: Seq[Expression]): LogicalPlan = {
     val strs = args.map {
       case Literal(v, StringType) if v != null => v.toString
@@ -39,9 +45,19 @@ object MatchPathTvf {
         s"matchpath arguments must be string literals, got: $other")
     }
     require(strs.size >= 2,
-      "usage: matchpath(<table>, <sym | sym* | sym+> ..., <sym>)")
+      "usage: matchpath(<table>, <sym | sym* | sym+> ..., <sym>, " +
+        "['name := <predicate sql>' ...])")
+    val (defs, tokens) = strs.tail.partition(_.contains(":="))
+    require(tokens.nonEmpty,
+      "matchpath: pattern tokens missing (only symbol definitions given)")
+    val symbols = defs.map { s =>
+      val Array(name, pred) = s.split(":=", 2)
+      // expr() parses through the active session's own SQL parser, so
+      // definition predicates speak exactly the engine's dialect
+      name.trim -> org.apache.spark.sql.functions.expr(pred.trim)
+    }.toMap
     val events = SparkSession.active.table(strs.head)
-    graft.operators.Windows.matchPathQuant(events, strs.tail)
+    graft.operators.Windows.matchPathQuant(events, tokens, symbols)
       .queryExecution.logical
   }
 }

@@ -130,6 +130,42 @@ class MatchPathSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L), (2L, 3L), (3L, 3L)))
   }
 
+  test("predicate symbols: value gate + greedy overlap semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000), "view", 50.0),
+      (1L, 2L, new java.sql.Timestamp(2000), "click", 1.0),
+      (1L, 3L, new java.sql.Timestamp(3000), "purchase", 9.0),
+      (1L, 4L, new java.sql.Timestamp(4000), "view", 5.0),
+      (1L, 5L, new java.sql.Timestamp(5000), "purchase", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // bigv = view with value >= 30: event 1 qualifies, event 4 does not
+    val got = operators.Windows.matchPathQuant(df,
+      Seq("bigv", "click*", "purchase"),
+      Map("bigv" -> (col("event_type") === "view" &&
+        col("value") >= lit(30.0))))
+      .select("start_event", "end_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L)))
+    // overlapping run/anchor predicates: the run greedily consumes a
+    // row satisfying both, so the anchor can only match a ZERO-length
+    // run — for (a a b) with run = {a, b}, anchor = {b}, the sole
+    // match starts AT the b; the a-rows' runs swallow the b and die
+    val ab = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000), "a", 0.0),
+      (1L, 2L, new java.sql.Timestamp(2000), "a", 0.0),
+      (1L, 3L, new java.sql.Timestamp(3000), "b", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val overlap = operators.Windows.matchPathQuant(ab,
+      Seq("run*", "anchor"),
+      Map("run" -> col("event_type").isin("a", "b"),
+        "anchor" -> (col("event_type") === "b")))
+      .select("start_event", "end_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overlap == Set((3L, 3L)))
+  }
+
   test("trailing quantifier is rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, 1L, new java.sql.Timestamp(1000), "a"))

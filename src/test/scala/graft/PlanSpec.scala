@@ -337,7 +337,8 @@ class PlanSpec extends AnyFunSuite {
     // hashpartitioning exchange on user_id — a second exchange would
     // mean a lookahead layer forced a re-shuffle
     Seq("q80_matchpath_funnel", "q80b_matchpath_star",
-        "q80c_matchpath_quant", "q80d_matchpath_plus").foreach { n =>
+        "q80c_matchpath_quant", "q80d_matchpath_plus",
+        "q80e_matchpath_symbols").foreach { n =>
       val p = plan(n)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(exchanges == 1, s"$n: expected 1 exchange, got $exchanges:\n$p")
@@ -349,7 +350,8 @@ class PlanSpec extends AnyFunSuite {
     // orderBy ts, event_id): Catalyst must sort ONCE and stream every
     // subsequent WindowExec over the same partitioning — a per-layer
     // re-sort would multiply the pattern length into the runtime
-    Seq("q80c_matchpath_quant", "q80d_matchpath_plus").foreach { n =>
+    Seq("q80c_matchpath_quant", "q80d_matchpath_plus",
+        "q80e_matchpath_symbols").foreach { n =>
       val p = plan(n)
       val sorts = "\\bSort \\[".r.findAllIn(p).size
       assert(sorts == 1, s"$n: expected 1 sort, got $sorts:\n$p")

@@ -171,6 +171,18 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(viaSql) == canon(viaDsl))
   }
 
+  test("matchpath TVF symbol definitions: predicate symbols == DSL map") {
+    // 'name := <sql>' trailing args are the reference's
+    // symbol-expression pairs; the parsed predicate must drive the
+    // same plan as the registered q80e's Column map
+    register()
+    val viaSql = spark.sql("SELECT * FROM matchpath('events', " +
+      "'bigv', 'click*', 'purchase', " +
+      "'bigv := event_type = ''view'' AND value >= 30.0')")
+    val viaDsl = SparkEntry.queries("q80e_matchpath_symbols")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
   test("matchPathQuant degenerates to matchPath / matchPathStar") {
     // the general compiler must agree with the two fixed matchers on
     // their own patterns (all-literal chain; single A.B*.C star) —
