@@ -28,9 +28,10 @@ final case class UserTypeCounts(user_id: Long, counts_csv: String,
     n_seen: Long)
 
 /** One buffered event awaiting watermark finalization in
-  * [[Streams.FunnelProcessor]]. */
+  * [[Streams.FunnelProcessor]] — carries `value` so predicate-defined
+  * symbols (the batch matchPathQuant's symbol map) can gate on it. */
 final case class PendingEvent(ts: java.sql.Timestamp, event_id: Long,
-    event_type: String)
+    event_type: String, value: Double)
 
 /** One matched symbol chain from [[Streams.FunnelProcessor]] — same
   * shape as the batch matchPath output (q80). */
@@ -371,12 +372,24 @@ object Streams {
     * tail is one event too short to re-match, and stale timers see
     * nothing newly finalized); state is O(unfinalized + |pattern|)
     * per user. StreamingSpec replays the fixture and asserts the
-    * emitted set EQUALS the batch matchPath result (q80). */
-  class FunnelProcessor(pattern: Seq[String])
+    * emitted set EQUALS the batch matchPath result (q80).
+    *
+    * `symbols` mirrors the batch matchPathQuant's predicate-defined
+    * symbols (q80e): a pattern symbol may resolve to an arbitrary
+    * predicate over the buffered event instead of event_type
+    * equality; absent symbols keep the default. The functions must be
+    * serializable (they ship inside the processor to every state
+    * partition). */
+  class FunnelProcessor(pattern: Seq[String],
+      symbols: Map[String, PendingEvent => Boolean] = Map.empty)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, FunnelMatch] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
     require(pattern.nonEmpty, "empty symbol pattern")
+    private val preds: IndexedSeq[PendingEvent => Boolean] =
+      pattern.toIndexedSeq.map { name =>
+        symbols.getOrElse(name, (e: PendingEvent) => e.event_type == name)
+      }
     @transient private var buf: ListState[PendingEvent] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -386,7 +399,8 @@ object Streams {
     override def handleInputRows(uid: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[FunnelMatch] = {
       val in = rows
-        .map(e => PendingEvent(e.ts, e.event_id, e.event_type)).toArray
+        .map(e => PendingEvent(e.ts, e.event_id, e.event_type, e.value))
+        .toArray
       if (in.nonEmpty) {
         buf.appendList(in)
         getHandle.registerTimer(in.map(_.ts.getTime).max + 1)
@@ -412,8 +426,7 @@ object Streams {
       val nFinal = if (firstOpen == -1) all.size else firstOpen
       val L = pattern.size
       val matches = (0 to nFinal - L).iterator
-        .filter(i => pattern.indices
-          .forall(j => all(i + j).event_type == pattern(j)))
+        .filter(i => preds.indices.forall(j => preds(j)(all(i + j))))
         .map { i =>
           val a = all(i); val c = all(i + L - 1)
           FunnelMatch(uid, a.event_id, a.ts, c.event_id, c.ts)
@@ -426,13 +439,14 @@ object Streams {
   }
 
   /** Streaming funnel matches through [[FunnelProcessor]]. */
-  def funnelMatchesTws(events: Dataset[Event], pattern: Seq[String])
+  def funnelMatchesTws(events: Dataset[Event], pattern: Seq[String],
+      symbols: Map[String, PendingEvent => Boolean] = Map.empty)
       : Dataset[FunnelMatch] = {
     val s = events.sparkSession
     import s.implicits._
     events.withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(pattern),
+      .transformWithState(new FunnelProcessor(pattern, symbols),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -614,6 +614,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel with predicate symbols equals batch matchPathQuant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    // bigv = view with value >= 30 — the q80e predicate, here over the
+    // same literal chain the plain funnel test matches, so the delta
+    // vs that test isolates exactly the predicate gating
+    val q = streaming.Streams
+      .funnelMatchesTws(mem.toDS(), Seq("bigv", "view", "purchase"),
+        Map("bigv" -> ((e: streaming.PendingEvent) =>
+          e.event_type == "view" && e.value >= 30.0)))
+      .writeStream.format("memory").queryName("funnel_pred_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_funnelp").toString)
+      .start()
+    try {
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk.sortBy(e => (e.event_id * 2654435761L) & 0xffffffffL))
+        q.processAllAvailable()
+      }
+      val s0 = sentinel
+      mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-2L,
+        new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_pred_out").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSet
+      val want = operators.Windows.matchPathQuant(
+        sources.Tables.events(spark, sf),
+        Seq("bigv", "view", "purchase"),
+        Map("bigv" -> (col("event_type") === "view" &&
+          col("value") >= lit(30.0))))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"predicate funnel diverges: extra=${got -- want}, " +
+          s"missing=${want -- got}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState ListState recent-buffer equals the batch rank") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
