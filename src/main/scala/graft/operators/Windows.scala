@@ -458,6 +458,16 @@ object Windows {
       }
       b.result()
     }
+    // a definition whose name no token uses is a typo that would
+    // otherwise degrade SILENTLY to event_type-equality matching
+    locally {
+      val tokenSyms =
+        (units.flatMap(_.star) ++ units.map(_.sym)).toSet
+      val unused = symbols.keySet.diff(tokenSyms)
+      require(unused.isEmpty,
+        s"symbol definition(s) not used by any pattern token: " +
+          s"${unused.mkString(", ")} (tokens: ${rawTokens.mkString(".")})")
+    }
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val wFol = w.rowsBetween(1, Window.unboundedFollowing)

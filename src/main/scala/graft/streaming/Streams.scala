@@ -386,6 +386,9 @@ object Streams {
         Long, Event, FunnelMatch] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
     require(pattern.nonEmpty, "empty symbol pattern")
+    require(symbols.keySet.diff(pattern.toSet).isEmpty,
+      "symbol definition(s) not used by any pattern token: " +
+        symbols.keySet.diff(pattern.toSet).mkString(", "))
     private val preds: IndexedSeq[PendingEvent => Boolean] =
       pattern.toIndexedSeq.map { name =>
         symbols.getOrElse(name, (e: PendingEvent) => e.event_type == name)

@@ -177,4 +177,16 @@ class MatchPathSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("end with a literal"))
     }
   }
+
+  test("unused symbol definition (typo) is rejected loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 1L, new java.sql.Timestamp(1000), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val ex = intercept[IllegalArgumentException] {
+      operators.Windows.matchPathQuant(df, Seq("bigv", "purchase"),
+        Map("bgv" -> (col("event_type") === "view"))) // typo'd name
+    }
+    assert(ex.getMessage.contains("not used by any pattern token"))
+  }
 }
