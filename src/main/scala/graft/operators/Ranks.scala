@@ -66,8 +66,15 @@ object Ranks {
         count(col("__rk_b")).as("__rk_le"))
       .select(col("__rk_k"),
         when(col("__rk_le") - col("__rk_lt") =!= 1L,
-          raise_error(concat(lit("tinyRank: duplicate key "),
-            col("__rk_k").cast("string"))))
+          // equal-count 0 happens only for a NULL key (matches nothing
+          // in the <= join); > 1 is a genuine duplicate — name the
+          // right violation so the caller debugs the actual defect
+          raise_error(concat(
+            when(col("__rk_le") - col("__rk_lt") === 0L,
+              lit("tinyRank: null key (key must be orderable and" +
+                " non-null)"))
+              .otherwise(concat(lit("tinyRank: duplicate key "),
+                col("__rk_k").cast("string"))))))
           .otherwise(
             when(col("__rk_lt") >= TinyRankMaxK,
               raise_error(lit(s"tinyRank: frame exceeds TinyRankMaxK=" +

@@ -11,6 +11,14 @@ import graft.streaming.Streams
   * rule). StreamingSpec proves stream == twin under chunked replay. */
 object StreamingQueries {
 
+  /** Recursive delete for the sink/source scratch dirs of the twins
+    * that drive real file sinks (st09, st12). */
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+      .foreach(rmrf)
+    f.delete(); ()
+  }
+
   val st01Tumbling: Q = Q(
     "st01_tumbling_window",
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -184,10 +192,6 @@ object StreamingQueries {
     import s.implicits._
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_st09_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmrf)
-      f.delete(); ()
-    }
     rmrf(new java.io.File(dest)) // stale partitions of an old fixture
     // 12 hours of events = 12 hourly windows x 5 event types = 60
     // partition dirs per full delivery: the full semantics (partial
@@ -300,10 +304,6 @@ object StreamingQueries {
     import s.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st12_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmrf)
-      f.delete(); ()
-    }
     rmrf(new java.io.File(base))
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"
@@ -342,7 +342,12 @@ object StreamingQueries {
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[graft.streaming.FunnelMatch],
               _: Long) =>
-            if (!b.isEmpty) b.write.mode("append").parquet(dest)
+            // no isEmpty pre-check: in foreachBatch every action
+            // re-executes the stateful micro-batch plan, so a guard
+            // would run the RocksDB operator TWICE per batch; an
+            // empty append write is near-free and the read-back
+            // supplies an explicit schema
+            b.write.mode("append").parquet(dest)
         }
         .start()
       try {

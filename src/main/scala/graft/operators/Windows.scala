@@ -397,9 +397,12 @@ object Windows {
     *
     * The inner-null-vs-skipped distinction in the first_value probe
     * (a non-star row that does NOT continue the match must STOP the
-    * scan, not be skipped as a null) is kept by sentinel-coalescing
-    * the probed value before the non-star gate — portable to the SQL
-    * texts, where window functions cannot nest in one SELECT either.
+    * scan, not be skipped as a null) is kept by probing a separate
+    * BOOLEAN first-flag that is non-null at every non-star row — no
+    * in-band sentinel value, so no collision with real data. The SQL
+    * oracle texts use an equivalent sentinel-coalesced formulation
+    * (safe there: the fixture carries no -1 event ids), which doubles
+    * as an independent derivation of the same semantics.
     *
     * Scale shape: every layer shares ONE window spec (partitionBy
     * user_id, orderBy ts, event_id), so the whole pattern — any
@@ -471,12 +474,14 @@ object Windows {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val wFol = w.rowsBetween(1, Window.unboundedFollowing)
-    val sentTs = lit("1900-01-01 00:00:00").cast("timestamp")
-    // symbol -> row predicate; default is event_type equality, and a
-    // null predicate result counts as false (see scaladoc)
+    // symbol -> row predicate; default is event_type equality. BOTH
+    // paths null-coalesce: a null predicate result (null event_type,
+    // or a definition over a nullable column) must count as false, or
+    // the star-run probe's IGNORE NULLS would SKIP the row instead of
+    // stopping at it
     def predOf(name: String): org.apache.spark.sql.Column =
-      symbols.get(name).map(p => coalesce(p, lit(false)))
-        .getOrElse(col("event_type") === name)
+      coalesce(symbols.getOrElse(name, col("event_type") === name),
+        lit(false))
     var df = events
     var ee = ""; var ets = "" // E_{k+1} column names while folding back
     for (k <- units.indices.reverse) {
@@ -496,19 +501,30 @@ object Windows {
           val sp = predOf(s)
           df = df.withColumn(s"__mp_a_ee_$k", aEe)
             .withColumn(s"__mp_a_ts_$k", aTs)
-          // probe the first following non-star row, sentinel-wrapped so
-          // a failing probe row stops the scan instead of being skipped
-          df = df.withColumn(s"__mp_f_ee_$k",
-              first(when(!sp, coalesce(col(s"__mp_a_ee_$k"),
-                lit(-1L))), ignoreNulls = true).over(wFol))
+          // probe the first following non-star row. The stop/continue
+          // verdict travels as a separate BOOLEAN first-flag (non-null
+          // at every non-star row), so a failing probe row stops the
+          // scan instead of being skipped — and no in-band sentinel
+          // value can collide with real data (an event_id of -1 is
+          // legal input; an earlier formulation coalesced to -1L and
+          // silently killed such matches). When the flag is true, the
+          // first non-null anchor IS the probe target's, because the
+          // probe target is the first non-star row and its anchor is
+          // non-null by the flag's definition.
+          df = df.withColumn(s"__mp_f_ok_$k",
+              first(when(!sp, col(s"__mp_a_ee_$k").isNotNull),
+                ignoreNulls = true).over(wFol))
+            .withColumn(s"__mp_f_ee_$k",
+              first(when(!sp, col(s"__mp_a_ee_$k")),
+                ignoreNulls = true).over(wFol))
             .withColumn(s"__mp_f_ts_$k",
-              first(when(!sp, coalesce(col(s"__mp_a_ts_$k"),
-                sentTs)), ignoreNulls = true).over(wFol))
+              first(when(!sp, col(s"__mp_a_ts_$k")),
+                ignoreNulls = true).over(wFol))
           (when(lp, col(s"__mp_a_ee_$k"))
-            .when(sp, when(col(s"__mp_f_ee_$k") =!= -1L,
+            .when(sp, when(col(s"__mp_f_ok_$k"),
               col(s"__mp_f_ee_$k"))),
             when(lp, col(s"__mp_a_ts_$k"))
-              .when(sp, when(col(s"__mp_f_ee_$k") =!= -1L,
+              .when(sp, when(col(s"__mp_f_ok_$k"),
                 col(s"__mp_f_ts_$k"))))
       }
       ee = s"__mp_e_ee_$k"; ets = s"__mp_e_ts_$k"

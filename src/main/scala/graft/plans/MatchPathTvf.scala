@@ -50,6 +50,14 @@ object MatchPathTvf {
     val (defs, tokens) = strs.tail.partition(_.contains(":="))
     require(tokens.nonEmpty,
       "matchpath: pattern tokens missing (only symbol definitions given)")
+    // a malformed definition ('=' for ':=') would otherwise classify
+    // as a pattern token that can never match → silent empty result
+    val tokenShape = "[A-Za-z_][A-Za-z0-9_]*[*+]?".r
+    tokens.foreach { t =>
+      require(tokenShape.matches(t),
+        s"matchpath: '$t' is not a pattern token (sym, sym* or sym+)" +
+          " — a symbol definition must use ':='")
+    }
     val symbols = defs.map { s =>
       val Array(name, pred) = s.split(":=", 2)
       // expr() parses through the active session's own SQL parser, so

@@ -178,6 +178,52 @@ class MatchPathSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL event_type row stops a star run (not skipped)") {
+    import spark.implicits._
+    // view, NULL, purchase with view.click*.purchase: the NULL row is
+    // not a click, so the run stops there; it is not a purchase, so
+    // there is NO match. A non-coalesced default predicate would make
+    // the probe's IGNORE NULLS skip the row and wrongly emit a match.
+    val df = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000), Some("view")),
+      (1L, 2L, new java.sql.Timestamp(2000), None),
+      (1L, 3L, new java.sql.Timestamp(3000), Some("purchase")))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = operators.Windows.matchPathQuant(df,
+      Seq("view", "click*", "purchase")).collect()
+    assert(got.isEmpty)
+  }
+
+  test("an anchor row with event_id = -1 still matches (no sentinel clash)") {
+    import spark.implicits._
+    // -1 is a legal event id in arbitrary TVF input; the probe's
+    // verdict travels as a boolean flag, not an in-band -1 sentinel
+    val df = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000), "view"),
+      (1L, 2L, new java.sql.Timestamp(2000), "click"),
+      (1L, -1L, new java.sql.Timestamp(3000), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = operators.Windows.matchPathQuant(df,
+      Seq("view", "click*", "purchase"))
+      .select("start_event", "end_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, -1L)))
+  }
+
+  test("TVF: malformed symbol definition ('=' for ':=') is rejected") {
+    import SparkTestSession._
+    register()
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM matchpath('events', 'bigv', 'purchase', " +
+        "'bigv = value >= 30')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("is not a pattern token")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("unused symbol definition (typo) is rejected loudly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
