@@ -19,12 +19,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class MatchPathSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private case class Ev(user: Long, id: Long, sym: String)
+  private case class Ev(user: Long, id: Long, sym: String) {
+    def value: Double = ((id % 1000) * 37 % 10).toDouble
+  }
 
   /** Brute-force reference: one (start, end) per index where the
     * expanded pattern matches with forced quantified-run extent.
-    * Events must already be in (ts, event_id) order per user. */
-  private def reference(seq: IndexedSeq[Ev], tokens: Seq[String])
+    * Events must already be in (ts, event_id) order per user.
+    * `predOf` resolves a symbol name to its row predicate (default:
+    * symbol equality), mirroring matchPathQuant's symbol map. */
+  private def reference(seq: IndexedSeq[Ev], tokens: Seq[String],
+      predOf: (String, Ev) => Boolean = (n, e) => e.sym == n)
       : Seq[(Long, Long)] = {
     val expanded = tokens.flatMap { t =>
       if (t.endsWith("+")) Seq(t.dropRight(1), t.dropRight(1) + "*")
@@ -48,11 +53,20 @@ class MatchPathSpec extends AnyFunSuite {
       var endId = -1L
       units.foreach { case (star, lit) =>
         if (ok) {
-          star.foreach { s =>
-            while (p < seq.size && seq(p).sym == s) p += 1
+          // literal priority at the unit's start row (matches the
+          // compiler's when(lp, ...).when(sp, ...) ordering, which
+          // matters only when run and anchor predicates overlap);
+          // otherwise consume the whole run, then require the anchor
+          if (p < seq.size && predOf(lit, seq(p))) {
+            endId = seq(p).id; p += 1
+          } else {
+            star.foreach { s =>
+              while (p < seq.size && predOf(s, seq(p))) p += 1
+            }
+            if (star.nonEmpty && p < seq.size && predOf(lit, seq(p))) {
+              endId = seq(p).id; p += 1
+            } else ok = false
           }
-          if (p < seq.size && seq(p).sym == lit) { endId = seq(p).id; p += 1 }
-          else ok = false
         }
       }
       if (ok) Some((seq(start).id, endId)) else None
@@ -113,6 +127,78 @@ class MatchPathSpec extends AnyFunSuite {
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PROPERTY: predicate symbols == brute-force matcher") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit => slit}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val syms = Seq("a", "b", "c")
+    val genElem: Gen[Seq[String]] = for {
+      s <- Gen.oneOf(syms)
+      l <- Gen.oneOf(syms.filterNot(_ == s))
+      e <- Gen.frequency(
+        3 -> Gen.const(Seq(s)),
+        2 -> Gen.const(Seq(s + "*", l)),
+        1 -> Gen.const(Seq(s + "+", l)))
+    } yield e
+    val genPattern = Gen.choose(1, 3)
+      .flatMap(Gen.listOfN(_, genElem)).map(_.flatten)
+    val genEvents = for {
+      nUsers <- Gen.choose(1, 2)
+      evs <- Gen.listOfN(nUsers,
+        Gen.choose(2, 12).flatMap(
+          Gen.listOfN(_, Gen.oneOf(syms :+ "x"))))
+    } yield evs
+    // per-symbol value thresholds: a symbol with a threshold matches
+    // (sym == name && value >= t); value = (id%1000)*37 % 10 is a
+    // deterministic pseudo-random digit, so thresholds slice runs
+    // unpredictably (a row of the run's OWN symbol that fails the
+    // value gate becomes a run BREAKER). Overlapping run/anchor
+    // predicates are pinned by the dedicated unit test.
+    val genThresholds = Gen.mapOf(Gen.zip(Gen.oneOf(syms),
+      Gen.choose(0, 9).map(_.toDouble)))
+    val prop = Prop.forAllNoShrink(genEvents, genPattern, genThresholds) {
+      (evs, pat, thAll) =>
+        // definitions must reference pattern symbols (the typo guard
+        // rejects unused ones — by design)
+        val patSyms = pat.map(_.stripSuffix("*").stripSuffix("+")).toSet
+        val th = thAll.filter { case (s, _) => patSyms.contains(s) }
+        val rows = evs.zipWithIndex.flatMap { case (es, u) =>
+          es.zipWithIndex.map { case (sym, i) =>
+            Ev(u.toLong, (u * 1000 + i).toLong, sym)
+          }
+        }
+        val df = rows
+          .map(e => (e.user, e.id,
+            new java.sql.Timestamp(86400000L + (e.id / 2) * 1000),
+            e.sym, e.value))
+          .toDF("user_id", "event_id", "ts", "event_type", "value")
+        val symbols = th.map { case (s, t) =>
+          s -> (col("event_type") === s && col("value") >= slit(t))
+        }
+        val got = operators.Windows.matchPathQuant(df, pat, symbols)
+          .select("user_id", "start_event", "end_event")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        def predOf(name: String, e: Ev): Boolean = th.get(name) match {
+          case Some(t) => e.sym == name && e.value >= t
+          case None => e.sym == name
+        }
+        val want = rows.groupBy(_.user).flatMap { case (u, es) =>
+          reference(es.sortBy(_.id).toIndexedSeq, pat, predOf)
+            .map { case (s, e) => (u, s, e) }
+        }.toSet
+        if (got != want) {
+          println(s"MISMATCH pattern=${pat.mkString(".")} th=$th events=" +
+            evs.map(_.mkString).mkString("|") +
+            s"\n  got=$got\n  want=$want")
+        }
+        got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
 
