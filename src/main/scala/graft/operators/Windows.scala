@@ -397,8 +397,9 @@ object Windows {
     *
     * The inner-null-vs-skipped distinction in the first_value probe
     * (a non-star row that does NOT continue the match must STOP the
-    * scan, not be skipped as a null) is kept by probing a separate
-    * BOOLEAN first-flag that is non-null at every non-star row — no
+    * scan, not be skipped as a null) is kept by probing the anchor
+    * STRUCT, which is non-null at every non-star row even when its
+    * fields are null — one window expression per star layer, no
     * in-band sentinel value, so no collision with real data. The SQL
     * oracle texts use an equivalent sentinel-coalesced formulation
     * (safe there: the fixture carries no -1 event ids), which doubles
@@ -499,33 +500,23 @@ object Windows {
         case None => (aEe, aTs)
         case Some(s) =>
           val sp = predOf(s)
-          df = df.withColumn(s"__mp_a_ee_$k", aEe)
-            .withColumn(s"__mp_a_ts_$k", aTs)
-          // probe the first following non-star row. The stop/continue
-          // verdict travels as a separate BOOLEAN first-flag (non-null
-          // at every non-star row), so a failing probe row stops the
-          // scan instead of being skipped — and no in-band sentinel
-          // value can collide with real data (an event_id of -1 is
-          // legal input; an earlier formulation coalesced to -1L and
-          // silently killed such matches). When the flag is true, the
-          // first non-null anchor IS the probe target's, because the
-          // probe target is the first non-star row and its anchor is
-          // non-null by the flag's definition.
-          df = df.withColumn(s"__mp_f_ok_$k",
-              first(when(!sp, col(s"__mp_a_ee_$k").isNotNull),
-                ignoreNulls = true).over(wFol))
-            .withColumn(s"__mp_f_ee_$k",
-              first(when(!sp, col(s"__mp_a_ee_$k")),
-                ignoreNulls = true).over(wFol))
-            .withColumn(s"__mp_f_ts_$k",
-              first(when(!sp, col(s"__mp_a_ts_$k")),
-                ignoreNulls = true).over(wFol))
-          (when(lp, col(s"__mp_a_ee_$k"))
-            .when(sp, when(col(s"__mp_f_ok_$k"),
-              col(s"__mp_f_ee_$k"))),
-            when(lp, col(s"__mp_a_ts_$k"))
-              .when(sp, when(col(s"__mp_f_ok_$k"),
-                col(s"__mp_f_ts_$k"))))
+          df = df.withColumn(s"__mp_a_$k",
+            struct(aEe.as("ee"), aTs.as("ts")))
+          // probe the first following non-star row with ONE windowed
+          // first() over the anchor STRUCT: a struct literal is
+          // non-null at every non-star row even when its fields are
+          // null, so a failing probe row stops the scan (its struct
+          // is picked, its null fields kill the match) instead of
+          // being skipped — and no in-band sentinel value can collide
+          // with real data (an event_id of -1 is legal input; an
+          // earlier formulation coalesced to -1L and silently killed
+          // such matches). One window expression per star layer.
+          df = df.withColumn(s"__mp_f_$k",
+            first(when(!sp, col(s"__mp_a_$k")), ignoreNulls = true)
+              .over(wFol))
+          val a = col(s"__mp_a_$k"); val f = col(s"__mp_f_$k")
+          (when(lp, a.getField("ee")).when(sp, f.getField("ee")),
+            when(lp, a.getField("ts")).when(sp, f.getField("ts")))
       }
       ee = s"__mp_e_ee_$k"; ets = s"__mp_e_ts_$k"
       df = df.withColumn(ee, eEe).withColumn(ets, eTs)
