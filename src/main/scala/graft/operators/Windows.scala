@@ -376,24 +376,41 @@ object Windows {
     * `sym`, `sym*` and `sym+` tokens (e.g.
     * `view.click*.view.click+.purchase`), subsuming [[matchPath]] (all
     * literals) and [[matchPathStar]] (one star). Grammar:
-    * `(sym | sym* | sym+)+` ending in a literal (`s+` rewrites to
-    * `s.s*` before compilation, so a TRAILING `s+` is rejected by the
-    * literal-end rule like any trailing star), no two adjacent
-    * quantified runs, and each quantified run's symbol differs from
-    * the literal it precedes — the deterministic chain fragment of the
-    * reference PTF's pattern language (SURVEY.md §2.4).
+    * `(sym | sym* | sym+)+` — the pattern may END in a quantified run
+    * (`view.click+`, or a standalone `late+`): the match then ends at
+    * the LAST row of the maximal trailing run (at the preceding
+    * literal itself when a trailing `*` run is empty). Elsewhere `s+`
+    * rewrites to `s.s*`, no two adjacent quantified runs, and each
+    * MID-pattern run's symbol differs from the literal it precedes —
+    * both restrictions are the determinism constraints of the
+    * reference resolver's forced-extent chain semantics (an inner run
+    * is terminated by its anchor literal, so `a*.a` and `a*.b*.c`
+    * have no deterministic extent), not implementation limits. A bare
+    * `s*` pattern is rejected: it matches the empty path at every row
+    * (use `s+` for one-or-more). (SURVEY.md §2.4.)
     *
-    * Compilation: tokens group into units `(star?, literal)`; units
-    * compile BACKWARD into per-row columns E_k = "a match of units
-    * k..K starts exactly at this row" carrying the match-end
-    * coordinates. The last unit's literal is row-local; every earlier
-    * literal hops to the next row's E_{k+1} via `lead()`; a star
-    * branch hops over its run with `first_value(ignoreNulls)` over
-    * the FOLLOWING frame — the run is all-star by construction (the
-    * first following non-star row is the probe target itself), so
-    * consecutiveness needs no extra check, and the star-run extent is
-    * forced, so each start row yields at most one match (the output
-    * is one row per matching start, like [[matchPath]]).
+    * Compilation: tokens group into units `(star?, literal)` plus an
+    * optional TRAILING run; units compile BACKWARD into per-row
+    * columns E_k = "a match of units k..K starts exactly at this row"
+    * carrying the match-end coordinates. The last unit's literal is
+    * row-local; every earlier literal hops to the next row's E_{k+1}
+    * via `lead()`; a star branch hops over its run with
+    * `first_value(ignoreNulls)` over the FOLLOWING frame — the run is
+    * all-star by construction (the first following non-star row is
+    * the probe target itself), so consecutiveness needs no extra
+    * check, and the star-run extent is forced, so each start row
+    * yields at most one match (the output is one row per matching
+    * start, like [[matchPath]]). A trailing run replaces the last
+    * literal's row-local end with the run's own end coordinates: mark
+    * run-END rows (a run row whose successor is not one — `lead()`
+    * over the same window), then one `first_value(ignoreNulls)` probe
+    * over the FOLLOWING frame finds, from the anchor, either the
+    * run's end row (emit its coordinates) or an immediate non-run row
+    * (zero-length run — the anchor itself is the end). A partition
+    * that ends inside the run needs no special case: `lead()` is null
+    * at the partition's last row, which marks it a run end; a NULL
+    * probe can therefore only mean no rows follow the anchor at all —
+    * again the zero-length case.
     *
     * The inner-null-vs-skipped distinction in the first_value probe
     * (a non-star row that does NOT continue the match must STOP the
@@ -446,19 +463,30 @@ object Windows {
       else Seq(t)
     }
     require(tokens.nonEmpty, "empty symbol pattern")
-    require(!tokens.last.endsWith("*"), "pattern must end with a literal")
+    // a TRAILING run (q80f: `view.click+`, standalone `late+`) splits
+    // off before unit grouping: its end anchor is the run's own last
+    // row, not a following literal
+    val (bodyTokens, tail) =
+      if (tokens.last.endsWith("*"))
+        (tokens.init, Some(tokens.last.dropRight(1)))
+      else (tokens, None)
+    require(bodyTokens.nonEmpty,
+      "a bare zero-or-more pattern (sym*) matches the empty path at " +
+        "every row — use sym+ for one-or-more")
+    require(!bodyTokens.last.endsWith("*"),
+      s"adjacent star quantifiers unsupported: ${tokens.mkString(".")}")
     val units = {
       val b = Seq.newBuilder[Unit_]
       var i = 0
-      while (i < tokens.size) {
-        if (tokens(i).endsWith("*")) {
-          val s = tokens(i).dropRight(1)
-          require(!tokens(i + 1).endsWith("*"),
+      while (i < bodyTokens.size) {
+        if (bodyTokens(i).endsWith("*")) {
+          val s = bodyTokens(i).dropRight(1)
+          require(!bodyTokens(i + 1).endsWith("*"),
             s"adjacent star quantifiers unsupported: ${tokens.mkString(".")}")
-          require(s != tokens(i + 1),
+          require(s != bodyTokens(i + 1),
             "star symbol must differ from the literal it precedes")
-          b += Unit_(Some(s), tokens(i + 1)); i += 2
-        } else { b += Unit_(None, tokens(i)); i += 1 }
+          b += Unit_(Some(s), bodyTokens(i + 1)); i += 2
+        } else { b += Unit_(None, bodyTokens(i)); i += 1 }
       }
       b.result()
     }
@@ -466,7 +494,7 @@ object Windows {
     // otherwise degrade SILENTLY to event_type-equality matching
     locally {
       val tokenSyms =
-        (units.flatMap(_.star) ++ units.map(_.sym)).toSet
+        (units.flatMap(_.star) ++ units.map(_.sym) ++ tail).toSet
       val unused = symbols.keySet.diff(tokenSyms)
       require(unused.isEmpty,
         s"symbol definition(s) not used by any pattern token: " +
@@ -484,15 +512,42 @@ object Windows {
       coalesce(symbols.getOrElse(name, col("event_type") === name),
         lit(false))
     var df = events
+    // trailing-run end coordinates, evaluated AT the last literal row:
+    // run-end rows are marked via lead() (null lead = partition end =
+    // run end), then ONE windowed first() from the anchor picks either
+    // the run's end row (hit) or an immediate non-run row (zero-length
+    // run — the anchor itself ends the match)
+    val tailEnd: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)] = tail.map { tSym =>
+      val tp = predOf(tSym)
+      df = df.withColumn("__mp_tail_p", tp)
+      df = df.withColumn("__mp_tail_re", col("__mp_tail_p") &&
+        !coalesce(lead(col("__mp_tail_p"), 1).over(w), lit(false)))
+      df = df.withColumn("__mp_tail_f",
+        first(when(!col("__mp_tail_p") || col("__mp_tail_re"),
+          struct(col("__mp_tail_re").as("hit"),
+            col("event_id").as("ee"), col("ts").as("ts"))),
+          ignoreNulls = true).over(wFol))
+      val f = col("__mp_tail_f")
+      val hit = f.isNotNull && f.getField("hit")
+      (when(hit, f.getField("ee")).otherwise(col("event_id")),
+        when(hit, f.getField("ts")).otherwise(col("ts")))
+    }
     var ee = ""; var ets = "" // E_{k+1} column names while folding back
     for (k <- units.indices.reverse) {
       val u = units(k)
       val lp = predOf(u.sym)
       // A_k: the unit's literal at this row, match continuing after it
+      // (for the LAST unit: the row itself ends the match, or the
+      // trailing run's end coordinates when the pattern ends in a run)
       val (aEe, aTs) =
-        if (k == units.size - 1)
-          (when(lp, col("event_id")),
-            when(lp, col("ts")))
+        if (k == units.size - 1) tailEnd match {
+          case None =>
+            (when(lp, col("event_id")),
+              when(lp, col("ts")))
+          case Some((te, tt)) =>
+            (when(lp, te), when(lp, tt))
+        }
         else
           (when(lp, lead(col(ee), 1).over(w)),
             when(lp, lead(col(ets), 1).over(w)))
@@ -670,6 +725,44 @@ object Windows {
         col("value") >= lit(30.0))))
   }
 
+  /** q80f: the TRAILING-quantifier funnel `view.click+` — "a view then
+    * any nonempty run of clicks", no closing literal (the round-5
+    * verdict's last semantics gap: the reference PTF accepts patterns
+    * ending in a quantified run, e.g. a standalone `LATE+`). The match
+    * ends at the LAST click of the maximal run. The oracle derives the
+    * same semantics from the opposite end: a match END is a run-END
+    * click (its successor is not a click — or nothing follows) whose
+    * nearest preceding non-click row is a view; start = that view.
+    * The two formulations — engine scans FORWARD from the start via
+    * the run-end probe, oracle scans BACKWARD from the end via
+    * last_value — must land on identical (start, end) pairs. */
+  val q80fMatchPathTrailing: Q = Q(
+    "q80f_matchpath_trailing",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, event_id, event_type, ts,
+      |        lead(event_type, 1) OVER w0 AS n_sym,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN event_type END IGNORE NULLS) OVER w
+      |          AS p_sym,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN event_id END IGNORE NULLS) OVER w
+      |          AS p_event,
+      |        last_value(CASE WHEN event_type <> 'click'
+      |                        THEN ts END IGNORE NULLS) OVER w AS p_ts
+      |      FROM e
+      |      WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |             w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND 1 PRECEDING))
+      |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+      |  event_id AS end_event, ts AS end_ts
+      |FROM m WHERE event_type = 'click'
+      |  AND (n_sym IS NULL OR n_sym <> 'click')
+      |  AND p_sym = 'view'""".stripMargin) { (s, d) =>
+    matchPathQuant(Tables.events(s, d), Seq("view", "click+"))
+  }
+
   /** q80b: view→click*→purchase through [[matchPathStar]]. */
   val q80bMatchPathStar: Q = Q(
     "q80b_matchpath_star",
@@ -721,7 +814,8 @@ object Windows {
     q16LagLead, q17NtileStats, q17aQuartileBucketed, q18FirstLast,
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
     q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar,
-    q80cMatchPathQuant, q80dMatchPathPlus, q80eMatchPathSymbols)
+    q80cMatchPathQuant, q80dMatchPathPlus, q80eMatchPathSymbols,
+    q80fMatchPathTrailing)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.StringType
   *
   * — first argument names a table/view, the rest are the pattern
   * tokens of [[graft.operators.Windows.matchPathQuant]] (`sym`,
-  * `sym*` or `sym+`, ending in a literal), optionally followed by
+  * `sym*` or `sym+`; the pattern may end in a quantified run, e.g.
+  * `matchpath('events', 'view', 'click+')`), optionally followed by
   * `'name := <boolean sql>'` symbol definitions (the reference PTF's
   * symbol-expression argument pairs); undefined symbols default to
   * `event_type = name`. This is the reference PTF's own
@@ -24,6 +25,16 @@ import org.apache.spark.sql.types.StringType
   * function in the reference too); the compiled plan is IDENTICAL to
   * the DSL's — the TVF builder just returns matchPathQuant's logical
   * plan, so the one-exchange/one-sort shape carries over unchanged.
+  *
+  * COMPOSITION over arbitrary relations: the table argument resolves
+  * through the active session's catalog, so matchpath runs over ANY
+  * DataFrame — register it first (`df.createOrReplaceTempView("v")`,
+  * or a permanent/filtered SQL view) and name the view. This is the
+  * engine's composition path for the reference PTF's
+  * subquery-argument form (`matchpath(SELECT ... , pattern)`): SQL
+  * views and temp views are the relation arguments; SqlParitySpec
+  * pins matchpath-over-a-filtered-view equal to the DSL over the same
+  * filtered frame.
   *
   * Registered through `SparkSessionExtensions.injectTableFunction`
   * (see [[GraftExtensions]]), Spark's public hook for catalog table
@@ -45,7 +56,7 @@ object MatchPathTvf {
         s"matchpath arguments must be string literals, got: $other")
     }
     require(strs.size >= 2,
-      "usage: matchpath(<table>, <sym | sym* | sym+> ..., <sym>, " +
+      "usage: matchpath(<table or view>, <sym | sym* | sym+> ..., " +
         "['name := <predicate sql>' ...])")
     val (defs, tokens) = strs.tail.partition(_.contains(":="))
     require(tokens.nonEmpty,
@@ -60,6 +71,11 @@ object MatchPathTvf {
     }
     val symbols = defs.map { s =>
       val Array(name, pred) = s.split(":=", 2)
+      // an empty name (' := pred') would otherwise surface later as a
+      // misleading "not used by any pattern token" error
+      require(name.trim.nonEmpty,
+        s"matchpath: malformed symbol definition '$s' — empty name" +
+          " before ':='")
       // expr() parses through the active session's own SQL parser, so
       // definition predicates speak exactly the engine's dialect
       name.trim -> org.apache.spark.sql.functions.expr(pred.trim)

@@ -15,7 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Also pins the grammar edges the registered queries never reach:
   * star-FIRST patterns (matches may start anywhere inside the leading
-  * run) and the loud rejection of a trailing `+`/`*`. */
+  * run), TRAILING-run patterns (`view.click+`, standalone `late+` —
+  * the fuzz generators append them at random), and the loud rejection
+  * of the genuinely ambiguous shapes (bare `s*`, adjacent runs). */
 class MatchPathSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -35,15 +37,21 @@ class MatchPathSpec extends AnyFunSuite {
       if (t.endsWith("+")) Seq(t.dropRight(1), t.dropRight(1) + "*")
       else Seq(t)
     }
+    // a trailing run has no anchor literal: the match ends at the
+    // run's last consumed row (the previous literal if it is empty)
+    val (body, tail) =
+      if (expanded.last.endsWith("*"))
+        (expanded.init, Some(expanded.last.dropRight(1)))
+      else (expanded, None)
     // group into (starRun, literal) units exactly like the compiler
     val units = {
       val b = Seq.newBuilder[(Option[String], String)]
       var i = 0
-      while (i < expanded.size) {
-        if (expanded(i).endsWith("*")) {
-          b += ((Some(expanded(i).dropRight(1)), expanded(i + 1)))
+      while (i < body.size) {
+        if (body(i).endsWith("*")) {
+          b += ((Some(body(i).dropRight(1)), body(i + 1)))
           i += 2
-        } else { b += ((None, expanded(i))); i += 1 }
+        } else { b += ((None, body(i))); i += 1 }
       }
       b.result()
     }
@@ -69,6 +77,11 @@ class MatchPathSpec extends AnyFunSuite {
           }
         }
       }
+      // trailing run: greedily consume; every consumed row advances
+      // the end (an empty run keeps the last literal's end)
+      if (ok) tail.foreach { s =>
+        while (p < seq.size && predOf(s, seq(p))) { endId = seq(p).id; p += 1 }
+      }
       if (ok) Some((seq(start).id, endId)) else None
     }
   }
@@ -90,8 +103,17 @@ class MatchPathSpec extends AnyFunSuite {
         2 -> Gen.const(Seq(s + "*", l)),
         2 -> Gen.const(Seq(s + "+", l)))
     } yield e
-    val genPattern = Gen.choose(1, 3)
-      .flatMap(Gen.listOfN(_, genElem)).map(_.flatten)
+    // every element ends in a literal, so an optional TRAILING run can
+    // always be appended without creating adjacent quantified tokens
+    val genTail: Gen[Seq[String]] = Gen.frequency(
+      2 -> Gen.const(Seq.empty[String]),
+      1 -> Gen.oneOf(syms).flatMap(s =>
+        Gen.oneOf(Seq(s + "*"), Seq(s + "+"))))
+    val genPattern = for {
+      n <- Gen.choose(1, 3)
+      es <- Gen.listOfN(n, genElem)
+      t <- genTail
+    } yield es.flatten ++ t
     val genEvents = for {
       nUsers <- Gen.choose(1, 3)
       evs <- Gen.listOfN(nUsers,
@@ -143,8 +165,15 @@ class MatchPathSpec extends AnyFunSuite {
         2 -> Gen.const(Seq(s + "*", l)),
         1 -> Gen.const(Seq(s + "+", l)))
     } yield e
-    val genPattern = Gen.choose(1, 3)
-      .flatMap(Gen.listOfN(_, genElem)).map(_.flatten)
+    val genTail: Gen[Seq[String]] = Gen.frequency(
+      2 -> Gen.const(Seq.empty[String]),
+      1 -> Gen.oneOf(syms).flatMap(s =>
+        Gen.oneOf(Seq(s + "*"), Seq(s + "+"))))
+    val genPattern = for {
+      n <- Gen.choose(1, 3)
+      es <- Gen.listOfN(n, genElem)
+      t <- genTail
+    } yield es.flatten ++ t
     val genEvents = for {
       nUsers <- Gen.choose(1, 2)
       evs <- Gen.listOfN(nUsers,
@@ -252,15 +281,49 @@ class MatchPathSpec extends AnyFunSuite {
     assert(overlap == Set((3L, 3L)))
   }
 
-  test("trailing quantifier is rejected loudly") {
+  test("trailing quantifiers: run end anchors the match") {
+    import spark.implicits._
+    // view click click purchase  with view.click+: one match, from the
+    // view to the LAST click of the maximal run
+    val df = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000), "view"),
+      (1L, 2L, new java.sql.Timestamp(2000), "click"),
+      (1L, 3L, new java.sql.Timestamp(3000), "click"),
+      (1L, 4L, new java.sql.Timestamp(4000), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    def run(pat: Seq[String]) =
+      operators.Windows.matchPathQuant(df, pat)
+        .select("start_event", "end_event")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Seq("view", "click+")) == Set((1L, 3L)))
+    // trailing ZERO-or-more: a run-less view matches ending at itself
+    // (the purchase row has no following clicks)
+    assert(run(Seq("purchase", "click*")) == Set((4L, 4L)))
+    // standalone run `click+`: one match per run row, each ending at
+    // the run's last row (every row can start a path)
+    assert(run(Seq("click+")) == Set((2L, 3L), (3L, 3L)))
+    // run reaching the PARTITION END still terminates (null lead)
+    assert(run(Seq("purchase+")) == Set((4L, 4L)))
+  }
+
+  test("ambiguous quantifier shapes are rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, 1L, new java.sql.Timestamp(1000), "a"))
       .toDF("user_id", "event_id", "ts", "event_type")
-    for (bad <- Seq(Seq("a", "b*"), Seq("a", "b+"))) {
+    // bare zero-or-more: matches the empty path at every row
+    val bare = intercept[IllegalArgumentException] {
+      operators.Windows.matchPathQuant(df, Seq("a*"))
+    }
+    assert(bare.getMessage.contains("bare zero-or-more"))
+    // adjacent runs — both mid-pattern and at the tail boundary
+    // (note a*.b+ is NOT adjacent: it expands to a*.b.b*, the b
+    // literal anchoring both runs)
+    for (bad <- Seq(Seq("a*", "b*", "c"), Seq("a*", "b*"))) {
       val ex = intercept[IllegalArgumentException] {
         operators.Windows.matchPathQuant(df, bad)
       }
-      assert(ex.getMessage.contains("end with a literal"))
+      assert(ex.getMessage.contains("adjacent star quantifiers"),
+        s"${bad.mkString(".")}: ${ex.getMessage}")
     }
   }
 

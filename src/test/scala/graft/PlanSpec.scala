@@ -338,7 +338,7 @@ class PlanSpec extends AnyFunSuite {
     // mean a lookahead layer forced a re-shuffle
     Seq("q80_matchpath_funnel", "q80b_matchpath_star",
         "q80c_matchpath_quant", "q80d_matchpath_plus",
-        "q80e_matchpath_symbols").foreach { n =>
+        "q80e_matchpath_symbols", "q80f_matchpath_trailing").foreach { n =>
       val p = plan(n)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(exchanges == 1, s"$n: expected 1 exchange, got $exchanges:\n$p")
@@ -351,7 +351,7 @@ class PlanSpec extends AnyFunSuite {
     // subsequent WindowExec over the same partitioning — a per-layer
     // re-sort would multiply the pattern length into the runtime
     Seq("q80c_matchpath_quant", "q80d_matchpath_plus",
-        "q80e_matchpath_symbols").foreach { n =>
+        "q80e_matchpath_symbols", "q80f_matchpath_trailing").foreach { n =>
       val p = plan(n)
       val sorts = "\\bSort \\[".r.findAllIn(p).size
       assert(sorts == 1, s"$n: expected 1 sort, got $sorts:\n$p")

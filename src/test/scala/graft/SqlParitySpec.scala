@@ -183,6 +183,75 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(viaSql) == canon(viaDsl))
   }
 
+  test("trailing-run pattern SQL text (Spark IGNORE NULLS) == DSL") {
+    // q80f's oracle is DuckDB-dialect; this is the same backward
+    // (run-end anchored) derivation in Spark's IGNORE NULLS placement
+    register()
+    val viaSql = spark.sql(
+      """WITH m AS (SELECT user_id, event_id, event_type, ts,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS n_sym,
+        |    last_value(CASE WHEN event_type <> 'click'
+        |                    THEN event_type END) IGNORE NULLS OVER w
+        |      AS p_sym,
+        |    last_value(CASE WHEN event_type <> 'click'
+        |                    THEN event_id END) IGNORE NULLS OVER w
+        |      AS p_event,
+        |    last_value(CASE WHEN event_type <> 'click'
+        |                    THEN ts END) IGNORE NULLS OVER w AS p_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING))
+        |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+        |  event_id AS end_event, ts AS end_ts
+        |FROM m WHERE event_type = 'click'
+        |  AND (n_sym IS NULL OR n_sym <> 'click')
+        |  AND p_sym = 'view'""".stripMargin)
+    val viaDsl = SparkEntry.queries("q80f_matchpath_trailing")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("matchpath TVF accepts a trailing quantified run") {
+    register()
+    val viaSql = spark.sql(
+      "SELECT * FROM matchpath('events', 'view', 'click+')")
+    val viaDsl = SparkEntry.queries("q80f_matchpath_trailing")(spark, sf)
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("matchpath TVF composes over a registered relation (filtered view)") {
+    // the reference PTF takes a subquery argument; the engine's
+    // composition path is a named (temp) view over any DataFrame —
+    // the TVF must run the SAME plan over the filtered relation
+    register()
+    import spark.implicits._
+    val filtered = sources.Tables.events(spark, sf)
+      .filter($"value" >= 10.0)
+    filtered.createOrReplaceTempView("events_big")
+    val viaSql = spark.sql(
+      "SELECT * FROM matchpath('events_big', 'view', 'click*', 'purchase')")
+    val viaDsl = operators.Windows.matchPathQuant(filtered,
+      Seq("view", "click*", "purchase"))
+    assert(canon(viaSql) == canon(viaDsl))
+    // the filter must have BITTEN (different rows than the full table)
+    assert(canon(viaSql) !=
+      canon(SparkEntry.queries("q80b_matchpath_star")(spark, sf)))
+  }
+
+  test("matchpath TVF rejects an empty symbol-definition name") {
+    register()
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM matchpath('events', 'view', 'purchase', " +
+        "' := event_type = ''view''')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("empty name")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("matchPathQuant degenerates to matchPath / matchPathStar") {
     // the general compiler must agree with the two fixed matchers on
     // their own patterns (all-literal chain; single A.B*.C star) —
