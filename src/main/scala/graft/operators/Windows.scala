@@ -456,50 +456,13 @@ object Windows {
       rawTokens: Seq[String],
       symbols: Map[String, org.apache.spark.sql.Column])
       : org.apache.spark.sql.DataFrame = {
-    final case class Unit_(star: Option[String], sym: String)
-    // one-or-more: s+ == s.s* (one literal anchor, then a star run)
-    val tokens = rawTokens.flatMap { t =>
-      if (t.endsWith("+")) Seq(t.dropRight(1), t.dropRight(1) + "*")
-      else Seq(t)
-    }
-    require(tokens.nonEmpty, "empty symbol pattern")
-    // a TRAILING run (q80f: `view.click+`, standalone `late+`) splits
-    // off before unit grouping: its end anchor is the run's own last
-    // row, not a following literal
-    val (bodyTokens, tail) =
-      if (tokens.last.endsWith("*"))
-        (tokens.init, Some(tokens.last.dropRight(1)))
-      else (tokens, None)
-    require(bodyTokens.nonEmpty,
-      "a bare zero-or-more pattern (sym*) matches the empty path at " +
-        "every row — use sym+ for one-or-more")
-    require(!bodyTokens.last.endsWith("*"),
-      s"adjacent star quantifiers unsupported: ${tokens.mkString(".")}")
-    val units = {
-      val b = Seq.newBuilder[Unit_]
-      var i = 0
-      while (i < bodyTokens.size) {
-        if (bodyTokens(i).endsWith("*")) {
-          val s = bodyTokens(i).dropRight(1)
-          require(!bodyTokens(i + 1).endsWith("*"),
-            s"adjacent star quantifiers unsupported: ${tokens.mkString(".")}")
-          require(s != bodyTokens(i + 1),
-            "star symbol must differ from the literal it precedes")
-          b += Unit_(Some(s), bodyTokens(i + 1)); i += 2
-        } else { b += Unit_(None, bodyTokens(i)); i += 1 }
-      }
-      b.result()
-    }
-    // a definition whose name no token uses is a typo that would
-    // otherwise degrade SILENTLY to event_type-equality matching
-    locally {
-      val tokenSyms =
-        (units.flatMap(_.star) ++ units.map(_.sym) ++ tail).toSet
-      val unused = symbols.keySet.diff(tokenSyms)
-      require(unused.isEmpty,
-        s"symbol definition(s) not used by any pattern token: " +
-          s"${unused.mkString(", ")} (tokens: ${rawTokens.mkString(".")})")
-    }
+    // grammar + validation live in MatchPattern, SHARED with the
+    // streaming QuantFunnelProcessor (st13) so batch and stream can
+    // never diverge on which patterns they accept
+    val compiled = MatchPattern.compile(rawTokens)
+    MatchPattern.requireSymbolsUsed(compiled, symbols.keySet, rawTokens)
+    val units = compiled.units
+    val tail = compiled.tail
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val wFol = w.rowsBetween(1, Window.unboundedFollowing)

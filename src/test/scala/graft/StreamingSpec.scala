@@ -718,6 +718,124 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Drive a quantified streaming funnel over the SCRAMBLED chunked
+    * replay and return the emitted match tuples (shared by the st13
+    * parity tests below). `extra` rows are delivered after the real
+    * chunks but before the watermark-flush sentinels — the trailing-run
+    * test's per-user end-of-stream markers ride there. */
+  private def runQuantFunnel(pattern: Seq[String], name: String,
+      extra: Seq[Ev] = Nil): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams
+      .quantFunnelMatchesTws(mem.toDS(), pattern)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_qfunnel").toString)
+      .start()
+    try {
+      // deterministic within-chunk SCRAMBLE (see the literal funnel
+      // test): the matcher must reconstruct final event-time order
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk.sortBy(e => (e.event_id * 2654435761L) & 0xffffffffL))
+        q.processAllAvailable()
+      }
+      if (extra.nonEmpty) {
+        mem.addData(extra.map(e => streaming.Event(e.event_id, e.ts,
+          e.user_id, e.event_type, e.value, e.props)))
+        q.processAllAvailable()
+      }
+      val s0 = sentinel
+      mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-2L,
+        new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      spark.table(name).collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSet
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  private def batchQuant(pattern: Seq[String])
+      : Set[(Long, Long, Long, Long, Long)] =
+    operators.Windows.matchPathQuant(
+      sources.Tables.events(spark, sf), pattern)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getLong(3), r.getTimestamp(4).getTime)).toSet
+
+  test("streaming QUANTIFIED funnel equals batch matchPathQuant (q80c)") {
+    // the two-star depth (st13's driver pattern): greedy forced-extent
+    // runs, scrambled arrival, multi-timer finalization
+    val pat = Seq("view", "click*", "view", "click*", "purchase")
+    val got = runQuantFunnel(pat, "qfunnel_out")
+    val want = batchQuant(pat)
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"quant funnel diverges: extra=${got -- want}, missing=${want -- got}")
+  }
+
+  test("streaming TRAILING-run funnel equals batch matchPathQuant (q80f)") {
+    // a trailing run's maximal extent is not final while it touches the
+    // watermark boundary — on an unbounded stream such a match emits
+    // only once a finalized non-run row arrives. A bounded replay
+    // therefore terminates each user with an end-of-stream marker (a
+    // type no symbol matches), exactly how the batch twin's partition
+    // end terminates the run; the match sets must then be EQUAL.
+    val pat = Seq("view", "click+")
+    val maxTs = batchEvents.map(_.ts.getTime).max
+    val eos = batchEvents.map(_.user_id).distinct.map(uid =>
+      Ev(-100L - uid, new Timestamp(maxTs + 3600 * 1000), uid, "__eos",
+        0.0, "{}"))
+    val got = runQuantFunnel(pat, "qfunnel_trail_out", eos)
+    val want = batchQuant(pat)
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"trailing funnel diverges: extra=${got -- want}, missing=${want -- got}")
+  }
+
+  test("funnel foreachBatch sink is retry-idempotent") {
+    import spark.implicits._
+    def m(id: Long): streaming.FunnelMatch =
+      streaming.FunnelMatch(id, id * 10, new Timestamp(1700000000000L + id),
+        id * 10 + 1, new Timestamp(1700000001000L + id))
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_sink_retry").toString
+    // delivery 1 of batch 5: PARTIAL rows (a failure mid-write leaves
+    // whatever the task committed); the retry re-delivers batch 5 in
+    // full — at-least-once foreachBatch. The sink must end up with
+    // exactly the full delivery, not partial + full.
+    streaming.Streams.sinkMatchesIdempotent(
+      Seq(m(1)).toDS(), 5L, dest)
+    streaming.Streams.sinkMatchesIdempotent(
+      Seq(m(1), m(2), m(3)).toDS(), 5L, dest)
+    // a LATER batch lands in its own partition, untouched by batch 5
+    streaming.Streams.sinkMatchesIdempotent(
+      Seq(m(4)).toDS(), 6L, dest)
+    val got = streaming.Streams.readMatchesSink(spark, dest)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L),
+      s"sink not idempotent: user_ids $got")
+  }
+
   test("stream-static LEFT ANTI replay gate equals the batch twin") {
     import spark.implicits._
     val events = sources.Tables.events(spark, sf)
