@@ -277,12 +277,26 @@ object Similarity {
       |SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin) {
     (s, d) =>
     import s.implicits._
-    val nprobe = 2
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val centroids = emb.filter($"vec_id" % 100 === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
+    ivfTopK(s, d, centroids, nprobe = 2)
+  }
+
+  /** The IVF probe/re-rank machinery shared by s04 (sampled centroids —
+    * the deterministic, fully oracle-checkable twin) and s04b (Lloyd-
+    * TRAINED centroids — the production path): assign every corpus
+    * vector to its nearest centroid (broadcast of the small centroid
+    * table, one map-side pass), probe each query's `nprobe` nearest
+    * cells, re-rank exactly within them. `centroids` must carry
+    * (c_id, c_vec, c_nrm). */
+  def ivfTopK(s: SparkSession, d: String, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     // assign: nearest centroid per vector (broadcast the centroid set)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id")
     val assigned = emb.join(broadcast(centroids))
@@ -398,6 +412,29 @@ object Similarity {
     * sharper invariants the bounds-verdict output can't carry. */
   def kmeans(s: SparkSession, d: String, k: Int = 8, rounds: Int = 3)
       : (DataFrame, Seq[DataFrame]) = {
+    val (a, sses, _) = lloyd(s, d, k, rounds)
+    (a, sses)
+  }
+
+  /** Lloyd-TRAINED IVF centroids in [[ivfTopK]]'s shape (c_id, c_vec,
+    * c_nrm) — what s04's sampled stand-ins stand in FOR. Small k and
+    * few rounds: the coarse quantizer needs separated cells, not
+    * converged clusters, and each round is two linear passes. */
+  def trainedCentroids(s: SparkSession, d: String, k: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val (_, _, cents) = lloyd(s, d, k, rounds)
+    // Lloyd trains in double; the probe kernel (FloatVecDot) runs on
+    // float arrays like the corpus itself. Cast once here and derive
+    // the norm FROM the float vector so assignment similarities are
+    // computed against exactly the centroid the kernel sees.
+    val fvec = transform($"c_vec", x => x.cast("float"))
+    cents.select($"c_id".cast("long").as("c_id"), fvec.as("c_vec"))
+      .withColumn("c_nrm", norm($"c_vec"))
+  }
+
+  private def lloyd(s: SparkSession, d: String, k: Int, rounds: Int)
+      : (DataFrame, Seq[DataFrame], DataFrame) = {
     import s.implicits._
     val dvec = transform($"embedding", x => x.cast("double"))
     def ddot(a: Column, b: Column): Column =
@@ -451,7 +488,46 @@ object Similarity {
         .withColumn("c_n2", ddot($"c_vec", $"c_vec"))
         .localCheckpoint()
     }
-    (assign(cents).select($"vec_id", $"c_id", $"d2"), sses.toSeq)
+    (assign(cents).select($"vec_id", $"c_id", $"d2"), sses.toSeq, cents)
+  }
+
+  /** s04b: IVF ANN with TRAINED centroids — [[trainedCentroids]]' Lloyd
+    * loop (k=16, 2 rounds) feeding [[ivfTopK]] with nprobe=4, the
+    * production configuration s04's untrained every-100th sample stands
+    * in for. Training fixes the CELL COUNT at k regardless of corpus
+    * size, so the probed fraction (nprobe/k = 1/4) — and with it recall
+    * — holds as the data scales; the sampled variant's cell count grows
+    * WITH the corpus at fixed nprobe, which is exactly the recall
+    * erosion ScaleStressSpec measured at 10× (0.386) and now asserts
+    * the trained path avoids (floor 0.55 at 10×).
+    *
+    * Lloyd iterations are not expressible in DuckDB SQL, so the oracle
+    * pins the bounds-verdict (q17a pattern): every query answered with
+    * exactly 5 ranked neighbors, and top-5 recall against the s01
+    * brute-force ground truth — computed INSIDE the query by a join of
+    * the two result sets, no driver-side math — at or above the 0.55
+    * scale floor (measured ~0.9 at base fixtures; the floor is the
+    * 10×-stress bound, not the expectation). */
+  val s04bKnnIvfTrained: Q = Q(
+    "s04b_knn_ivf_trained",
+    """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+      |  AS BIGINT) AS n_queries,
+      |  true AS all_answered, true AS recall_ok""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ivf = ivfTopK(s, d, trainedCentroids(s, d), nprobe = 4)
+    val truth = s01KnnBrute.build(s, d)
+    val nq = Tables.embeddings(s, d).filter($"vec_id" % 50 === 0)
+      .agg(count(lit(1)).as("n_queries"))
+    val hits = ivf.join(truth, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val answered = ivf.groupBy($"q_id")
+      .agg(count(lit(1)).as("n")).agg(
+        count(lit(1)).as("n_answered"), min($"n").as("min_k"))
+    nq.crossJoin(broadcast(hits)).crossJoin(broadcast(answered))
+      .select($"n_queries",
+        ($"n_answered" === $"n_queries" && $"min_k" === 5L)
+          .as("all_answered"),
+        ($"n_hits" >= $"n_queries" * 5.0 * 0.55).as("recall_ok"))
   }
 
   val s06Kmeans: Q = Q(
@@ -688,5 +764,6 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
+    s04bKnnIvfTrained,
     s05Quantize, s06Kmeans, s07KnnPq)
 }

@@ -23,11 +23,42 @@ import org.scalatest.funsuite.AnyFunSuite
   *    regime where sketch bits actually flip).
   *
   * Measured recall numbers are recorded in BASELINE.md §round-5. */
-class ScaleStressSpec extends AnyFunSuite {
+class ScaleStressSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession._
 
   private val Copies = 10
   private val Dim = 64
+
+  /** Each measured (metric, value, floor) row, dumped to SCALE_r07.json
+    * after the suite so the recall evidence is a driver-readable
+    * artifact (round-6 verdict ask #5), not just test-log `info` lines.
+    * Referenced from BASELINE.md. */
+  private val metrics =
+    collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+
+  private def record(name: String, value: Double, floor: Double): Unit =
+    metrics.put(name, (value, floor))
+
+  override def afterAll(): Unit = {
+    if (metrics.nonEmpty) {
+      val rows = metrics.map { case (n, (v, f)) =>
+        f"""    "$n": {"value": $v%.4f, "floor": $f%.2f}"""
+      }.mkString(",\n")
+      val json =
+        s"""{
+           |  "suite": "ScaleStressSpec",
+           |  "fixture": "10x graded-near-duplicate inflation of sf0.01",
+           |  "metrics": {
+           |$rows
+           |  }
+           |}
+           |""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_r07.json"), json)
+    }
+    super.afterAll()
+  }
 
   /** md5-derived deterministic noise in [-0.05, 0.05] — the same
     * portable pseudo-random construction as s02's hyperplane family. */
@@ -38,11 +69,19 @@ class ScaleStressSpec extends AnyFunSuite {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0 * 0.05
   }
 
-  /** The 10×-inflated fixture dir, built once per JVM. */
+  /** The 10×-inflated fixture dir, built once per JVM — a FIXED path
+    * cleared on entry (the st*-twin rmrf pattern): the previous
+    * createTempDirectory leaked one full fixture copy per test JVM
+    * (round-6 verdict hygiene #4). */
   private lazy val dir: String = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_stress")
-      .toString
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stress_fixture"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+        .foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(base))
     val docs = sources.Tables.documents(spark, sf)
     (0 until Copies).map { c =>
       val t =
@@ -89,6 +128,7 @@ class ScaleStressSpec extends AnyFunSuite {
       s"LSH invented pairs: ${(lsh -- exact).take(5)}")
     val recall = lsh.size.toDouble / exact.size
     info(f"d03-vs-d04 recall at 10x: $recall%.4f (${lsh.size}/${exact.size})")
+    record("d03_minhash_lsh_recall", recall, 0.65)
     // 16 bands x 4 rows puts the S-curve midpoint AT the 0.5
     // threshold — pairs sitting exactly on it detect at ~50% by
     // design, so overall recall is distribution-dependent; 0.65 is
@@ -104,6 +144,7 @@ class ScaleStressSpec extends AnyFunSuite {
     val clearRecall = (lsh & clear).size.toDouble / clear.size
     info(f"d03 clear-pair (j>=0.7) recall at 10x: $clearRecall%.4f " +
       f"(${(lsh & clear).size}/${clear.size})")
+    record("d03_clear_pair_recall", clearRecall, 0.95)
     assert(clearRecall >= 0.95, f"clear-pair recall: $clearRecall%.4f")
   }
 
@@ -116,18 +157,24 @@ class ScaleStressSpec extends AnyFunSuite {
     val rIvf = (ivf & truth).size.toDouble / truth.size
     info(f"s02-vs-s01 top-5 recall at 10x: $rLsh%.4f")
     info(f"s04-vs-s01 top-5 recall at 10x: $rIvf%.4f")
+    record("s02_lsh_ann_recall", rLsh, 0.75)
     assert(rLsh >= 0.75, f"LSH ANN recall collapsed: $rLsh%.4f")
-    // IVF with nprobe=2 of ~50 sampled (non-trained) centroids over
-    // near-random vectors is recall-limited by the DATA, not the
-    // scale — the scale claim is NON-DEGRADATION: 10x the corpus
-    // must not erode recall relative to the base fixture (where the
-    // same probe fraction applies), plus an absolute sanity floor
-    val truthBase = knnSet(SparkEntry.queries("s01_knn_brute")(spark, sf))
-    val ivfBase = knnSet(SparkEntry.queries("s04_knn_ivf")(spark, sf))
-    val rIvfBase = (ivfBase & truthBase).size.toDouble / truthBase.size
-    info(f"s04-vs-s01 top-5 recall at base scale: $rIvfBase%.4f")
-    assert(rIvf >= rIvfBase - 0.2,
-      f"IVF recall degraded with scale: $rIvf%.4f vs base $rIvfBase%.4f")
+    // s04's SAMPLED (untrained) centroids are the oracle-checkable
+    // twin, and their cell count grows with the corpus at fixed
+    // nprobe — recall erodes by construction (measured 0.386 at 10x
+    // in round 6). The PRODUCTION path is s04b: Lloyd-trained
+    // centroids fix the cell count at k, so the probed fraction —
+    // and recall — holds with scale. That is the asserted claim now
+    // (round-6 verdict ask #3: floor 0.55 at 10x); the untrained
+    // twin keeps only its collapse sanity floor.
+    val ivfTrained = knnSet(operators.Similarity.ivfTopK(spark, dir,
+      operators.Similarity.trainedCentroids(spark, dir), nprobe = 4))
+    val rTrained = (ivfTrained & truth).size.toDouble / truth.size
+    info(f"s04b trained-IVF top-5 recall at 10x: $rTrained%.4f")
+    record("s04b_trained_ivf_recall", rTrained, 0.55)
+    assert(rTrained >= 0.55,
+      f"trained IVF recall below the scale floor: $rTrained%.4f")
+    record("s04_untrained_ivf_recall", rIvf, 0.25)
     assert(rIvf >= 0.25, f"IVF ANN recall collapsed: $rIvf%.4f")
   }
 
@@ -155,6 +202,7 @@ class ScaleStressSpec extends AnyFunSuite {
     val recall = capped.size.toDouble / uncapped.size
     info(f"d07 capped-vs-uncapped recall at 10x (cap=100): $recall%.4f " +
       f"(${capped.size}/${uncapped.size})")
+    record("d07_capped_semantic_recall", recall, 0.05)
     // with ~625-vector clusters salted into ~7 cells, surviving
     // within-cell fraction is ~1/cells — the documented trade; what
     // must NOT happen is collapse to (near) zero or quadratic blowup
