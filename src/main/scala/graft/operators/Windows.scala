@@ -376,51 +376,43 @@ object Windows {
     * `sym`, `sym*` and `sym+` tokens (e.g.
     * `view.click*.view.click+.purchase`), subsuming [[matchPath]] (all
     * literals) and [[matchPathStar]] (one star). Grammar:
-    * `(sym | sym* | sym+)+` — the pattern may END in a quantified run
-    * (`view.click+`, or a standalone `late+`): the match then ends at
-    * the LAST row of the maximal trailing run (at the preceding
-    * literal itself when a trailing `*` run is empty). Elsewhere `s+`
-    * rewrites to `s.s*`, no two adjacent quantified runs, and each
-    * MID-pattern run's symbol differs from the literal it precedes —
-    * both restrictions are the determinism constraints of the
-    * reference resolver's forced-extent chain semantics (an inner run
-    * is terminated by its anchor literal, so `a*.a` and `a*.b*.c`
-    * have no deterministic extent), not implementation limits. A bare
-    * `s*` pattern is rejected: it matches the empty path at every row
-    * (use `s+` for one-or-more). (SURVEY.md §2.4.)
+    * `(sym | sym* | sym+)+` with `s+` rewritten to `s.s*`. Quantified
+    * runs may be ADJACENT (`a*.b*.c`, `a+.b*`) and the pattern may end
+    * in any number of trailing runs; see [[MatchPattern]] for the
+    * COMMITTED matching rules (literal-first, greedy forced extent, no
+    * backtracking — deterministic, at most one match per start row)
+    * and the vacuous shapes that are rejected as typo guards (bare
+    * all-quantified patterns; a run whose name-symbol its unit's
+    * literal or predecessor run starves). (SURVEY.md §2.4.)
     *
-    * Compilation: tokens group into units `(star?, literal)` plus an
-    * optional TRAILING run; units compile BACKWARD into per-row
+    * Compilation: tokens group into units `(star-chain, literal)` plus
+    * the TRAILING run chain; units compile BACKWARD into per-row
     * columns E_k = "a match of units k..K starts exactly at this row"
-    * carrying the match-end coordinates. The last unit's literal is
-    * row-local; every earlier literal hops to the next row's E_{k+1}
-    * via `lead()`; a star branch hops over its run with
-    * `first_value(ignoreNulls)` over the FOLLOWING frame — the run is
-    * all-star by construction (the first following non-star row is
-    * the probe target itself), so consecutiveness needs no extra
-    * check, and the star-run extent is forced, so each start row
-    * yields at most one match (the output is one row per matching
-    * start, like [[matchPath]]). A trailing run replaces the last
-    * literal's row-local end with the run's own end coordinates: mark
-    * run-END rows (a run row whose successor is not one — `lead()`
-    * over the same window), then one `first_value(ignoreNulls)` probe
-    * over the FOLLOWING frame finds, from the anchor, either the
-    * run's end row (emit its coordinates) or an immediate non-run row
-    * (zero-length run — the anchor itself is the end). A partition
-    * that ends inside the run needs no special case: `lead()` is null
-    * at the partition's last row, which marks it a run end; a NULL
-    * probe can therefore only mean no rows follow the anchor at all —
-    * again the zero-length case.
+    * carrying the match-end coordinates. Within a unit the star chain
+    * also folds backward — F_i = "the decision at this row with runs
+    * i..q and the literal remaining": the literal branch wins first
+    * (committed zero-length chain), else run i hops over its maximal
+    * extent with one `first_value(ignoreNulls)` probe over the
+    * FOLLOWING frame to the first non-run row's F_{i+1}, else the
+    * decision falls through to F_{i+1} at the same row (run i empty,
+    * try the next run). The probe stops at — never skips — a
+    * non-continuing row because it probes the F_{i+1} STRUCT, which is
+    * non-null at every non-run row even when its fields (the dead
+    * match) are null; no in-band sentinel value, so no collision with
+    * real data. The last unit's literal is row-local; earlier literals
+    * hop to the next row's E_{k+1} via `lead()`.
     *
-    * The inner-null-vs-skipped distinction in the first_value probe
-    * (a non-star row that does NOT continue the match must STOP the
-    * scan, not be skipped as a null) is kept by probing the anchor
-    * STRUCT, which is non-null at every non-star row even when its
-    * fields are null — one window expression per star layer, no
-    * in-band sentinel value, so no collision with real data. The SQL
-    * oracle texts use an equivalent sentinel-coalesced formulation
-    * (safe there: the fixture carries no -1 event ids), which doubles
-    * as an independent derivation of the same semantics.
+    * The trailing run chain compiles as backward columns G_i = "end
+    * coordinates of the maximal chain of runs i..m starting AT this
+    * row, where the previous row is the fallback end": run-END rows
+    * (a run row whose successor is not one — `lead()`) carry
+    * `lead(G_{i+1})` (the chain continues after the run) coalesced
+    * with their own coordinates (partition end inside the run), a
+    * non-run row falls through to G_{i+1} at the same row, and the
+    * base case is the previous row's coordinates (`lag()`) — so a
+    * chain that consumes nothing lands exactly on the final literal.
+    * The anchor at the last literal reads `lead(G_1)` coalesced with
+    * its own coordinates.
     *
     * Scale shape: every layer shares ONE window spec (partitionBy
     * user_id, orderBy ts, event_id), so the whole pattern — any
@@ -445,13 +437,13 @@ object Windows {
     * SKIP the row instead of stopping at it). If a run predicate and
     * its anchor literal's predicate OVERLAP — which the name-
     * distinctness rule rules out for name symbols but cannot be
-    * checked statically for predicates — the forced-extent semantics
-    * stay well-defined and greedy: a run consumes EVERY consecutive
-    * row satisfying the run predicate, so a row satisfying both can
-    * anchor only a ZERO-length run (a match starting at that row);
-    * it never terminates a nonempty run (MatchPathSpec pins this).
-    * Keep run and anchor predicates disjoint for reference-identical
-    * behavior. */
+    * checked statically for predicates — the committed semantics
+    * stay well-defined: at a decision row the LITERAL wins (a row
+    * satisfying both anchors a zero-length chain there), while a row
+    * consumed INSIDE a run never terminates it early even when it
+    * also satisfies the literal (the run's extent is forced;
+    * MatchPathSpec pins both). Keep run and anchor predicates
+    * disjoint for reference-identical behavior. */
   def matchPathQuant(events: org.apache.spark.sql.DataFrame,
       rawTokens: Seq[String],
       symbols: Map[String, org.apache.spark.sql.Column])
@@ -462,82 +454,93 @@ object Windows {
     val compiled = MatchPattern.compile(rawTokens)
     MatchPattern.requireSymbolsUsed(compiled, symbols.keySet, rawTokens)
     val units = compiled.units
-    val tail = compiled.tail
+    val tails = compiled.tails
+    type C = org.apache.spark.sql.Column
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val wFol = w.rowsBetween(1, Window.unboundedFollowing)
+    val wFol1 = w.rowsBetween(1, Window.unboundedFollowing)
+    val wFol0 = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // symbol -> row predicate; default is event_type equality. BOTH
     // paths null-coalesce: a null predicate result (null event_type,
     // or a definition over a nullable column) must count as false, or
-    // the star-run probe's IGNORE NULLS would SKIP the row instead of
+    // the run probes' IGNORE NULLS would SKIP the row instead of
     // stopping at it
-    def predOf(name: String): org.apache.spark.sql.Column =
+    def predOf(name: String): C =
       coalesce(symbols.getOrElse(name, col("event_type") === name),
         lit(false))
+    def ownCoords: C =
+      struct(col("event_id").as("ee"), col("ts").as("ts"))
     var df = events
-    // trailing-run end coordinates, evaluated AT the last literal row:
-    // run-end rows are marked via lead() (null lead = partition end =
-    // run end), then ONE windowed first() from the anchor picks either
-    // the run's end row (hit) or an immediate non-run row (zero-length
-    // run — the anchor itself ends the match)
-    val tailEnd: Option[(org.apache.spark.sql.Column,
-        org.apache.spark.sql.Column)] = tail.map { tSym =>
-      val tp = predOf(tSym)
-      df = df.withColumn("__mp_tail_p", tp)
-      df = df.withColumn("__mp_tail_re", col("__mp_tail_p") &&
-        !coalesce(lead(col("__mp_tail_p"), 1).over(w), lit(false)))
-      df = df.withColumn("__mp_tail_f",
-        first(when(!col("__mp_tail_p") || col("__mp_tail_re"),
-          struct(col("__mp_tail_re").as("hit"),
-            col("event_id").as("ee"), col("ts").as("ts"))),
-          ignoreNulls = true).over(wFol))
-      val f = col("__mp_tail_f")
-      val hit = f.isNotNull && f.getField("hit")
-      (when(hit, f.getField("ee")).otherwise(col("event_id")),
-        when(hit, f.getField("ts")).otherwise(col("ts")))
+    // ---- trailing run chain: G_i = end coords of the maximal chain
+    // of runs i..m starting AT this row, fallback end = previous row
+    // (see the scaladoc). G_{m+1} = lag coords; the anchor at the last
+    // literal reads lead(G_1) coalesced with its own coordinates.
+    val tailEnd: Option[(C, C)] = if (tails.isEmpty) None else Some {
+      df = df.withColumn("__mp_prev",
+        struct(lag(col("event_id"), 1).over(w).as("ee"),
+          lag(col("ts"), 1).over(w).as("ts")))
+      var g: C = col("__mp_prev")
+      for ((tSym, i) <- tails.zipWithIndex.reverse) {
+        val tp = predOf(tSym)
+        df = df.withColumn(s"__mp_tp_$i", tp)
+        // run-END rows: a run row whose successor is not one (null
+        // lead = partition end = run end)
+        df = df.withColumn(s"__mp_tre_$i", col(s"__mp_tp_$i") &&
+          !coalesce(lead(col(s"__mp_tp_$i"), 1).over(w), lit(false)))
+        df = df.withColumn(s"__mp_tg1_$i", g)
+        df = df.withColumn(s"__mp_th_$i", when(col(s"__mp_tre_$i"),
+          coalesce(lead(col(s"__mp_tg1_$i"), 1).over(w), ownCoords)))
+        df = df.withColumn(s"__mp_tg_$i",
+          when(col(s"__mp_tp_$i"),
+            first(col(s"__mp_th_$i"), ignoreNulls = true).over(wFol0))
+            .otherwise(col(s"__mp_tg1_$i")))
+        g = col(s"__mp_tg_$i")
+      }
+      df = df.withColumn("__mp_tailend",
+        coalesce(lead(g, 1).over(w), ownCoords))
+      (col("__mp_tailend").getField("ee"),
+        col("__mp_tailend").getField("ts"))
     }
     var ee = ""; var ets = "" // E_{k+1} column names while folding back
     for (k <- units.indices.reverse) {
       val u = units(k)
       val lp = predOf(u.sym)
-      // A_k: the unit's literal at this row, match continuing after it
-      // (for the LAST unit: the row itself ends the match, or the
-      // trailing run's end coordinates when the pattern ends in a run)
-      val (aEe, aTs) =
+      // the literal's continuation: for the LAST unit the row itself
+      // (or the trailing chain's end coordinates); earlier literals
+      // hop to the next row's E_{k+1}
+      val (contEe, contTs) =
         if (k == units.size - 1) tailEnd match {
-          case None =>
-            (when(lp, col("event_id")),
-              when(lp, col("ts")))
-          case Some((te, tt)) =>
-            (when(lp, te), when(lp, tt))
+          case None => (col("event_id"), col("ts"))
+          case Some((te, tt)) => (te, tt)
         }
-        else
-          (when(lp, lead(col(ee), 1).over(w)),
-            when(lp, lead(col(ets), 1).over(w)))
-      val (eEe, eTs) = u.star match {
-        case None => (aEe, aTs)
-        case Some(s) =>
-          val sp = predOf(s)
-          df = df.withColumn(s"__mp_a_$k",
-            struct(aEe.as("ee"), aTs.as("ts")))
-          // probe the first following non-star row with ONE windowed
-          // first() over the anchor STRUCT: a struct literal is
-          // non-null at every non-star row even when its fields are
-          // null, so a failing probe row stops the scan (its struct
-          // is picked, its null fields kill the match) instead of
-          // being skipped — and no in-band sentinel value can collide
-          // with real data (an event_id of -1 is legal input; an
-          // earlier formulation coalesced to -1L and silently killed
-          // such matches). One window expression per star layer.
-          df = df.withColumn(s"__mp_f_$k",
-            first(when(!sp, col(s"__mp_a_$k")), ignoreNulls = true)
-              .over(wFol))
-          val a = col(s"__mp_a_$k"); val f = col(s"__mp_f_$k")
-          (when(lp, a.getField("ee")).when(sp, f.getField("ee")),
-            when(lp, a.getField("ts")).when(sp, f.getField("ts")))
+        else (lead(col(ee), 1).over(w), lead(col(ets), 1).over(w))
+      // F_i backward over the unit's star chain: literal-first commit,
+      // else run i probes over its maximal extent, else fall through
+      // to F_{i+1} at the same row (run i empty). The probe reads the
+      // F_{i+1} STRUCT: non-null at every non-run row even when its
+      // fields are null, so a failing probe row stops the scan (its
+      // null fields kill the match) instead of being skipped — and no
+      // in-band sentinel value can collide with real data (an
+      // event_id of -1 is legal input; an earlier formulation
+      // coalesced to -1L and silently killed such matches).
+      var fEe: C = when(lp, contEe)
+      var fTs: C = when(lp, contTs)
+      for ((sSym, si) <- u.stars.zipWithIndex.reverse) {
+        val sp = predOf(sSym)
+        df = df.withColumn(s"__mp_f_${k}_$si",
+          struct(fEe.as("ee"), fTs.as("ts")))
+        df = df.withColumn(s"__mp_fp_${k}_$si",
+          first(when(!sp, col(s"__mp_f_${k}_$si")), ignoreNulls = true)
+            .over(wFol1))
+        val fNext = col(s"__mp_f_${k}_$si")
+        val probe = col(s"__mp_fp_${k}_$si")
+        fEe = when(lp, contEe).when(sp, probe.getField("ee"))
+          .otherwise(fNext.getField("ee"))
+        fTs = when(lp, contTs).when(sp, probe.getField("ts"))
+          .otherwise(fNext.getField("ts"))
       }
       ee = s"__mp_e_ee_$k"; ets = s"__mp_e_ts_$k"
-      df = df.withColumn(ee, eEe).withColumn(ets, eTs)
+      df = df.withColumn(ee, fEe).withColumn(ets, fTs)
     }
     df.filter(col(ee).isNotNull)
       .select(col("user_id"), col("event_id").as("start_event"),
@@ -726,6 +729,50 @@ object Windows {
     matchPathQuant(Tables.events(s, d), Seq("view", "click+"))
   }
 
+  /** q80g: ADJACENT quantified runs `view.click*.error*.purchase` —
+    * the committed chain semantics (previously rejected; closed this
+    * round). The oracle derives the same semantics BACKWARD and
+    * independently of the engine's forward probe layers: a purchase
+    * row ends a match iff its nearest preceding non-run row is a view
+    * (q80b's last_value carry) and the run span between them contains
+    * no committed-order BREAKER — an error directly followed by a
+    * click, the one boundary the chain click*.error* cannot produce —
+    * counted by a running sum compared against the carried sum at the
+    * span's start. Two formulations, one row set. */
+  val q80gMatchPathChain: Q = Q(
+    "q80g_matchpath_chain",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT *, CASE WHEN event_type = 'click'
+      |          AND lag(event_type) OVER w0 = 'error'
+      |        THEN 1 ELSE 0 END AS br
+      |      FROM e
+      |      WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (SELECT *, sum(br) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM m),
+      |r AS (SELECT *,
+      |    last_value(CASE WHEN event_type NOT IN ('click', 'error')
+      |                    THEN event_type END IGNORE NULLS) OVER w
+      |      AS p_sym,
+      |    last_value(CASE WHEN event_type NOT IN ('click', 'error')
+      |                    THEN event_id END IGNORE NULLS) OVER w
+      |      AS p_event,
+      |    last_value(CASE WHEN event_type NOT IN ('click', 'error')
+      |                    THEN ts END IGNORE NULLS) OVER w AS p_ts,
+      |    last_value(CASE WHEN event_type NOT IN ('click', 'error')
+      |                    THEN cum END IGNORE NULLS) OVER w AS p_cum
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, p_event AS start_event, p_ts AS start_ts,
+      |  event_id AS end_event, ts AS end_ts
+      |FROM r WHERE event_type = 'purchase' AND p_sym = 'view'
+      |  AND cum = p_cum""".stripMargin) { (s, d) =>
+    matchPathQuant(Tables.events(s, d),
+      Seq("view", "click*", "error*", "purchase"))
+  }
+
   /** q80b: view→click*→purchase through [[matchPathStar]]. */
   val q80bMatchPathStar: Q = Q(
     "q80b_matchpath_star",
@@ -778,7 +825,7 @@ object Windows {
     q62IntervalFrame, q76Sessionize, q77IgnoreNulls,
     q79CumulativeCrossover, q80MatchPath, q80bMatchPathStar,
     q80cMatchPathQuant, q80dMatchPathPlus, q80eMatchPathSymbols,
-    q80fMatchPathTrailing)
+    q80fMatchPathTrailing, q80gMatchPathChain)
 
   /** q17a: the SCALE PATH for q17's global ntile — quartile assignment
     * without any global window. Boundaries come from one bounded-memory

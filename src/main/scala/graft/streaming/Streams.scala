@@ -470,12 +470,14 @@ object Streams {
 
   /** STREAMING QUANTIFIED row-pattern matching (st13) — the streaming
     * twin of [[graft.operators.Windows.matchPathQuant]]: arbitrary
-    * `sym`/`sym*`/`sym+` token chains, including TRAILING runs
-    * (`view.click+`), matched greedily over each user's events in
-    * final event-time order on an out-of-order stream. The token
-    * grammar is [[graft.operators.MatchPattern]] — the SAME parser the
-    * batch compiler uses, so batch and stream accept identical
-    * patterns with identical rejections (the round-6 verdict's last
+    * `sym`/`sym*`/`sym+` token chains, including ADJACENT runs
+    * (`a*.b*.c`) and TRAILING run chains (`view.click+`, `a.b*.c*`),
+    * matched with the committed literal-first forced-extent rules over
+    * each user's events in final event-time order on an out-of-order
+    * stream. The token grammar and matching rules are
+    * [[graft.operators.MatchPattern]] — the SAME parser the batch
+    * compiler uses, so batch and stream accept identical patterns
+    * with identical rejections (the round-6 verdict's last
     * batch/stream semantics divergence).
     *
     * Buffering and finalization follow [[FunnelProcessor]]: events
@@ -523,14 +525,14 @@ object Streams {
       compiled, symbols.keySet, rawTokens)
     private def predOf(name: String): PendingEvent => Boolean =
       symbols.getOrElse(name, (e: PendingEvent) => e.event_type == name)
-    // (run predicate?, literal predicate) per unit, then the trailing
-    // run's predicate — resolved once, shipped serialized to every
-    // state partition
+    // (run-chain predicates, literal predicate) per unit, then the
+    // trailing run chain's predicates — resolved once, shipped
+    // serialized to every state partition
     private val unitPreds: IndexedSeq[
-        (Option[PendingEvent => Boolean], PendingEvent => Boolean)] =
-      compiled.units.map(u => (u.star.map(predOf), predOf(u.sym)))
-    private val tailPred: Option[PendingEvent => Boolean] =
-      compiled.tail.map(predOf)
+        (List[PendingEvent => Boolean], PendingEvent => Boolean)] =
+      compiled.units.map(u => (u.stars.map(predOf), predOf(u.sym)))
+    private val tailPreds: List[PendingEvent => Boolean] =
+      compiled.tails.map(predOf)
     @transient private var buf: ListState[PendingEvent] = _
     @transient private var emitted: ListState[FunnelEmitted] = _
 
@@ -559,43 +561,50 @@ object Streams {
 
     import Streams.{ScanFail, ScanOpen, ScanHit, ScanOutcome}
 
-    /** Greedy forced-extent scan of one match attempt starting at
-      * `start`, over finalized rows `all(0 until nFinal)` only —
-      * exactly the batch compiler's semantics: each star run consumes
-      * EVERY consecutive row satisfying its predicate, the terminator
-      * must satisfy the following literal, and a trailing run's end is
-      * the last row of its maximal extent (the literal itself when
-      * empty). Any scan needing a row at or past the boundary is OPEN
-      * — unfinalized rows cannot participate (their order is not yet
-      * final). */
+    /** COMMITTED scan of one match attempt starting at `start`, over
+      * finalized rows `all(0 until nFinal)` only — exactly the batch
+      * compiler's semantics (MatchPattern's committed rules): at each
+      * decision row the unit's LITERAL wins if it matches (zero-length
+      * run chain), else the first applicable remaining run consumes
+      * every consecutive row satisfying its predicate and the decision
+      * repeats at the terminator with the runs after it; trailing runs
+      * consume greedily in order and the match ends at the last
+      * consumed row (the final literal when all are empty). Any scan
+      * needing a row at or past the boundary is OPEN — unfinalized
+      * rows cannot participate (their order is not yet final), and a
+      * trailing chain touching the boundary has no final extent yet. */
     private def scan(all: IndexedSeq[PendingEvent], start: Int,
         nFinal: Int): ScanOutcome = {
       var j = start
       var k = 0
       while (k < unitPreds.length) {
-        val (runPred, litPred) = unitPreds(k)
-        runPred match {
-          case Some(rp) =>
+        val (stars, litPred) = unitPreds(k)
+        var rem = stars
+        var matched = false
+        while (!matched) {
+          if (j >= nFinal) return ScanOpen
+          if (litPred(all(j))) { j += 1; matched = true }
+          else {
+            val i = rem.indexWhere(p => p(all(j)))
+            if (i < 0) return ScanFail
+            val rp = rem(i)
+            rem = rem.drop(i + 1)
             while (j < nFinal && rp(all(j))) j += 1
-            if (j >= nFinal) return ScanOpen // run may still extend
-          case None =>
+            // loop re-decides at the terminator: literal first, then
+            // the runs after i (committed — no backtracking)
+          }
         }
-        if (j >= nFinal) return ScanOpen // literal's row not finalized yet
-        if (!litPred(all(j))) return ScanFail
-        j += 1
         k += 1
       }
-      tailPred match {
-        case None => ScanHit(j - 1)
-        case Some(tp) =>
-          // maximal trailing extent; when it is EMPTY the literal
-          // itself ends the match (j-1 == lit) — the batch probe's
-          // hit=false branch. A run reaching the boundary is Open:
-          // a future row could still extend the maximal extent.
-          while (j < nFinal && tp(all(j))) j += 1
-          if (j >= nFinal) ScanOpen
-          else ScanHit(j - 1)
+      var t = tailPreds
+      while (t.nonEmpty) {
+        val tp = t.head; t = t.tail
+        while (j < nFinal && tp(all(j))) j += 1
+        // at the boundary even an empty run may still grow (this run
+        // or a later one could consume the next finalized row)
+        if (j >= nFinal) return ScanOpen
       }
+      ScanHit(j - 1)
     }
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,

@@ -26,10 +26,14 @@ class MatchPathSpec extends AnyFunSuite {
   }
 
   /** Brute-force reference: one (start, end) per index where the
-    * expanded pattern matches with forced quantified-run extent.
-    * Events must already be in (ts, event_id) order per user.
-    * `predOf` resolves a symbol name to its row predicate (default:
-    * symbol equality), mirroring matchPathQuant's symbol map. */
+    * expanded pattern matches under the COMMITTED rules (literal-first
+    * at every decision row, first applicable run consumes its maximal
+    * extent, no backtracking — MatchPattern's scaladoc). Events must
+    * already be in (ts, event_id) order per user. `predOf` resolves a
+    * symbol name to its row predicate (default: symbol equality),
+    * mirroring matchPathQuant's symbol map. This walk shares nothing
+    * with either engine implementation — not even the parser: tokens
+    * are grouped here from scratch. */
   private def reference(seq: IndexedSeq[Ev], tokens: Seq[String],
       predOf: (String, Ev) => Boolean = (n, e) => e.sym == n)
       : Seq[(Long, Long)] = {
@@ -37,21 +41,19 @@ class MatchPathSpec extends AnyFunSuite {
       if (t.endsWith("+")) Seq(t.dropRight(1), t.dropRight(1) + "*")
       else Seq(t)
     }
-    // a trailing run has no anchor literal: the match ends at the
-    // run's last consumed row (the previous literal if it is empty)
-    val (body, tail) =
-      if (expanded.last.endsWith("*"))
-        (expanded.init, Some(expanded.last.dropRight(1)))
-      else (expanded, None)
-    // group into (starRun, literal) units exactly like the compiler
+    // the maximal star suffix is the trailing chain (no anchor
+    // literal: the match ends at the chain's last consumed row, the
+    // previous literal if every run is empty)
+    val nTail = expanded.reverse.takeWhile(_.endsWith("*")).size
+    val (body, tailTok) = expanded.splitAt(expanded.size - nTail)
+    val tails = tailTok.map(_.dropRight(1))
+    // group into (star-chain, literal) units
     val units = {
-      val b = Seq.newBuilder[(Option[String], String)]
-      var i = 0
-      while (i < body.size) {
-        if (body(i).endsWith("*")) {
-          b += ((Some(body(i).dropRight(1)), body(i + 1)))
-          i += 2
-        } else { b += ((None, body(i))); i += 1 }
+      val b = Seq.newBuilder[(List[String], String)]
+      var stars = List.empty[String]
+      for (t <- body) {
+        if (t.endsWith("*")) stars = stars :+ t.dropRight(1)
+        else { b += ((stars, t)); stars = Nil }
       }
       b.result()
     }
@@ -59,27 +61,27 @@ class MatchPathSpec extends AnyFunSuite {
       var p = start
       var ok = true
       var endId = -1L
-      units.foreach { case (star, lit) =>
+      units.foreach { case (stars, lit) =>
         if (ok) {
-          // literal priority at the unit's start row (matches the
-          // compiler's when(lp, ...).when(sp, ...) ordering, which
-          // matters only when run and anchor predicates overlap);
-          // otherwise consume the whole run, then require the anchor
-          if (p < seq.size && predOf(lit, seq(p))) {
-            endId = seq(p).id; p += 1
-          } else {
-            star.foreach { s =>
-              while (p < seq.size && predOf(s, seq(p))) p += 1
+          var rem = stars
+          var matched = false
+          while (ok && !matched) {
+            if (p < seq.size && predOf(lit, seq(p))) {
+              endId = seq(p).id; p += 1; matched = true
+            } else {
+              val i = rem.indexWhere(s => p < seq.size && predOf(s, seq(p)))
+              if (i < 0) ok = false
+              else {
+                val s = rem(i); rem = rem.drop(i + 1)
+                while (p < seq.size && predOf(s, seq(p))) p += 1
+              }
             }
-            if (star.nonEmpty && p < seq.size && predOf(lit, seq(p))) {
-              endId = seq(p).id; p += 1
-            } else ok = false
           }
         }
       }
-      // trailing run: greedily consume; every consumed row advances
-      // the end (an empty run keeps the last literal's end)
-      if (ok) tail.foreach { s =>
+      // trailing chain: greedily consume in order; every consumed row
+      // advances the end (an all-empty chain keeps the literal's end)
+      if (ok) tails.foreach { s =>
         while (p < seq.size && predOf(s, seq(p))) { endId = seq(p).id; p += 1 }
       }
       if (ok) Some((seq(start).id, endId)) else None
@@ -91,24 +93,31 @@ class MatchPathSpec extends AnyFunSuite {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val syms = Seq("a", "b", "c")
     // generate patterns in unit form, valid BY CONSTRUCTION: each
-    // element is a bare literal, a star run + its literal anchor, or a
-    // plus run + its anchor (run symbol != anchor per the grammar);
-    // elements always end in a literal so no two quantified tokens can
-    // become adjacent after the s+ expansion
+    // element is a bare literal, one or two runs + their literal
+    // anchor (all symbols distinct per the vacuity rules); elements
+    // always end in a literal so the optional trailing chain appends
+    // cleanly
     val genElem: Gen[Seq[String]] = for {
       s <- Gen.oneOf(syms)
       l <- Gen.oneOf(syms.filterNot(_ == s))
+      s2 = syms.filterNot(x => x == s || x == l).head
       e <- Gen.frequency(
         3 -> Gen.const(Seq(s)),
         2 -> Gen.const(Seq(s + "*", l)),
-        2 -> Gen.const(Seq(s + "+", l)))
+        2 -> Gen.const(Seq(s + "+", l)),
+        2 -> Gen.const(Seq(s + "*", s2 + "*", l)),
+        1 -> Gen.const(Seq(s + "+", s2 + "*", l)))
     } yield e
-    // every element ends in a literal, so an optional TRAILING run can
-    // always be appended without creating adjacent quantified tokens
+    // every element ends in a literal, so a TRAILING chain (one or two
+    // runs) can always be appended
     val genTail: Gen[Seq[String]] = Gen.frequency(
-      2 -> Gen.const(Seq.empty[String]),
+      3 -> Gen.const(Seq.empty[String]),
       1 -> Gen.oneOf(syms).flatMap(s =>
-        Gen.oneOf(Seq(s + "*"), Seq(s + "+"))))
+        Gen.oneOf(Seq(s + "*"), Seq(s + "+"))),
+      1 -> (for {
+        s <- Gen.oneOf(syms)
+        t <- Gen.oneOf(syms.filterNot(_ == s))
+      } yield Seq(s + "+", t + "*")))
     val genPattern = for {
       n <- Gen.choose(1, 3)
       es <- Gen.listOfN(n, genElem)
@@ -160,15 +169,21 @@ class MatchPathSpec extends AnyFunSuite {
     val genElem: Gen[Seq[String]] = for {
       s <- Gen.oneOf(syms)
       l <- Gen.oneOf(syms.filterNot(_ == s))
+      s2 = syms.filterNot(x => x == s || x == l).head
       e <- Gen.frequency(
         3 -> Gen.const(Seq(s)),
         2 -> Gen.const(Seq(s + "*", l)),
-        1 -> Gen.const(Seq(s + "+", l)))
+        1 -> Gen.const(Seq(s + "+", l)),
+        1 -> Gen.const(Seq(s + "*", s2 + "*", l)))
     } yield e
     val genTail: Gen[Seq[String]] = Gen.frequency(
       2 -> Gen.const(Seq.empty[String]),
       1 -> Gen.oneOf(syms).flatMap(s =>
-        Gen.oneOf(Seq(s + "*"), Seq(s + "+"))))
+        Gen.oneOf(Seq(s + "*"), Seq(s + "+"))),
+      1 -> (for {
+        s <- Gen.oneOf(syms)
+        t <- Gen.oneOf(syms.filterNot(_ == s))
+      } yield Seq(s + "+", t + "*")))
     val genPattern = for {
       n <- Gen.choose(1, 3)
       es <- Gen.listOfN(n, genElem)
@@ -306,25 +321,59 @@ class MatchPathSpec extends AnyFunSuite {
     assert(run(Seq("purchase+")) == Set((4L, 4L)))
   }
 
-  test("ambiguous quantifier shapes are rejected loudly") {
+  test("vacuous quantifier shapes are rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, 1L, new java.sql.Timestamp(1000), "a"))
       .toDF("user_id", "event_id", "ts", "event_type")
-    // bare zero-or-more: matches the empty path at every row
-    val bare = intercept[IllegalArgumentException] {
-      operators.Windows.matchPathQuant(df, Seq("a*"))
-    }
-    assert(bare.getMessage.contains("bare zero-or-more"))
-    // adjacent runs — both mid-pattern and at the tail boundary
-    // (note a*.b+ is NOT adjacent: it expands to a*.b.b*, the b
-    // literal anchoring both runs)
-    for (bad <- Seq(Seq("a*", "b*", "c"), Seq("a*", "b*"))) {
+    // bare all-quantified patterns: they match the empty path at
+    // every row (adjacent or not)
+    for (bad <- Seq(Seq("a*"), Seq("a*", "b*"))) {
       val ex = intercept[IllegalArgumentException] {
         operators.Windows.matchPathQuant(df, bad)
       }
-      assert(ex.getMessage.contains("adjacent star quantifiers"),
+      assert(ex.getMessage.contains("bare zero-or-more"),
         s"${bad.mkString(".")}: ${ex.getMessage}")
     }
+    // a run the literal-first commitment or its predecessor run
+    // STARVES can never consume a row — a typo, rejected with the
+    // caller's own pattern text
+    for (bad <- Seq(Seq("a*", "a"), Seq("a+", "a"), Seq("a*", "a*", "b"),
+        Seq("b", "a+", "a*"), Seq("a*", "b*", "a"))) {
+      val ex = intercept[IllegalArgumentException] {
+        operators.Windows.matchPathQuant(df, bad)
+      }
+      assert(ex.getMessage.contains("star symbol must differ") &&
+        ex.getMessage.contains(bad.mkString(".")),
+        s"${bad.mkString(".")}: ${ex.getMessage}")
+    }
+  }
+
+  test("ADJACENT quantified runs: committed forced-extent chains") {
+    import spark.implicits._
+    // a a b b c — the advisor's shapes, previously rejected
+    val df = Seq("a", "a", "b", "b", "c").zipWithIndex.map {
+      case (s, i) =>
+        (1L, i.toLong, new java.sql.Timestamp(1000L * (i + 1)), s)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    def run(pat: Seq[String]) =
+      operators.Windows.matchPathQuant(df, pat)
+        .select("start_event", "end_event")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a*.b*.c: both runs consume greedily, every row can start (the
+    // c row itself starts a zero-length chain)
+    assert(run(Seq("a*", "b*", "c")) ==
+      Set((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L)))
+    // a+.b*: trailing chain — one mandatory a, then maximal a-run,
+    // then maximal b-run; the match ends at the LAST b (never reaches
+    // the c, which breaks the chain)
+    assert(run(Seq("a+", "b*")) == Set((0L, 3L), (1L, 3L)))
+    // c*.a+.b*: a leading run that is EMPTY at the match start still
+    // lets the chain match (committed fall-through to the next run)
+    assert(run(Seq("c*", "a+", "b*")) == Set((0L, 3L), (1L, 3L)))
+    // skipped runs stay skipped (no backtracking): b*.a*.c on a-rows
+    // consumes the a-run FIRST (b empty), then needs c at the first
+    // b — fails; only the c row itself matches
+    assert(run(Seq("b*", "a*", "c")) == Set((2L, 4L), (3L, 4L), (4L, 4L)))
   }
 
   test("a NULL event_type row stops a star run (not skipped)") {

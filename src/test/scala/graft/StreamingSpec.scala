@@ -793,6 +793,37 @@ class StreamingSpec extends AnyFunSuite {
       s"quant funnel diverges: extra=${got -- want}, missing=${want -- got}")
   }
 
+  test("streaming ADJACENT-run funnel equals batch matchPathQuant") {
+    // committed chain semantics (literal-first, first applicable run,
+    // no backtracking) must agree between the windowed batch compiler
+    // and the imperative streaming scan — including the chain's
+    // fall-through and starvation edges the simple funnels never hit
+    val pat = Seq("view", "click*", "error*", "purchase")
+    val got = runQuantFunnel(pat, "qfunnel_adj_out")
+    val want = batchQuant(pat)
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"adjacent-run funnel diverges: extra=${got -- want}, " +
+        s"missing=${want -- got}")
+  }
+
+  test("streaming TRAILING-chain funnel equals batch matchPathQuant") {
+    // a trailing CHAIN (click+ then error*) — both runs' extents are
+    // boundary-sensitive; per-user end-of-stream markers terminate
+    // them exactly like the batch twin's partition end
+    val pat = Seq("view", "click+", "error*")
+    val maxTs = batchEvents.map(_.ts.getTime).max
+    val eos = batchEvents.map(_.user_id).distinct.map(uid =>
+      Ev(-100L - uid, new Timestamp(maxTs + 3600 * 1000), uid, "__eos",
+        0.0, "{}"))
+    val got = runQuantFunnel(pat, "qfunnel_chain_out", eos)
+    val want = batchQuant(pat)
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"trailing-chain funnel diverges: extra=${got -- want}, " +
+        s"missing=${want -- got}")
+  }
+
   test("streaming TRAILING-run funnel equals batch matchPathQuant (q80f)") {
     // a trailing run's maximal extent is not final while it touches the
     // watermark boundary — on an unbounded stream such a match emits
