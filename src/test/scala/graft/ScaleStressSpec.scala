@@ -40,9 +40,24 @@ class ScaleStressSpec extends AnyFunSuite
   private def record(name: String, value: Double, floor: Double): Unit =
     metrics.put(name, (value, floor))
 
+  /** Rows already present in the artifact on disk, so a partial run
+    * (e.g. `testOnly -- -z q17a`) updates its own metrics without
+    * clobbering the rest of the table. */
+  private def existingRows(): Seq[(String, (Double, Double))] = {
+    val p = java.nio.file.Paths.get("SCALE_r07.json")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val Row =
+      """"([^"]+)":\s*\{"value":\s*([-0-9.eE]+),\s*"floor":\s*([-0-9.eE]+)\}""".r
+    Row.findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
+      m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)
+    }.toSeq
+  }
+
   override def afterAll(): Unit = {
     if (metrics.nonEmpty) {
-      val rows = metrics.map { case (n, (v, f)) =>
+      val merged = collection.mutable.LinkedHashMap(existingRows(): _*)
+      metrics.foreach { case (n, vf) => merged.put(n, vf) }
+      val rows = merged.map { case (n, (v, f)) =>
         f"""    "$n": {"value": $v%.4f, "floor": $f%.2f}"""
       }.mkString(",\n")
       val json =
@@ -176,6 +191,44 @@ class ScaleStressSpec extends AnyFunSuite
       f"trained IVF recall below the scale floor: $rTrained%.4f")
     record("s04_untrained_ivf_recall", rIvf, 0.25)
     assert(rIvf >= 0.25, f"IVF ANN recall collapsed: $rIvf%.4f")
+  }
+
+  test("q17a scale twin: quartiles with NO window, agreeing with exact ntile") {
+    import spark.implicits._
+    // q17's global ntile serializes the table through one reducer —
+    // the registry's single window-invariant exemption; q17a is its
+    // documented scale path. The scale claim, asserted structurally:
+    // the bucketed plan contains NO window operator at all (one
+    // approx_percentile aggregate + broadcast comparisons), at any
+    // data size. And the cheap plan must still be RIGHT: bucketed
+    // quartile assignment agrees with the exact global ntile on all
+    // but the sketch-boundary sliver of rows.
+    val dir01 = "/root/testdata/sf0.1" // largest local fixture
+    val d = if (new java.io.File(s"$dir01/customer.parquet").exists()) dir01
+      else sf
+    val q17a = SparkEntry.queries("q17a_quartile_bucketed")(spark, d)
+    assert(!q17a.queryExecution.executedPlan.toString.contains("Window"),
+      "q17a's scale path must not contain any window operator")
+    assert(q17a.collect().forall(_.getAs[Boolean]("size_ok")))
+    val cust = sources.Tables.customer(spark, d)
+    val bounds = cust.agg(percentile_approx($"c_acctbal",
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("b"))
+    val bucketed = cust.crossJoin(broadcast(bounds))
+      .select($"c_custkey",
+        (lit(1) + ($"c_acctbal" > element_at($"b", 1)).cast("int")
+          + ($"c_acctbal" > element_at($"b", 2)).cast("int")
+          + ($"c_acctbal" > element_at($"b", 3)).cast("int"))
+          .as("qb"))
+    val exact = cust.select($"c_custkey", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"c_acctbal",
+        $"c_custkey")).as("qe"))
+    val n = cust.count()
+    val agree = bucketed.join(exact, "c_custkey")
+      .filter($"qb" === $"qe").count()
+    val frac = agree.toDouble / n
+    info(f"q17a bucketed-vs-exact quartile agreement: $frac%.4f ($agree/$n)")
+    record("q17a_quartile_agreement", frac, 0.95)
+    assert(frac >= 0.95, f"bucketed quartiles diverge from exact: $frac%.4f")
   }
 
   test("10x corpus: d07 cluster-size cap binds and sacrifices bounded recall") {
