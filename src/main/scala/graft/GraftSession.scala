@@ -34,6 +34,15 @@ object GraftSession {
     .config("spark.sql.cbo.enabled", "true")
     .config("spark.sql.cbo.joinReorder.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // The fixture generator emits unadjusted (isAdjustedToUTC=false)
+    // timestamp[us] columns. Read them as session-tz TimestampType —
+    // identical wall-clock values in this UTC-pinned session and the
+    // same naive values the DuckDB oracle sees — instead of
+    // TIMESTAMP_NTZ, so comparisons/arithmetic keep one timestamp
+    // type engine-wide and scan-level filter pushdown stays intact
+    // (a post-read NTZ→LTZ cast would sit above the relation and
+    // block parquet predicate pushdown on every date filter).
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // graft's Catalyst extension rules (stats-answered aggregates, all
     // opt-in via their own flags) — see graft.plans.GraftExtensions.
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -11,18 +11,35 @@ object Verify {
     // (driver always calls with exactly two args — full sweep).
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // The engine's pinned config (GraftSession) matters here, not just in
+    // tests: inferTimestampNTZ=false keeps the fixtures' unadjusted
+    // timestamp[us] columns on TimestampType (streaming watermarks hard-
+    // reject NTZ event time), and UTC/AQE/extensions keep Verify's plans
+    // identical to the ones the specs pin.
+    val spark = GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
+    // Dump timestamps UNADJUSTED (timestamp_ntz): the fixtures' naive
+    // timestamp[us] columns make the DuckDB oracle emit tz-naive values,
+    // and the driver's dtype-sensitive pandas comparator crashes on a
+    // tz-aware-vs-naive mismatch. The session is UTC-pinned, so the cast
+    // is value-preserving — it only changes the parquet annotation.
+    def naiveTs(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.foldLeft(df) {
+        case (d, f) if f.dataType ==
+            org.apache.spark.sql.types.TimestampType =>
+          d.withColumn(f.name, org.apache.spark.sql.functions
+            .col(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
+        case (d, _) => d
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -27,16 +27,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which the
-    * Spark parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * long and floor-convert to microsecond TimestampType — the same
-    * truncation DuckDB applies casting timestamp_ns → timestamp, so the
-    * two engines agree (FIXTURES.md oracle notes). */
+  /** `events.parquet` has carried `ts` under two encodings across fixture
+    * generations: INT64 TIMESTAMP(NANOS) — which the Spark parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]), so it is read as long and
+    * floor-converted to microsecond TimestampType, the same truncation
+    * DuckDB applies casting timestamp_ns → timestamp — and plain
+    * unadjusted timestamp[us], which lands directly as TimestampType
+    * (GraftSession pins inferTimestampNTZ=false). Branch on the read
+    * schema so both generations load identically. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
