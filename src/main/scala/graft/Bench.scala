@@ -58,7 +58,8 @@ object Bench {
     "t05_fingerprint", "t09_boilerplate", "t10_salient_terms",
     "m02_batch_decode", "sc01_script_transform", "st05_stateful_totals",
     "w01_smb_join", "f06_parquet_codecs", "d09_line_dedup",
-    "c02_ingest_splits", "w04_merge_upsert")
+    "c02_ingest_splits", "w04_merge_upsert", "st13_quant_funnel",
+    "s04b_knn_ivf_trained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,18 +105,27 @@ object Bench {
     // A regression needs BOTH a >1.5x ratio AND a >0.5s absolute delta:
     // sub-second queries jitter past 1.5x from JVM/GC noise alone and
     // drown the list in false positives (r3 sweeps flagged 0.2s queries).
-    // Suspects are then RE-RUN once and flagged only if the better of
-    // the two times still exceeds the threshold — every r3 sweep
-    // flagged exactly one (different) query that re-measured clean in
-    // isolation (q35a hit 2.8x in-sweep, 1.02x isolated), so a
-    // single-run flag is noise, not signal.
+    // Suspects are then RE-RUN — up to twice, stopping once cleared —
+    // and flagged only if the BEST time still exceeds the threshold.
+    // One re-run was not enough: in-sweep fs-cache pressure inflates
+    // file-op-bound queries for consecutive runs (the r7 sweep read
+    // st09 at 2.19x on both in-sweep passes, then 1.23x warm-isolated),
+    // while a genuine code regression survives any number of re-runs.
     val suspects = results.collect {
       case (k, v) if v >= 0 && t0.contains(k) &&
         v / t0(k) > 1.5 && v - t0(k) > 0.5 => k
     }
+    def cleared(k: String, v: Double): Boolean =
+      v / t0(k) <= 1.5 || v - t0(k) <= 0.5
     val best = suspects.map { k =>
-      val v2 = run(k)
-      k -> (if (v2 >= 0) math.min(byName(k), v2) else byName(k))
+      var b = byName(k)
+      var tries = 0
+      while (tries < 2 && !cleared(k, b)) {
+        val v2 = run(k)
+        if (v2 >= 0) b = math.min(b, v2)
+        tries += 1
+      }
+      k -> b
     }.toMap
     val regressions = suspects.collect {
       case k if best(k) / t0(k) > 1.5 && best(k) - t0(k) > 0.5 =>
