@@ -301,7 +301,9 @@ object StreamingQueries {
       |FROM m
       |WHERE s0 = 'view' AND s1 = 'view' AND s2 = 'purchase'"""
       .stripMargin) { (s, d) =>
-    runCheckpointedFunnel(s, d, "st12") { src =>
+    runCheckpointedFunnel(s, d, "st12",
+      org.apache.spark.sql.Encoders
+        .product[graft.streaming.FunnelMatch].schema) { src =>
       graft.streaming.Streams.funnelMatchesTws(
         src, Seq("view", "view", "purchase"))
     }
@@ -380,25 +382,65 @@ object StreamingQueries {
       |SELECT user_id, event_id AS start_event, ts AS start_ts,
       |  e1_ee AS end_event, e1_ts AS end_ts
       |FROM e1 WHERE e1_ee IS NOT NULL""".stripMargin) { (s, d) =>
-    runCheckpointedFunnel(s, d, "st13") { src =>
+    runCheckpointedFunnel(s, d, "st13",
+      org.apache.spark.sql.Encoders
+        .product[graft.streaming.FunnelMatch].schema) { src =>
       graft.streaming.Streams.quantFunnelMatchesTws(
         src, Seq("view", "click*", "view", "click*", "purchase"))
     }
   }
 
-  /** The st12/st13 harness: replay the first 3 days of events through a
-    * checkpointed transformWithState query on the RocksDB state store —
-    * a file source delivers two time-ordered chunks plus watermark-flush
-    * sentinels (the watermark lags a batch, so a far-future sentinel
-    * rides the last chunk to advance it and one more sentinel batch
-    * gives the engine a batch in which the finalization timers actually
-    * fire), into an append-parquet foreachBatch sink. Everything stays
-    * distributed: chunking is two filtered writes, the sink appends per
-    * batch, no driver-side replay buffer. */
-  private def runCheckpointedFunnel(s: org.apache.spark.sql.SparkSession,
-      d: String, tag: String)(
+  /** st14: STREAMING AS-OF ENRICHMENT
+    * ([[graft.streaming.Streams.AsofProcessor]]) as a driver-facing
+    * CORRECTNESS row — each purchase event joined to the user's latest
+    * view event at-or-before it, matched by the real streaming engine
+    * through the same checkpointed RocksDB harness as st12/st13. The
+    * batch as-of operator (a01) is union + one shuffle-sort + carry;
+    * this is its watermark-finalized streaming twin, state
+    * O(unfinalized + 1) per user. Oracle: DuckDB's native ASOF JOIN
+    * (inclusive `>=`, same-instant right rows deduplicated to the max
+    * event_id — exactly the processor's (ts, side, event_id) fold
+    * order) over the replayed time slice. */
+  val st14AsofEnrich: Q = Q(
+    "st14_asof_enrich",
+    """WITH l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'),
+      |r AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    max(event_id) AS right_event
+      |  FROM events
+      |  WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-04'
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      |SELECT l.user_id, l.event_id, l.ts,
+      |  r.ts AS right_ts, r.right_event
+      |FROM l ASOF JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
+    (s, d) =>
+    runCheckpointedFunnel(s, d, "st14",
+      org.apache.spark.sql.Encoders
+        .product[graft.streaming.AsofMatch].schema) { src =>
+      graft.streaming.Streams.asofEnrichTws(src, "view", "purchase")
+    }
+  }
+
+  /** The st12/st13/st14 harness: replay the first 3 days of events
+    * through a checkpointed transformWithState query on the RocksDB
+    * state store — a file source delivers two time-ordered chunks plus
+    * watermark-flush sentinels (the watermark lags a batch, so a
+    * far-future sentinel rides the last chunk to advance it and one
+    * more sentinel batch gives the engine a batch in which the
+    * finalization timers actually fire), into an append-parquet
+    * foreachBatch sink. Everything stays distributed: chunking is two
+    * filtered writes, the sink appends per batch, no driver-side
+    * replay buffer. `outSchema` is the processor's output row schema
+    * (for the schema-explicit read-back of a possibly-empty sink). */
+  private def runCheckpointedFunnel[O](s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String,
+      outSchema: org.apache.spark.sql.types.StructType)(
       funnel: org.apache.spark.sql.Dataset[graft.streaming.Event] =>
-        org.apache.spark.sql.Dataset[graft.streaming.FunnelMatch])
+        org.apache.spark.sql.Dataset[O])
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
@@ -437,7 +479,7 @@ object StreamingQueries {
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[graft.streaming.FunnelMatch],
+          (b: org.apache.spark.sql.Dataset[O],
               batchId: Long) =>
             // no isEmpty pre-check: in foreachBatch every action
             // re-executes the stateful micro-batch plan, so a guard
@@ -488,11 +530,11 @@ object StreamingQueries {
         case None => s.conf.unset(clogKey)
       }
     }
-    graft.streaming.Streams.readMatchesSink(s, dest)
+    graft.streaming.Streams.readSink(s, dest, outSchema)
   }
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
-    st13QuantFunnel)
+    st13QuantFunnel, st14AsofEnrich)
 }

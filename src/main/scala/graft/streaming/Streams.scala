@@ -50,6 +50,13 @@ final case class UserSessionClosed(user_id: Long,
   * ledger entry (see the processor's scaladoc). */
 final case class FunnelEmitted(ts: java.sql.Timestamp, event_id: Long)
 
+/** One enriched left row from [[Streams.AsofProcessor]] — a left event
+  * joined to the latest right event at-or-before it (same shape as the
+  * batch as-of twin a01 projects from its carried struct). */
+final case class AsofMatch(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, right_ts: java.sql.Timestamp,
+    right_event: Long)
+
 /** Structured-Streaming operators over the events table (SURVEY.md §2.9:
   * the reference has NO stream engine — its streaming story is ACID
   * micro-batch ingest; the north star directs Structured Streaming).
@@ -646,32 +653,38 @@ object Streams {
     }
   }
 
-  /** The RETRY-IDEMPOTENT foreachBatch sink for funnel matches (st12/
-    * st13): each micro-batch lands in its OWN `__batch_id=` partition
-    * via dynamic partition overwrite, so a replayed batch (foreachBatch
-    * is at-least-once — a retry re-delivers the same batchId) replaces
-    * its earlier, possibly partial, delivery instead of appending a
-    * duplicate. Append mode — the plain `mode("append")` the sink used
-    * before — double-counts every match row the retried batch carries;
-    * StreamingSpec drives a simulated retry through this function and
-    * asserts the read-back is duplicate-free. */
-  def sinkMatchesIdempotent(b: Dataset[FunnelMatch], batchId: Long,
+  /** The RETRY-IDEMPOTENT foreachBatch sink for the checkpointed
+    * stream queries (st12/st13/st14): each micro-batch lands in its
+    * OWN `__batch_id=` partition via dynamic partition overwrite, so a
+    * replayed batch (foreachBatch is at-least-once — a retry
+    * re-delivers the same batchId) replaces its earlier, possibly
+    * partial, delivery instead of appending a duplicate. Append mode —
+    * the plain `mode("append")` the sink used before — double-counts
+    * every match row the retried batch carries; StreamingSpec drives a
+    * simulated retry through this function and asserts the read-back
+    * is duplicate-free. */
+  def sinkMatchesIdempotent(b: Dataset[_], batchId: Long,
       dest: String): Unit =
     b.withColumn("__batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(dest)
 
-  /** Read back a [[sinkMatchesIdempotent]] directory as plain
-    * [[FunnelMatch]] rows (schema-explicit so an all-empty sink still
-    * reads; the partition column is resolved then dropped). */
-  def readMatchesSink(s: org.apache.spark.sql.SparkSession,
-      dest: String): DataFrame =
-    s.read.schema(org.apache.spark.sql.Encoders
-        .product[FunnelMatch].schema
+  /** Read back a [[sinkMatchesIdempotent]] directory as plain rows of
+    * `rowSchema` (schema-explicit so an all-empty sink still reads;
+    * the partition column is resolved then dropped). */
+  def readSink(s: org.apache.spark.sql.SparkSession, dest: String,
+      rowSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(rowSchema
         .add("__batch_id", org.apache.spark.sql.types.LongType))
       .parquet(dest)
       .drop("__batch_id")
+
+  /** [[readSink]] fixed to [[FunnelMatch]] rows (st12/st13). */
+  def readMatchesSink(s: org.apache.spark.sql.SparkSession,
+      dest: String): DataFrame =
+    readSink(s, dest,
+      org.apache.spark.sql.Encoders.product[FunnelMatch].schema)
 
   /** Streaming quantified funnel matches through
     * [[QuantFunnelProcessor]]. */
@@ -683,6 +696,110 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .transformWithState(new QuantFunnelProcessor(pattern, symbols),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** STREAMING AS-OF ENRICHMENT (st14) — the streaming twin of
+    * [[graft.operators.AsofJoin.asofJoin]] (a01): each left-type event
+    * is joined to the latest right-type event with `right.ts <=
+    * left.ts` for the same user, on an out-of-order stream.
+    *
+    * The batch operator is one union + shuffle-sort + carry; the
+    * streaming form is the same carry evaluated per key in final
+    * event-time order, which out-of-order arrival makes watermark-
+    * bound: a left row can only be resolved once no earlier right row
+    * can still arrive. Events buffer in ListState; each input batch
+    * arms an event-time timer; a firing timer sorts the buffer and
+    * folds the FINALIZED prefix (ts < watermark) in (ts, side,
+    * event_id) order — right rows update the carried
+    * [[RecentEvent]] ValueState, left rows emit against the current
+    * carry. At equal timestamps the right row sorts first (inclusive
+    * `>=`, the batch operator's `_side` tiebreak and DuckDB ASOF
+    * semantics) and the highest event_id among same-instant right
+    * rows wins the carry (the batch twin's pre-aggregated
+    * `max`-payload contract).
+    *
+    * Exactly-once needs no ledger here, unlike the quantified funnel:
+    * a left row is emitted in the single timer firing that finalizes
+    * it and the WHOLE finalized prefix is then evicted — only the
+    * one-row carry survives, because only the LATEST right row can
+    * ever match a future left row. State is O(unfinalized rows + 1)
+    * per user: strictly the out-of-order window, the streaming-
+    * inherent minimum for as-of semantics.
+    *
+    * Inner semantics (left rows with no carried right are dropped) —
+    * the a01 contract; tolerance/outer variants are post-carry
+    * projections exactly as in the batch operator. Rows of other
+    * types pass through the buffer unmatched and are evicted at
+    * finalization; production callers filter the stream to the two
+    * participating types upstream of the watermark. */
+  class AsofProcessor(rightType: String, leftType: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, AsofMatch] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var buf: ListState[PendingEvent] = _
+    @transient private var carried: ValueState[RecentEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[PendingEvent]("asof_buf",
+        org.apache.spark.sql.Encoders.product[PendingEvent], TTLConfig.NONE)
+      carried = getHandle.getValueState[RecentEvent]("asof_carry",
+        org.apache.spark.sql.Encoders.product[RecentEvent], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[AsofMatch] = {
+      val in = rows
+        .map(e => PendingEvent(e.ts, e.event_id, e.event_type, e.value))
+        .toArray
+      if (in.nonEmpty) {
+        buf.appendList(in)
+        getHandle.registerTimer(in.map(_.ts.getTime).max + 1)
+      }
+      Iterator.empty
+    }
+
+    /** Microsecond-exact sort key (see [[FunnelProcessor.usec]]). */
+    private def usec(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsofMatch] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      def side(e: PendingEvent): Int =
+        if (e.event_type == rightType) 0 else 1
+      val all = buf.get().toIndexedSeq
+        .sortBy(e => (usec(e.ts), side(e), e.event_id))
+      val firstUnfinal = all.indexWhere(_.ts.getTime >= wm)
+      val nFinal = if (firstUnfinal == -1) all.size else firstUnfinal
+      var carry = if (carried.exists()) carried.get() else null
+      val out = List.newBuilder[AsofMatch]
+      var i = 0
+      while (i < nFinal) {
+        val e = all(i)
+        if (e.event_type == rightType)
+          carry = RecentEvent(e.ts, e.event_id)
+        else if (e.event_type == leftType && carry != null)
+          out += AsofMatch(uid, e.event_id, e.ts, carry.ts, carry.event_id)
+        i += 1
+      }
+      val keep = all.drop(nFinal).toArray
+      buf.clear()
+      if (keep.nonEmpty) buf.appendList(keep)
+      if (carry != null) carried.update(carry)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming as-of enrichment through [[AsofProcessor]]. */
+  def asofEnrichTws(events: Dataset[Event], rightType: String,
+      leftType: String): Dataset[AsofMatch] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofProcessor(rightType, leftType),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

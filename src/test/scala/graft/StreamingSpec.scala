@@ -675,6 +675,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming as-of enrichment equals the batch asofJoin twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams.asofEnrichTws(mem.toDS(), "view", "purchase")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_asof").toString)
+      .start()
+    try {
+      // scrambled within-chunk delivery: the processor's whole point is
+      // reconstructing final event-time order from out-of-order arrival
+      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+        e.user_id, e.event_type, e.value, e.props))
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        mem.addData(chunk.sortBy(e => (e.event_id * 2654435761L) & 0xffffffffL))
+        q.processAllAvailable()
+      }
+      val s0 = sentinel
+      mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-2L,
+        new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4))).toSet
+      // batch twin: the a01 union-carry operator over the same rows,
+      // right side pre-deduplicated per (user, ts) to max event_id —
+      // the same tie contract the processor's fold order implements
+      val ev = sources.Tables.events(spark, sf)
+      val right = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("right_event"))
+      val left = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val want = operators.AsofJoin.asofJoin(left, right,
+        key = "user_id", leftTs = "ts", rightTs = "ts")
+        .select($"user_id", $"event_id", $"ts",
+          $"_carried.ts".as("right_ts"),
+          $"_carried.right_event".as("right_event"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4))).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"as-of enrichment diverges: extra=${got -- want}, " +
+          s"missing=${want -- got}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState ListState recent-buffer equals the batch rank") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
