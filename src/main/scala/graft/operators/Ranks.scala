@@ -109,26 +109,48 @@ object Ranks {
     * hundred — enough spread for the per-bucket windows, trivial for
     * the broadcast self-join. */
   def runningSum(df: DataFrame, bucket: Column, sortKeys: Seq[Column],
+      value: Column, out: String): DataFrame =
+    stratifiedRunningSum(df, Nil, bucket, sortKeys, value, out)
+
+  /** [[runningSum]] computed INDEPENDENTLY within each stratum — the
+    * per-group form of the same two-pass prefix sum: cross-bucket
+    * offsets only accumulate buckets of the SAME stratum (the offset
+    * self-join adds stratum-equality to its `bucket <` condition), so
+    * each stratum restarts at zero while the physical shape is
+    * unchanged — one (stratum, bucket)-partitioned window over many
+    * small groups, never one task per stratum. This is what makes a
+    * per-stratum rank scale-safe when strata are FEW and HUGE (five
+    * languages over 100 TB): `Window.partitionBy(stratum)` alone would
+    * funnel a fifth of the corpus through one task, the same
+    * single-task funnel the empty-partitionSpec invariant bans. */
+  def stratifiedRunningSum(df: DataFrame, strata: Seq[Column],
+      bucket: Column, sortKeys: Seq[Column],
       value: Column, out: String): DataFrame = {
     // narrow by contract (callers project keys+value only); both the
     // totals pass and the window pass read THIS, not the source scan.
     // At cluster scale: persist(DISK_ONLY) instead.
-    val withB = df.withColumn("__ps_b", bucket).localCheckpoint()
-    val totals = withB.groupBy(col("__ps_b")).agg(sum(value).as("__ps_t"))
+    val sCols = strata.indices.map(i => s"__ps_s$i")
+    val withB = sCols.zip(strata)
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .withColumn("__ps_b", bucket).localCheckpoint()
+    val grp = sCols :+ "__ps_b"
+    val totals = withB.groupBy(grp.map(col): _*).agg(sum(value).as("__ps_t"))
       .localCheckpoint() // B rows; the self-join would re-aggregate twice
     val offsets = totals
-      .join(broadcast(totals.select(col("__ps_b").as("__ps_bb"),
-          col("__ps_t").as("__ps_tb"))),
-        col("__ps_bb") < col("__ps_b"), "left")
-      .groupBy(col("__ps_b"))
+      .join(broadcast(totals.select(
+          (sCols.map(n => col(n).as(s"${n}_b")) :+
+            col("__ps_b").as("__ps_bb") :+ col("__ps_t").as("__ps_tb")): _*)),
+        sCols.map(n => col(s"${n}_b") <=> col(n))
+          .foldLeft(col("__ps_bb") < col("__ps_b"))(_ && _), "left")
+      .groupBy(grp.map(col): _*)
       .agg(coalesce(sum(col("__ps_tb")), lit(0L)).as("__ps_off"))
-    val wLocal = Window.partitionBy(col("__ps_b"))
+    val wLocal = Window.partitionBy(grp.map(col): _*)
       .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.withColumn("__ps_loc", sum(value).over(wLocal))
-      .join(broadcast(offsets), "__ps_b")
+      .join(broadcast(offsets), grp)
       .withColumn(out, col("__ps_loc") + col("__ps_off"))
-      .drop("__ps_b", "__ps_loc", "__ps_off")
+      .drop((grp ++ Seq("__ps_loc", "__ps_off")): _*)
   }
 
   /** Global 1..N row rank in the total order `sortKeys` — a running
@@ -137,4 +159,14 @@ object Ranks {
   def globalRank(df: DataFrame, bucket: Column, sortKeys: Seq[Column],
       out: String): DataFrame =
     runningSum(df, bucket, sortKeys, lit(1L), out)
+
+  /** 1..N(stratum) row rank within each stratum in the total order
+    * `sortKeys` — `row_number() OVER (PARTITION BY stratum ORDER BY
+    * ...)` without a per-stratum single task (see
+    * [[stratifiedRunningSum]]). `bucket` must be order-respecting
+    * w.r.t. `sortKeys` within every stratum, the same contract as
+    * [[runningSum]]. */
+  def stratumRank(df: DataFrame, strata: Seq[Column], bucket: Column,
+      sortKeys: Seq[Column], out: String): DataFrame =
+    stratifiedRunningSum(df, strata, bucket, sortKeys, lit(1L), out)
 }

@@ -51,9 +51,8 @@ object Splits {
     * 100 TB shape: one count per stratum (tiny aggregate), broadcast
     * back as a rate table; the keep decision is map-only. Expected kept
     * count is rate*n with binomial jitter — the point is determinism
-    * and one-pass scalability, not exact-n sampling (which needs a
-    * per-stratum global sort/rank: a total order per language, the
-    * documented non-scalable alternative). */
+    * and one-pass scalability, not exact-n sampling (p09 is the
+    * exact-count form, via the scale-safe stratified rank). */
   val p02TrainingMix: Q = Q(
     "p02_training_mix",
     """WITH counts AS (SELECT lang, count(*) AS n_orig
@@ -409,7 +408,44 @@ object Splits {
       .select($"source", $"rk", $"doc_id", $"score_milli")
   }
 
+  /** p09: EXACT-fraction stratified sampling — exactly ceil(20%·n) of
+    * each language stratum, selected by deterministic hash order
+    * (md5(doc_id ':ss'): content-independent, salt-decorrelated from
+    * p01/p02's decisions, reproducible on any cluster shape). The
+    * expected-rate threshold form (p02) has binomial jitter; training
+    * mixes with contractual stratum sizes need the exact count.
+    *
+    * 100 TB shape: a per-stratum rank is the classic single-task trap
+    * when strata are few and huge (`PARTITION BY lang` = one task per
+    * language). [[Ranks.stratumRank]] avoids it: windows partition on
+    * (lang, hash-prefix bucket) — many small groups — and broadcast
+    * per-(lang,bucket) offsets stitch the global per-stratum rank; the
+    * quota join is a |strata|-row broadcast. No empty-partitionSpec
+    * window anywhere (the registry invariant PlanSpec enforces). */
+  val p09StratifiedExact: Q = Q(
+    "p09_stratified_exact",
+    """WITH s AS (SELECT doc_id, lang,
+      |             md5(doc_id::VARCHAR || ':ss') AS h FROM documents),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+      |          AS rk,
+      |        count(*) OVER (PARTITION BY lang) AS n FROM s)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= ceil(0.2 * n)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        md5(concat($"doc_id".cast("string"), lit(":ss"))).as("h"))
+    val quotas = docs.groupBy($"lang")
+      .agg(ceil(count(lit(1)) * 0.2).cast("long").as("quota"))
+    Ranks.stratumRank(docs, Seq($"lang"), substring($"h", 1, 1),
+        Seq($"h", $"doc_id"), "rk")
+      .join(broadcast(quotas), "lang")
+      .filter($"rk" <= $"quota")
+      .select($"lang", $"rk", $"doc_id")
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
     p04ChunkDocs, p05WeightedSample, p06EpochShuffle, p07SequencePack,
-    p08Dsir)
+    p08Dsir, p09StratifiedExact)
 }

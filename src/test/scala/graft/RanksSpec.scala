@@ -52,6 +52,24 @@ class RanksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stratumRank equals row_number partitioned by stratum") {
+    import spark.implicits._
+    // strata of very different sizes (id%3==0 twice as common as the
+    // others among multiples), hash order within each
+    val df = fixture.withColumn("s",
+      when($"id" % 7 === 0, "a").when($"id" % 7 < 4, "b").otherwise("c"))
+    val w = Window.partitionBy($"s").orderBy($"k", $"id")
+    val want = df.withColumn("rn", row_number().over(w))
+      .select($"id", $"rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = operators.Ranks
+      .stratumRank(df, Seq($"s"), substring($"k", 1, 1),
+        Seq($"k", $"id"), "rn")
+      .select($"id", $"rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("PROPERTY: any order-respecting bucket fn => bit-identical runningSum") {
     // the bucket contract (Ranks.runningSum scaladoc): for ANY pure
     // bucket function that respects the sort-key total order, the
