@@ -191,6 +191,92 @@ object Audit {
     ).reduce(_ unionByName _)
   }
 
+  /** dq04: corpus DRIFT audit — population-stability-index (PSI)
+    * contributions between two corpus snapshots, per feature bucket.
+    * The production question this answers: did the ingest mix shift
+    * enough (new crawl, source outage, filter change) that downstream
+    * sampling rates and quality gates need re-tuning? PSI is the
+    * standard monitoring statistic: Σ_buckets (pA−pB)·ln(pA/pB),
+    * with each term ≥ 0 and the sum ~0 for identical mixes.
+    *
+    * Snapshots here are the even/odd-numbered sources (a deterministic
+    * fixture proxy for "last week's corpus vs this week's"); features
+    * are the language mix and the banded length/token-count
+    * distributions. Laplace-smoothed (+1 per observed bucket) so an
+    * empty bucket on one side contributes a finite term.
+    *
+    * Exactness across engines rides p08's trick: each bucket's
+    * contribution is floor-quantized to integer MILLI-nats and summed
+    * as BIGINT downstream — order-independent, so Spark and the DuckDB
+    * oracle agree bit-for-bit regardless of aggregation order (the one
+    * float op per bucket is the same single-expression ln both engines
+    * evaluate on identical rationals).
+    *
+    * 100 TB shape: one map-only 3-way feature explosion, ONE hash
+    * aggregate on (feature, bucket) with conditional sums (no second
+    * scan for the B side), then per-feature totals over the ~25-row
+    * aggregate broadcast back — the contribution projection is
+    * map-only on 25 rows. */
+  val dq04DriftAudit: Q = Q(
+    "dq04_drift_audit",
+    """WITH d AS (
+      |  SELECT CAST(substr(source, 4) AS INT) % 2 = 0 AS in_a,
+      |    lang, n_chars, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT in_a, 'lang' AS feature, lang AS bucket FROM d
+      |  UNION ALL
+      |  SELECT in_a, 'len_band',
+      |    CAST(least(n_chars // 500, 10) AS VARCHAR) FROM d
+      |  UNION ALL
+      |  SELECT in_a, 'tok_band',
+      |    CAST(least(n_toks // 50, 10) AS VARCHAR) FROM d),
+      |c AS (
+      |  SELECT feature, bucket,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM f GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *, sum(c_a) OVER (PARTITION BY feature) AS n_a,
+      |    sum(c_b) OVER (PARTITION BY feature) AS n_b,
+      |    count(*) OVER (PARTITION BY feature) AS k
+      |  FROM c)
+      |SELECT feature, bucket, c_a, c_b,
+      |  CAST(floor(1000.0 *
+      |      ((c_a + 1.0) / (n_a + k) - (c_b + 1.0) / (n_b + k)) *
+      |      ln(((c_a + 1.0) / (n_a + k)) / ((c_b + 1.0) / (n_b + k))))
+      |    AS BIGINT) AS contrib_milli
+      |FROM t""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select((substring($"source", 4, 10).cast("int") % 2 === 0)
+          .as("in_a"),
+        $"lang", $"n_chars",
+        size(split($"text", " ")).as("n_toks"))
+    val feats = docs.select($"in_a", explode(array(
+        struct(lit("lang").as("feature"), $"lang".as("bucket")),
+        struct(lit("len_band").as("feature"),
+          least(floor($"n_chars" / 500), lit(10)).cast("string")
+            .as("bucket")),
+        struct(lit("tok_band").as("feature"),
+          least(floor($"n_toks" / 50), lit(10)).cast("string")
+            .as("bucket")))).as("fb"))
+      .select($"in_a", $"fb.feature", $"fb.bucket")
+    val counts = feats.groupBy($"feature", $"bucket")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("c_a"),
+        sum(when(!$"in_a", 1L).otherwise(0L)).as("c_b"))
+      .localCheckpoint() // ~25 rows; totals + projection both read it
+    val totals = counts.groupBy($"feature")
+      .agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"),
+        count(lit(1)).as("k"))
+    val pA = ($"c_a" + 1.0) / ($"n_a" + $"k")
+    val pB = ($"c_b" + 1.0) / ($"n_b" + $"k")
+    counts.join(broadcast(totals), "feature")
+      .select($"feature", $"bucket", $"c_a", $"c_b",
+        floor(lit(1000.0) * (pA - pB) * log(pA / pB)).cast("long")
+          .as("contrib_milli"))
+  }
+
   val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
-    dq03EmbeddingAudit)
+    dq03EmbeddingAudit, dq04DriftAudit)
 }
