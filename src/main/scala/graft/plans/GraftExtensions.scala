@@ -14,5 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-callable row-pattern PTF: SELECT * FROM matchpath(...)
     ext.injectTableFunction((MatchPathTvf.identifier, MatchPathTvf.info,
       MatchPathTvf.build))
+    // SQL-callable as-of join: SELECT * FROM asof_join(...)
+    ext.injectTableFunction((AsofTvf.identifier, AsofTvf.info,
+      AsofTvf.build))
   }
 }

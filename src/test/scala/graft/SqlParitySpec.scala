@@ -239,6 +239,49 @@ class SqlParitySpec extends AnyFunSuite {
       canon(SparkEntry.queries("q80b_matchpath_star")(spark, sf)))
   }
 
+  test("asof_join TVF: SQL call == DSL plan (inner and outer)") {
+    // Spark's parser has no ASOF JOIN syntax; the engine exposes the
+    // operator as a catalog table function over registered views —
+    // the builder returns asofJoin's logical plan verbatim
+    register()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, max => fmax}
+    val ev = sources.Tables.events(spark, sf)
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val right = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(fmax($"event_id").as("view_event"))
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+    val viaSql = spark.sql(
+      "SELECT * FROM asof_join('asof_l', 'asof_r', 'user_id', 'ts', 'ts')")
+    val viaDsl = operators.AsofJoin.asofJoin(left, right,
+      key = "user_id", leftTs = "ts", rightTs = "ts")
+    assert(canon(viaSql) == canon(viaDsl))
+    assert(viaSql.count() > 0)
+    val viaSqlOuter = spark.sql("SELECT * FROM asof_join('asof_l', " +
+      "'asof_r', 'user_id', 'ts', 'ts', 'outer')")
+    val viaDslOuter = operators.AsofJoin.asofJoin(left, right,
+      key = "user_id", leftTs = "ts", rightTs = "ts", outer = true)
+    assert(canon(viaSqlOuter) == canon(viaDslOuter))
+    // outer keeps left rows the inner form dropped
+    assert(viaSqlOuter.count() == left.count())
+  }
+
+  test("asof_join TVF rejects an unknown option") {
+    register()
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('events', 'events', " +
+        "'user_id', 'ts', 'ts', 'oooter')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("unknown option")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("matchpath TVF rejects an empty symbol-definition name") {
     register()
     val ex = intercept[Exception] {
