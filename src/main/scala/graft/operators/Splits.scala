@@ -445,7 +445,69 @@ object Splits {
       .select($"lang", $"rk", $"doc_id")
   }
 
+  /** p10: TEMPERATURE-based mixture sampling — the canonical
+    * multilingual/multi-source rebalancing: sampling mass for source s
+    * is n_s^α (α = 0.7 here), so low-resource sources are boosted
+    * relative to their raw share without the equal-count flattening of
+    * p02 (α=1 keeps the natural mix, α=0 is uniform). The overall
+    * budget is 40% of the corpus; each source's keep rate is
+    * budget · p_s / n_s with p_s ∝ n_s^α, capped at 1.0 (upsampling
+    * past 1 means repetition — an epoch concern (p06), not a keep
+    * decision). The keep decision itself is p02's deterministic
+    * hex-threshold on md5(doc_id ':tmp') — salt-decorrelated from
+    * p01/p02/p09, reproducible on any cluster shape.
+    *
+    * The double math (pow, one multiply/divide chain) is written with
+    * IDENTICAL association on both engines so the broadcast rate table
+    * matches the oracle's bit-for-bit — same ULP posture as p02's
+    * rate threshold.
+    *
+    * 100 TB shape: one count aggregate per source, two scalar
+    * subqueries over the |sources|-row table, the rate table broadcast
+    * back, keep decision map-only, one final aggregate. */
+  val p10TemperatureMix: Q = Q(
+    "p10_temperature_mix",
+    """WITH counts AS (SELECT source, count(*) AS n_orig
+      |               FROM documents GROUP BY source),
+      |w AS (SELECT source, n_orig, pow(n_orig, 0.7) AS wgt FROM counts),
+      |r AS (SELECT source, n_orig,
+      |        least(1.0,
+      |          0.4 * (SELECT sum(n_orig) FROM counts) * wgt /
+      |            (SELECT sum(wgt) FROM w) / n_orig) AS rate
+      |      FROM w),
+      |kept AS (
+      |  SELECT d.source FROM documents d JOIN r ON d.source = r.source
+      |  WHERE r.rate >= 1.0
+      |     OR substr(md5(d.doc_id::VARCHAR || ':tmp'), 1, 4) <
+      |        lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))),
+      |             4, '0'))
+      |SELECT r.source, r.n_orig, count(k.source) AS n_kept,
+      |  round(r.rate, 6) AS target_rate
+      |FROM r LEFT JOIN kept k ON r.source = k.source
+      |GROUP BY r.source, r.n_orig, r.rate""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_orig"))
+    val w = counts.select($"source", $"n_orig",
+      pow($"n_orig", 0.7).as("wgt"))
+    val tot = w.agg(sum($"n_orig").as("tn"), sum($"wgt").as("tw"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select($"source", $"n_orig",
+        least(lit(1.0),
+          lit(0.4) * $"tn" * $"wgt" / $"tw" / $"n_orig").as("rate"))
+    val kept = docs.join(broadcast(rates), "source")
+      .filter($"rate" >= 1.0 ||
+        substring(md5(concat($"doc_id".cast("string"), lit(":tmp"))), 1, 4) <
+          lpad(lower(hex(floor($"rate" * 65536).cast("bigint"))), 4, "0"))
+      .select($"source".as("k_source"))
+    rates.join(kept, $"source" === $"k_source", "left")
+      .groupBy($"source", $"n_orig", $"rate")
+      .agg(count($"k_source").as("n_kept"))
+      .select($"source", $"n_orig", $"n_kept",
+        round($"rate", 6).as("target_rate"))
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
     p04ChunkDocs, p05WeightedSample, p06EpochShuffle, p07SequencePack,
-    p08Dsir, p09StratifiedExact)
+    p08Dsir, p09StratifiedExact, p10TemperatureMix)
 }

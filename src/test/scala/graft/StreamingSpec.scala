@@ -675,64 +675,75 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming as-of enrichment equals the batch asofJoin twin") {
+  test("streaming as-of enrichment equals the batch asofJoin twin" +
+      " (differential over chunkings)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[streaming.Event]
-    val q = streaming.Streams.asofEnrichTws(mem.toDS(), "view", "purchase")
-      .writeStream.format("memory").queryName("asof_out")
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_asof").toString)
-      .start()
+    // batch twin: the a01 union-carry operator over the same rows,
+    // right side pre-deduplicated per (user, ts) to max event_id —
+    // the same tie contract the processor's fold order implements
+    val ev = sources.Tables.events(spark, sf)
+    val right = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("right_event"))
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val want = operators.AsofJoin.asofJoin(left, right,
+      key = "user_id", leftTs = "ts", rightTs = "ts")
+      .select($"user_id", $"event_id", $"ts",
+        $"_carried.ts".as("right_ts"),
+        $"_carried.right_event".as("right_event"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getLong(4))).toSet
+    assert(want.nonEmpty)
     try {
-      // scrambled within-chunk delivery: the processor's whole point is
-      // reconstructing final event-time order from out-of-order arrival
-      val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
-        e.user_id, e.event_type, e.value, e.props))
-      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
-        mem.addData(chunk.sortBy(e => (e.event_id * 2654435761L) & 0xffffffffL))
-        q.processAllAvailable()
+      // DIFFERENTIAL over delivery shapes: the finalized fold must land
+      // on the batch answer whatever the arrival order and micro-batch
+      // boundaries — each round scrambles with a different multiplier
+      // and cuts different chunk sizes (within-chunk disorder is
+      // watermark-safe; chunk count changes which rows co-finalize)
+      for ((mult, nChunks) <- Seq((2654435761L, 4), (0x9e3779b9L, 7),
+          (0x85ebca6bL, 2))) {
+        val name = s"asof_out_$nChunks"
+        val mem = MemoryStream[streaming.Event]
+        val q = streaming.Streams
+          .asofEnrichTws(mem.toDS(), "view", "purchase")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_asof").toString)
+          .start()
+        try {
+          val evs = batchEvents.map(e => streaming.Event(e.event_id, e.ts,
+            e.user_id, e.event_type, e.value, e.props))
+          evs.grouped(math.max(1, evs.size / nChunks)).foreach { chunk =>
+            mem.addData(chunk.sortBy(e => (e.event_id * mult) & 0xffffffffL))
+            q.processAllAvailable()
+          }
+          val s0 = sentinel
+          mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
+            0.0, "{}")))
+          q.processAllAvailable()
+          mem.addData(Seq(streaming.Event(-2L,
+            new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
+            0.0, "{}")))
+          q.processAllAvailable()
+          val got = spark.table(name).collect()
+            .filter(_.getLong(0) >= 0)
+            .map(r => (r.getLong(0), r.getLong(1),
+              r.getTimestamp(2).getTime,
+              r.getTimestamp(3).getTime, r.getLong(4))).toSet
+          assert(got == want,
+            s"as-of diverges at chunks=$nChunks: extra=${got -- want}, " +
+              s"missing=${want -- got}")
+        } finally q.stop()
       }
-      val s0 = sentinel
-      mem.addData(Seq(streaming.Event(-1L, s0.ts, -1L, "__sentinel",
-        0.0, "{}")))
-      q.processAllAvailable()
-      mem.addData(Seq(streaming.Event(-2L,
-        new Timestamp(s0.ts.getTime + 60000), -1L, "__sentinel",
-        0.0, "{}")))
-      q.processAllAvailable()
-      val got = spark.table("asof_out").collect()
-        .filter(_.getLong(0) >= 0)
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
-          r.getTimestamp(3).getTime, r.getLong(4))).toSet
-      // batch twin: the a01 union-carry operator over the same rows,
-      // right side pre-deduplicated per (user, ts) to max event_id —
-      // the same tie contract the processor's fold order implements
-      val ev = sources.Tables.events(spark, sf)
-      val right = ev.filter($"event_type" === "view")
-        .groupBy($"user_id", $"ts")
-        .agg(max($"event_id").as("right_event"))
-      val left = ev.filter($"event_type" === "purchase")
-        .select($"event_id", $"user_id", $"ts")
-      val want = operators.AsofJoin.asofJoin(left, right,
-        key = "user_id", leftTs = "ts", rightTs = "ts")
-        .select($"user_id", $"event_id", $"ts",
-          $"_carried.ts".as("right_ts"),
-          $"_carried.right_event".as("right_event"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
-          r.getTimestamp(3).getTime, r.getLong(4))).toSet
-      assert(want.nonEmpty)
-      assert(got == want,
-        s"as-of enrichment diverges: extra=${got -- want}, " +
-          s"missing=${want -- got}")
     } finally {
-      q.stop()
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
