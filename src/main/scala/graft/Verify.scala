@@ -16,9 +16,12 @@ object Verify {
     // timestamp[us] columns on TimestampType (streaming watermarks hard-
     // reject NTZ event time), and UTC/AQE/extensions keep Verify's plans
     // identical to the ones the specs pin.
+    // cpus override AFTER configure: Builder.config is last-write-wins
+    // and configure() pins shuffle.partitions=32, which would silently
+    // swallow the SPARK_GRAFT_CPUS sizing (Bench orders it the same way)
     val spark = GraftSession.configure(SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus))
+        .master(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.registerAll(spark)

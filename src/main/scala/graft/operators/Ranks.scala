@@ -147,10 +147,20 @@ object Ranks {
     val wLocal = Window.partitionBy(grp.map(col): _*)
       .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-SAFE final join: a using-columns join resolves to EqualTo,
+    // which silently drops rows whose stratum (or bucket) is null —
+    // but `row_number() OVER (PARTITION BY s)` ranks the null group
+    // like any other, and the offsets self-join above already matches
+    // nulls via <=>. Join on <=> for every group column so the null
+    // stratum gets its rank instead of vanishing (RanksSpec pins it).
+    val offR = offsets.select(
+      (grp.map(n => col(n).as(s"${n}_o")) :+ col("__ps_off")): _*)
     withB.withColumn("__ps_loc", sum(value).over(wLocal))
-      .join(broadcast(offsets), grp)
+      .join(broadcast(offR),
+        grp.map(n => col(n) <=> col(s"${n}_o")).reduce(_ && _))
       .withColumn(out, col("__ps_loc") + col("__ps_off"))
-      .drop((grp ++ Seq("__ps_loc", "__ps_off")): _*)
+      .drop((grp ++ grp.map(n => s"${n}_o") ++
+        Seq("__ps_loc", "__ps_off")): _*)
   }
 
   /** Global 1..N row rank in the total order `sortKeys` — a running

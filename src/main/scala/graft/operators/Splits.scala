@@ -418,10 +418,12 @@ object Splits {
     * 100 TB shape: a per-stratum rank is the classic single-task trap
     * when strata are few and huge (`PARTITION BY lang` = one task per
     * language). [[Ranks.stratumRank]] avoids it: windows partition on
-    * (lang, hash-prefix bucket) — many small groups — and broadcast
-    * per-(lang,bucket) offsets stitch the global per-stratum rank; the
-    * quota join is a |strata|-row broadcast. No empty-partitionSpec
-    * window anywhere (the registry invariant PlanSpec enforces). */
+    * (lang, 2-hex-char hash bucket) — 256 small groups per stratum,
+    * and the prefix widens with the data if a 1/1280th corpus slice
+    * still overfills a task — with broadcast per-(lang,bucket) offsets
+    * stitching the global per-stratum rank; the quota join is a
+    * |strata|-row broadcast. No empty-partitionSpec window anywhere
+    * (the registry invariant PlanSpec enforces). */
   val p09StratifiedExact: Q = Q(
     "p09_stratified_exact",
     """WITH s AS (SELECT doc_id, lang,
@@ -438,7 +440,7 @@ object Splits {
         md5(concat($"doc_id".cast("string"), lit(":ss"))).as("h"))
     val quotas = docs.groupBy($"lang")
       .agg(ceil(count(lit(1)) * 0.2).cast("long").as("quota"))
-    Ranks.stratumRank(docs, Seq($"lang"), substring($"h", 1, 1),
+    Ranks.stratumRank(docs, Seq($"lang"), substring($"h", 1, 2),
         Seq($"h", $"doc_id"), "rk")
       .join(broadcast(quotas), "lang")
       .filter($"rk" <= $"quota")
@@ -457,10 +459,14 @@ object Splits {
     * hex-threshold on md5(doc_id ':tmp') — salt-decorrelated from
     * p01/p02/p09, reproducible on any cluster shape.
     *
-    * The double math (pow, one multiply/divide chain) is written with
-    * IDENTICAL association on both engines so the broadcast rate table
-    * matches the oracle's bit-for-bit — same ULP posture as p02's
-    * rate threshold.
+    * Exactness: n^0.7 is floor-quantized to integer MICRO-units per
+    * source (one pow per row, the p08 posture), so the mixture
+    * denominator Σ n^0.7 is an exact BIGINT sum — a raw double sum
+    * there is aggregation-order-dependent across engines and would
+    * make the rate table flake at floor boundaries. The remaining
+    * multiply/divide chain runs on identical integers with identical
+    * association on both engines, so the broadcast rate table matches
+    * the oracle's bit-for-bit.
     *
     * 100 TB shape: one count aggregate per source, two scalar
     * subqueries over the |sources|-row table, the rate table broadcast
@@ -469,7 +475,9 @@ object Splits {
     "p10_temperature_mix",
     """WITH counts AS (SELECT source, count(*) AS n_orig
       |               FROM documents GROUP BY source),
-      |w AS (SELECT source, n_orig, pow(n_orig, 0.7) AS wgt FROM counts),
+      |w AS (SELECT source, n_orig,
+      |        CAST(floor(pow(n_orig, 0.7) * 1000000) AS BIGINT) AS wgt
+      |      FROM counts),
       |r AS (SELECT source, n_orig,
       |        least(1.0,
       |          0.4 * (SELECT sum(n_orig) FROM counts) * wgt /
@@ -489,7 +497,7 @@ object Splits {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_orig"))
     val w = counts.select($"source", $"n_orig",
-      pow($"n_orig", 0.7).as("wgt"))
+      floor(pow($"n_orig", 0.7) * 1000000).cast("long").as("wgt"))
     val tot = w.agg(sum($"n_orig").as("tn"), sum($"wgt").as("tw"))
     val rates = w.crossJoin(broadcast(tot))
       .select($"source", $"n_orig",

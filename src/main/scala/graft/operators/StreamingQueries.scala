@@ -301,9 +301,7 @@ object StreamingQueries {
       |FROM m
       |WHERE s0 = 'view' AND s1 = 'view' AND s2 = 'purchase'"""
       .stripMargin) { (s, d) =>
-    runCheckpointedFunnel(s, d, "st12",
-      org.apache.spark.sql.Encoders
-        .product[graft.streaming.FunnelMatch].schema) { src =>
+    runCheckpointedFunnel(s, d, "st12") { src =>
       graft.streaming.Streams.funnelMatchesTws(
         src, Seq("view", "view", "purchase"))
     }
@@ -382,9 +380,7 @@ object StreamingQueries {
       |SELECT user_id, event_id AS start_event, ts AS start_ts,
       |  e1_ee AS end_event, e1_ts AS end_ts
       |FROM e1 WHERE e1_ee IS NOT NULL""".stripMargin) { (s, d) =>
-    runCheckpointedFunnel(s, d, "st13",
-      org.apache.spark.sql.Encoders
-        .product[graft.streaming.FunnelMatch].schema) { src =>
+    runCheckpointedFunnel(s, d, "st13") { src =>
       graft.streaming.Streams.quantFunnelMatchesTws(
         src, Seq("view", "click*", "view", "click*", "purchase"))
     }
@@ -418,9 +414,7 @@ object StreamingQueries {
       |FROM l ASOF JOIN r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
     (s, d) =>
-    runCheckpointedFunnel(s, d, "st14",
-      org.apache.spark.sql.Encoders
-        .product[graft.streaming.AsofMatch].schema) { src =>
+    runCheckpointedFunnel(s, d, "st14") { src =>
       graft.streaming.Streams.asofEnrichTws(src, "view", "purchase")
     }
   }
@@ -434,14 +428,16 @@ object StreamingQueries {
     * finalization timers actually fire), into an append-parquet
     * foreachBatch sink. Everything stays distributed: chunking is two
     * filtered writes, the sink appends per batch, no driver-side
-    * replay buffer. `outSchema` is the processor's output row schema
-    * (for the schema-explicit read-back of a possibly-empty sink). */
-  private def runCheckpointedFunnel[O](s: org.apache.spark.sql.SparkSession,
-      d: String, tag: String,
-      outSchema: org.apache.spark.sql.types.StructType)(
+    * replay buffer. The output row schema (for the schema-explicit
+    * read-back of a possibly-empty sink) is derived from O itself, so
+    * a funnel/schema mismatch is unrepresentable. */
+  private def runCheckpointedFunnel[O <: Product :
+      scala.reflect.runtime.universe.TypeTag](
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
       funnel: org.apache.spark.sql.Dataset[graft.streaming.Event] =>
         org.apache.spark.sql.Dataset[O])
       : org.apache.spark.sql.DataFrame = {
+    val outSchema = org.apache.spark.sql.Encoders.product[O].schema
     import s.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")

@@ -54,10 +54,12 @@ class RanksSpec extends AnyFunSuite {
 
   test("stratumRank equals row_number partitioned by stratum") {
     import spark.implicits._
-    // strata of very different sizes (id%3==0 twice as common as the
-    // others among multiples), hash order within each
+    // skewed strata (one rare, one common, one mid by id%7 bands) plus
+    // a NULL stratum (id%7==6): row_number ranks the null partition
+    // like any other, so stratumRank must too (the null-safe join pin)
     val df = fixture.withColumn("s",
-      when($"id" % 7 === 0, "a").when($"id" % 7 < 4, "b").otherwise("c"))
+      when($"id" % 7 === 0, "a").when($"id" % 7 < 4, "b")
+        .when($"id" % 7 < 6, "c"))
     val w = Window.partitionBy($"s").orderBy($"k", $"id")
     val want = df.withColumn("rn", row_number().over(w))
       .select($"id", $"rn").collect()
