@@ -776,7 +776,63 @@ object Dedup {
         round($"matches" / 64.0, 6).as("est_jaccard"))
   }
 
+  /** d11: CROSS-DOCUMENT repeated-span detection — the exact-substring
+    * dedup use case (in the literature served by corpus-wide suffix
+    * arrays) re-expressed at bounded cost: every 8-token span is
+    * fingerprinted (md5 of the joined tokens — engine-portable, so the
+    * oracle recomputes identical fingerprints), a deterministic hash
+    * winnow keeps 1/8 of span space (first two hex chars < '20'), and
+    * one aggregate on the fingerprint reports spans occurring in ≥ 2
+    * distinct documents. Repeated spans longer than 8 tokens surface
+    * as RUNS of consecutive flagged fingerprints (overlapping spans
+    * share 7 tokens), so span extension/merging is a downstream
+    * per-document pass over the flagged set.
+    *
+    * A suffix array gives exact longest-match extents but needs a
+    * corpus-wide sorted structure no shuffle boundary can provide;
+    * this form trades extent precision for ONE map-side-filtered
+    * shuffle: the explode is ∝ corpus tokens, the winnow drops 7/8 of
+    * rows BEFORE the exchange, and the aggregate is a plain hash
+    * groupBy — linear at 100 TB, skew-free (md5 keys). Density and k
+    * are the recall/cost dials (winnow misses a cross-doc span pair
+    * only if every one of its overlapping 8-gram fingerprints falls
+    * in the dropped 7/8 — for spans ≥ 8+7 tokens that is < 0.88^8). */
+  val d11RepeatedSpans: Q = Q(
+    "d11_repeated_spans",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |s AS (SELECT doc_id,
+      |        md5(array_to_string(list_slice(ws, p + 1, p + 8), ' '))
+      |          AS span_hash
+      |      FROM (SELECT doc_id, ws,
+      |              unnest(range(0, len(ws) - 7)) AS p
+      |            FROM d)),
+      |w AS (SELECT * FROM s WHERE substr(span_hash, 1, 2) < '20')
+      |SELECT span_hash,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occ,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM w GROUP BY span_hash
+      |HAVING count(DISTINCT doc_id) >= 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), size($"ws") - 8)).as("p"))
+      .select($"doc_id",
+        md5(concat_ws(" ", slice($"ws", $"p" + 1, lit(8))))
+          .as("span_hash"))
+      .filter(substring($"span_hash", 1, 2) < "20")
+      .groupBy($"span_hash")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .filter($"n_docs" >= 2)
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
     d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup,
-    d08IncrementalDedup, d09LineDedup, d10MinhashEstimate)
+    d08IncrementalDedup, d09LineDedup, d10MinhashEstimate,
+    d11RepeatedSpans)
 }
