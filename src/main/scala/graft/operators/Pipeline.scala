@@ -250,5 +250,87 @@ object Pipeline {
           |) AS (stage_no, stage, n_docs, n_tokens)""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits, c03PretrainFunnel)
+  /** c04: MIX-BUILD pipeline — the round-7 operators composed the way
+    * a training-mix construction runs them: p10's temperature
+    * rebalancing first (per-source keep rates ∝ n^0.7 under a 40%
+    * budget — whole-source-level decisions are the cheapest cut), then
+    * p09's exact stratified cap on the survivors (exactly ceil(50%·n)
+    * per language via the scale-safe stratified rank), reported as the
+    * per-language mix table (docs in, docs kept, tokens kept) every
+    * mix build publishes. Both stages reuse the standalone operators'
+    * salted hash decisions VERBATIM — determinism composes: the docs
+    * c04 keeps are exactly the p10-kept docs that p09's rank admits,
+    * reproducible on any cluster shape, and the oracle chains the
+    * same CTEs so the whole composition is differential-tested.
+    *
+    * 100 TB shape: one per-source count + broadcast rate table +
+    * map-only mix filter (p10's shape), then the stratified rank's
+    * narrow checkpoint + (lang, 2-hex bucket) windows + broadcast
+    * offsets (p09's shape), one final aggregate. Text is scanned
+    * once; the rank covers (doc_id, lang, token count, hash) only. */
+  val c04MixBuild: Q = Q(
+    "c04_mix_build",
+    """WITH counts AS (SELECT source, count(*) AS n_orig
+      |               FROM documents GROUP BY source),
+      |w AS (SELECT source, n_orig,
+      |        CAST(floor(pow(n_orig, 0.7) * 1000000) AS BIGINT) AS wgt
+      |      FROM counts),
+      |r AS (SELECT source, n_orig,
+      |        least(1.0,
+      |          0.4 * (SELECT sum(n_orig) FROM counts) * wgt /
+      |            (SELECT sum(wgt) FROM w) / n_orig) AS rate
+      |      FROM w),
+      |mix AS (
+      |  SELECT d.doc_id, d.lang, d.text FROM documents d
+      |  JOIN r ON d.source = r.source
+      |  WHERE r.rate >= 1.0
+      |     OR substr(md5(d.doc_id::VARCHAR || ':tmp'), 1, 4) <
+      |        lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))),
+      |             4, '0')),
+      |s AS (SELECT doc_id, lang,
+      |        len(string_split(text, ' ')) AS n_toks,
+      |        md5(doc_id::VARCHAR || ':ss') AS h
+      |      FROM mix),
+      |rk AS (SELECT *,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+      |          AS rk,
+      |        count(*) OVER (PARTITION BY lang) AS n FROM s)
+      |SELECT lang, CAST(max(n) AS BIGINT) AS n_mix,
+      |  CAST(count(*) AS BIGINT) AS n_strat,
+      |  CAST(sum(n_toks) AS BIGINT) AS strat_tokens
+      |FROM rk WHERE rk <= ceil(0.5 * n)
+      |GROUP BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // stage 1 = p10's rate table + map-only keep, verbatim
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_orig"))
+    val w = counts.select($"source", $"n_orig",
+      floor(pow($"n_orig", 0.7) * 1000000).cast("long").as("wgt"))
+    val tot = w.agg(sum($"n_orig").as("tn"), sum($"wgt").as("tw"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select($"source", $"n_orig",
+        least(lit(1.0),
+          lit(0.4) * $"tn" * $"wgt" / $"tw" / $"n_orig").as("rate"))
+    val mix = docs.join(broadcast(rates), "source")
+      .filter($"rate" >= 1.0 ||
+        substring(md5(concat($"doc_id".cast("string"), lit(":tmp"))), 1, 4) <
+          lpad(lower(hex(floor($"rate" * 65536).cast("bigint"))), 4, "0"))
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        md5(concat($"doc_id".cast("string"), lit(":ss"))).as("h"))
+    // stage 2 = p09's exact stratified cap at 50%, over the mix
+    val quotas = mix.groupBy($"lang")
+      .agg(count(lit(1)).as("n_mix"),
+        ceil(count(lit(1)) * 0.5).cast("long").as("quota"))
+    Ranks.stratumRank(mix, Seq($"lang"), substring($"h", 1, 2),
+        Seq($"h", $"doc_id"), "rk")
+      .join(broadcast(quotas), "lang")
+      .filter($"rk" <= $"quota")
+      .groupBy($"lang")
+      .agg(max($"n_mix").as("n_mix"), count(lit(1)).as("n_strat"),
+        sum($"n_toks").as("strat_tokens"))
+  }
+
+  val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits,
+    c03PretrainFunnel, c04MixBuild)
 }
