@@ -302,32 +302,19 @@ object Pipeline {
       |GROUP BY lang""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
-    // stage 1 = p10's rate table + map-only keep, verbatim
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_orig"))
-    val w = counts.select($"source", $"n_orig",
-      floor(pow($"n_orig", 0.7) * 1000000).cast("long").as("wgt"))
-    val tot = w.agg(sum($"n_orig").as("tn"), sum($"wgt").as("tw"))
-    val rates = w.crossJoin(broadcast(tot))
-      .select($"source", $"n_orig",
-        least(lit(1.0),
-          lit(0.4) * $"tn" * $"wgt" / $"tw" / $"n_orig").as("rate"))
-    val mix = docs.join(broadcast(rates), "source")
-      .filter($"rate" >= 1.0 ||
-        substring(md5(concat($"doc_id".cast("string"), lit(":tmp"))), 1, 4) <
-          lpad(lower(hex(floor($"rate" * 65536).cast("bigint"))), 4, "0"))
+    // stage 1 = p10's shared rate table + keep decision (same salt →
+    // identical kept set), projected to the narrow rank frame
+    val mix = docs
+      .join(broadcast(Splits.temperatureRates(docs)), "source")
+      .filter(Splits.keepAtRate($"doc_id", ":tmp", $"rate"))
       .select($"doc_id", $"lang",
         size(split($"text", " ")).cast("long").as("n_toks"),
         md5(concat($"doc_id".cast("string"), lit(":ss"))).as("h"))
-    // stage 2 = p09's exact stratified cap at 50%, over the mix
-    val quotas = mix.groupBy($"lang")
-      .agg(count(lit(1)).as("n_mix"),
-        ceil(count(lit(1)) * 0.5).cast("long").as("quota"))
-    Ranks.stratumRank(mix, Seq($"lang"), substring($"h", 1, 2),
-        Seq($"h", $"doc_id"), "rk")
-      .join(broadcast(quotas), "lang")
-      .filter($"rk" <= $"quota")
+    // stage 2 = p09's shared exact stratified take at 50% (the helper
+    // checkpoints the mix once for its quota and rank consumers)
+    Splits.stratifiedTake(mix, 0.5)
       .groupBy($"lang")
-      .agg(max($"n_mix").as("n_mix"), count(lit(1)).as("n_strat"),
+      .agg(max($"n_stratum").as("n_mix"), count(lit(1)).as("n_strat"),
         sum($"n_toks").as("strat_tokens"))
   }
 

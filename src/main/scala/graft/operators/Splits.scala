@@ -438,13 +438,67 @@ object Splits {
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"lang",
         md5(concat($"doc_id".cast("string"), lit(":ss"))).as("h"))
-    val quotas = docs.groupBy($"lang")
-      .agg(ceil(count(lit(1)) * 0.2).cast("long").as("quota"))
-    Ranks.stratumRank(docs, Seq($"lang"), substring($"h", 1, 2),
+    stratifiedTake(docs, 0.2)
+      .select($"lang", $"rk", $"doc_id")
+  }
+
+  /** Per-source temperature keep rates — shared by p10 and c04 so the
+    * documented composition invariant (c04's mix stage keeps EXACTLY
+    * the p10-kept docs) is structural, not a copy kept in sync by
+    * hand. Sampling mass for source s is n_s^α, floor-quantized to
+    * integer micro-units (exact BIGINT denominator — a raw double sum
+    * is aggregation-order-dependent across engines); rate = budget ·
+    * p_s / n_s capped at 1.0. Returns (source, n_orig, rate).
+    *
+    * The fixture corpora have UNIFORM per-source counts, so the driver
+    * oracle only exercises the single-rate corner of this math;
+    * SkewSpec drives the skewed path — distinct rates, the ≥1.0 cap,
+    * and sub-0x1000 thresholds whose hex needs the lpad leading
+    * zeros — against an independent Scala derivation. */
+  def temperatureRates(docs: org.apache.spark.sql.DataFrame,
+      alpha: Double = 0.7, budget: Double = 0.4)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_orig"))
+    val w = counts.select($"source", $"n_orig",
+      floor(pow($"n_orig", alpha) * 1000000).cast("long").as("wgt"))
+    val tot = w.agg(sum($"n_orig").as("tn"), sum($"wgt").as("tw"))
+    w.crossJoin(broadcast(tot))
+      .select($"source", $"n_orig",
+        least(lit(1.0),
+          lit(budget) * $"tn" * $"wgt" / $"tw" / $"n_orig").as("rate"))
+  }
+
+  /** The deterministic keep decision at a (broadcast) rate: the md5
+    * hex-threshold trick shared by p02/p10/c04 — salt decorrelates
+    * operators; the lpad keeps sub-0x1000 thresholds 4 chars wide. */
+  def keepAtRate(docId: org.apache.spark.sql.Column, salt: String,
+      rate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rate >= 1.0 ||
+      substring(md5(concat(docId.cast("string"), lit(salt))), 1, 4) <
+        lpad(lower(hex(floor(rate * 65536).cast("bigint"))), 4, "0")
+
+  /** Exact-fraction stratified take — shared by p09 and c04: rank per
+    * language in deterministic (h, doc_id) order via the scale-safe
+    * [[Ranks.stratumRank]] and keep exactly ceil(frac·n) per stratum.
+    * Input must carry (doc_id, lang, h); all input columns survive,
+    * plus `rk` and the per-stratum pre-cap count `n_stratum`. The
+    * input is localCheckpointed once here — the quota aggregate and
+    * the rank both read the narrow frame, not the upstream lineage
+    * twice (at cluster scale: persist(DISK_ONLY)). */
+  def stratifiedTake(df: org.apache.spark.sql.DataFrame, frac: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.localCheckpoint()
+    val quotas = base.groupBy($"lang")
+      .agg(count(lit(1)).as("n_stratum"),
+        ceil(count(lit(1)) * frac).cast("long").as("quota"))
+    Ranks.stratumRank(base, Seq($"lang"), substring($"h", 1, 2),
         Seq($"h", $"doc_id"), "rk")
       .join(broadcast(quotas), "lang")
       .filter($"rk" <= $"quota")
-      .select($"lang", $"rk", $"doc_id")
   }
 
   /** p10: TEMPERATURE-based mixture sampling — the canonical
@@ -495,18 +549,9 @@ object Splits {
       |GROUP BY r.source, r.n_orig, r.rate""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_orig"))
-    val w = counts.select($"source", $"n_orig",
-      floor(pow($"n_orig", 0.7) * 1000000).cast("long").as("wgt"))
-    val tot = w.agg(sum($"n_orig").as("tn"), sum($"wgt").as("tw"))
-    val rates = w.crossJoin(broadcast(tot))
-      .select($"source", $"n_orig",
-        least(lit(1.0),
-          lit(0.4) * $"tn" * $"wgt" / $"tw" / $"n_orig").as("rate"))
+    val rates = temperatureRates(docs)
     val kept = docs.join(broadcast(rates), "source")
-      .filter($"rate" >= 1.0 ||
-        substring(md5(concat($"doc_id".cast("string"), lit(":tmp"))), 1, 4) <
-          lpad(lower(hex(floor($"rate" * 65536).cast("bigint"))), 4, "0"))
+      .filter(keepAtRate($"doc_id", ":tmp", $"rate"))
       .select($"source".as("k_source"))
     rates.join(kept, $"source" === $"k_source", "left")
       .groupBy($"source", $"n_orig", $"rate")

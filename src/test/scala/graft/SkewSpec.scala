@@ -20,6 +20,55 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("temperature rates on a SKEWED source mix: cap, lpad, exact math") {
+    import spark.implicits._
+    // The fixture corpora have uniform per-source counts, so the
+    // driver oracle only ever sees ONE rate value (0.4) — this drives
+    // the skewed path p10/c04 document: distinct rates per source, the
+    // rate >= 1.0 cap for a tiny source, and a sub-0x1000 threshold
+    // (rate < 0.0625) whose hex needs lpad's leading zero.
+    // 20000 two-doc sources dominate the mass, one single-doc source
+    // hits the cap, one 50000-doc source lands deep sub-linear
+    // (rate ∝ n^-0.3): the three regimes the uniform fixture never has
+    import org.apache.spark.sql.functions.{concat => fconcat}
+    val pairDocs = spark.range(0, 40000).select(
+      fconcat(lit("s"), ($"id" / 2).cast("long").cast("string"))
+        .as("source"), $"id".as("doc_id"))
+    val oneDoc = Seq(("one", 1000000L)).toDF("source", "doc_id")
+    val hugeDocs = spark.range(0, 50000).select(lit("huge").as("source"),
+      ($"id" + 2000000L).as("doc_id"))
+    val docs = pairDocs.unionByName(oneDoc).unionByName(hugeDocs)
+    val rates = operators.Splits.temperatureRates(docs).localCheckpoint()
+    val got = rates.filter($"source".isin("huge", "one", "s0"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent Scala derivation of the same quantized formula
+    def w(n: Long) = math.floor(math.pow(n.toDouble, 0.7) * 1000000).toLong
+    val tn = 40000L + 1L + 50000L
+    val tw = 20000L * w(2) + w(1) + w(50000)
+    def rate(n: Long) = math.min(1.0, 0.4 * tn * w(n) / tw / n)
+    val want = Map("huge" -> (50000L, rate(50000)),
+      "one" -> (1L, rate(1)), "s0" -> (2L, rate(2)))
+    assert(got == want, s"rates diverge: $got vs $want")
+    // the skew regime actually bites: the singleton is capped, the
+    // dominant source is deep sub-linear
+    assert(got("one")._2 == 1.0, "singleton source must hit the 1.0 cap")
+    assert(got("huge")._2 < 0.0625,
+      "huge source must land below 0x1000/65536 (lpad leading-zero path)")
+    // the keep decision at the sub-0x1000 rate: threshold string must
+    // be 4 chars with leading zeros, and the kept fraction must track
+    // the rate (binomial bound, generous)
+    val hugeRate = got("huge")._2
+    val thresh = f"${math.floor(hugeRate * 65536).toLong}%04x"
+    assert(thresh.length == 4 && thresh.startsWith("0"))
+    val kept = docs.filter($"source" === "huge")
+      .filter(operators.Splits.keepAtRate($"doc_id", ":tmp", lit(hugeRate)))
+      .count()
+    val expect = hugeRate * 50000
+    assert(math.abs(kept - expect) < 6 * math.sqrt(expect) + 10,
+      s"kept $kept vs expected ~$expect at rate $hugeRate")
+  }
+
   test("AQE splits a runtime-detected skewed join (skew=true in final plan)") {
     import spark.implicits._
     // Thresholds lowered so test-sized data trips the same machinery
