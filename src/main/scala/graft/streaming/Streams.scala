@@ -766,12 +766,17 @@ object Streams {
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[AsofMatch] = {
-      val wm = tv.getCurrentWatermarkInMs()
+      // finalization boundary in the SAME µs domain as the sort key:
+      // a ms-grained compare against a µs-sorted buffer would still be
+      // safe (sub-ms fractions share one getTime), but keeping both
+      // comparisons on usec() makes the hold-at-watermark contract
+      // (`>=`, whole microsecond held) inspectable in one unit
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
       def side(e: PendingEvent): Int =
         if (e.event_type == rightType) 0 else 1
       val all = buf.get().toIndexedSeq
         .sortBy(e => (usec(e.ts), side(e), e.event_id))
-      val firstUnfinal = all.indexWhere(_.ts.getTime >= wm)
+      val firstUnfinal = all.indexWhere(e => usec(e.ts) >= wmUs)
       val nFinal = if (firstUnfinal == -1) all.size else firstUnfinal
       var carry = if (carried.exists()) carried.get() else null
       val out = List.newBuilder[AsofMatch]

@@ -751,6 +751,95 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming as-of resolves SUB-MILLISECOND ordering like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Timestamps that differ only in their sub-ms µs fraction: the
+    // processor's sort AND finalization boundary are both usec()-
+    // grained, so matches inside one millisecond must follow µs order
+    // exactly as the batch operator (TimestampType is µs) resolves them.
+    def ts(ms: Long, us: Int): Timestamp = {
+      val t = new Timestamp(ms)
+      t.setNanos(t.getNanos + us * 1000)
+      t
+    }
+    val base = 1700000000000L
+    val evs = Seq(
+      // l2 precedes r1 inside the same millisecond -> no carry, dropped
+      streaming.Event(21L, ts(base, 50), 1L, "purchase", 0.0, "{}"),
+      streaming.Event(10L, ts(base, 100), 1L, "view", 0.0, "{}"),
+      // l1 follows r1 by 50µs -> matches r1
+      streaming.Event(20L, ts(base, 150), 1L, "purchase", 0.0, "{}"),
+      // l3 ties r2 to the microsecond -> right sorts first, matches r2
+      streaming.Event(11L, ts(base + 5, 300), 1L, "view", 0.0, "{}"),
+      streaming.Event(22L, ts(base + 5, 300), 1L, "purchase", 0.0, "{}"),
+      streaming.Event(23L, ts(base + 10, 0), 1L, "purchase", 0.0, "{}"))
+    val want = Set(
+      (1L, 20L, ts(base, 150).getTime, 150, ts(base, 100).getTime, 100, 10L),
+      (1L, 22L, ts(base + 5, 300).getTime, 300, ts(base + 5, 300).getTime,
+        300, 11L),
+      (1L, 23L, ts(base + 10, 0).getTime, 0, ts(base + 5, 300).getTime,
+        300, 11L))
+    // batch twin agrees on the same rows (sanity that `want` IS the
+    // batch semantics, not just this spec's opinion)
+    val ev = evs.toDF()
+    val right = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id".as("right_event"))
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val batch = operators.AsofJoin.asofJoin(left, right,
+      key = "user_id", leftTs = "ts", rightTs = "ts")
+      .select($"user_id", $"event_id", $"ts",
+        $"_carried.ts".as("right_ts"), $"_carried.right_event")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getTimestamp(3).getTime,
+        r.getTimestamp(3).getNanos / 1000 % 1000, r.getLong(4))).toSet
+    assert(batch == want, s"batch twin disagrees: $batch")
+    val skey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(skey)
+    spark.conf.set(skey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[streaming.Event]
+    val q = streaming.Streams
+      .asofEnrichTws(mem.toDS(), "view", "purchase")
+      .writeStream.format("memory").queryName("asof_subms_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_asof_us").toString)
+      .start()
+    try {
+      // deliver fully reversed (every row out of order), then advance
+      // the watermark past the fixture with two sentinel batches
+      mem.addData(evs.reverse)
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-1L,
+        new Timestamp(base + 48L * 3600 * 1000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Event(-2L,
+        new Timestamp(base + 49L * 3600 * 1000), -1L, "__sentinel",
+        0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("asof_subms_out").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(2).getNanos / 1000 % 1000,
+          r.getTimestamp(3).getTime,
+          r.getTimestamp(3).getNanos / 1000 % 1000, r.getLong(4))).toSet
+      assert(got == want,
+        s"sub-ms as-of diverges: extra=${got -- want}, " +
+          s"missing=${want -- got}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(skey, v)
+        case None => spark.conf.unset(skey)
+      }
+    }
+  }
+
   test("transformWithState ListState recent-buffer equals the batch rank") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
