@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -785,8 +786,8 @@ object Dedup {
     * one aggregate on the fingerprint reports spans occurring in ≥ 2
     * distinct documents. Repeated spans longer than 8 tokens surface
     * as RUNS of consecutive flagged fingerprints (overlapping spans
-    * share 7 tokens), so span extension/merging is a downstream
-    * per-document pass over the flagged set.
+    * share 7 tokens); [[d11bMergedSpans]] is that downstream
+    * extension/merging pass, reporting whole spans per document.
     *
     * A suffix array gives exact longest-match extents but needs a
     * corpus-wide sorted structure no shuffle boundary can provide;
@@ -831,8 +832,121 @@ object Dedup {
       .filter($"n_docs" >= 2)
   }
 
+  /** Per-doc 8-gram fingerprint stream at FULL density: one row per
+    * span position `(doc_id, p, span_hash)`. Shared by d11b and the
+    * ScaleStress exact-truth measurement. */
+  def spanFingerprints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), size($"ws") - 8)).as("p"))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        md5(concat_ws(" ", slice($"ws", $"p" + 1, lit(8))))
+          .as("span_hash"))
+  }
+
+  /** Merge consecutive repeated fingerprint positions into SPANS:
+    * classic gaps-and-islands (lag → break flag → running island id →
+    * per-island min/max), one window per doc partition. `span_len` is
+    * in tokens: a run of g consecutive 8-gram positions covers
+    * g + 7 tokens. */
+  def mergeSpans(flagged: DataFrame): DataFrame = {
+    val s = flagged.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    flagged
+      .withColumn("brk",
+        when($"p" - lag($"p", 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("isl", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"p").as("span_start"),
+        (max($"p") - min($"p") + 8).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start", $"span_len", $"n_grams")
+  }
+
+  /** d11b: the span EXTENSION/MERGING pass downstream of d11 — reports
+    * cross-document repeated SPANS `(doc_id, span_start, span_len ≥ 8
+    * tokens, n_grams)` instead of raw winnowed 8-gram hits.
+    *
+    * Production funnel, two phases:
+    *   1. SCREEN (d11's shape): the winnowed aggregate flags repeated
+    *      hashes at 1/8 density; any document holding one becomes a
+    *      flagged doc. At 100 TB this is the cheap corpus-wide pass —
+    *      its single exchange carries 1/8 of span space.
+    *   2. MERGE (this query): ONLY flagged documents are re-scanned at
+    *      full fingerprint density (input ∝ duplicated text, the d09
+    *      scale story), repetition is re-counted exactly over that
+    *      subset, and consecutive repeated positions fold into islands
+    *      with one per-doc window — no corpus-wide suffix structure.
+    *
+    * The winnow can only lose whole DOCUMENTS (a cross-doc span pair
+    * none of whose overlapping fingerprints survives the 1/8 screen —
+    * < 0.88^g for g overlapping grams); within a flagged doc, extents
+    * are exact because the merge phase is unwinnowed. ScaleStress
+    * measures span recall vs the no-screen exact truth at 10×. */
+  val d11bMergedSpans: Q = Q(
+    "d11b_merged_spans",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |s AS (SELECT doc_id, p,
+      |        md5(array_to_string(list_slice(ws, p + 1, p + 8), ' '))
+      |          AS span_hash
+      |      FROM (SELECT doc_id, ws,
+      |              unnest(range(0, len(ws) - 7)) AS p
+      |            FROM d)),
+      |wr AS (SELECT span_hash FROM s WHERE substr(span_hash, 1, 2) < '20'
+      |       GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+      |fd AS (SELECT DISTINCT doc_id FROM s
+      |       WHERE span_hash IN (SELECT span_hash FROM wr)),
+      |sf AS (SELECT * FROM s WHERE doc_id IN (SELECT doc_id FROM fd)),
+      |rf AS (SELECT span_hash FROM sf
+      |       GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+      |fp AS (SELECT doc_id, p FROM sf
+      |       WHERE span_hash IN (SELECT span_hash FROM rf)),
+      |brks AS (SELECT doc_id, p,
+      |           CASE WHEN p - lag(p) OVER
+      |                  (PARTITION BY doc_id ORDER BY p) = 1
+      |                THEN 0 ELSE 1 END AS brk
+      |         FROM fp),
+      |isl AS (SELECT doc_id, p,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+      |        FROM brks)
+      |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+      |  CAST(max(p) - min(p) + 8 AS BIGINT) AS span_len,
+      |  CAST(count(*) AS BIGINT) AS n_grams
+      |FROM isl GROUP BY doc_id, isl_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val spans = spanFingerprints(s, d)
+    val winnowRep = spans
+      .filter(substring($"span_hash", 1, 2) < "20")
+      .groupBy($"span_hash")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"span_hash")
+    val flaggedDocs = spans
+      .join(winnowRep, Seq("span_hash"), "left_semi")
+      .select($"doc_id").distinct()
+    // flagged docs ∝ duplicated text — broadcast the doc-id set so the
+    // full-density re-scan filters map-side, no extra exchange
+    val spansFlagged = spans
+      .join(broadcast(flaggedDocs), Seq("doc_id"), "left_semi")
+    val repeatedFull = spansFlagged
+      .groupBy($"span_hash")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"span_hash")
+    mergeSpans(
+      spansFlagged
+        .join(repeatedFull, Seq("span_hash"), "left_semi")
+        .select($"doc_id", $"p"))
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
     d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup,
     d08IncrementalDedup, d09LineDedup, d10MinhashEstimate,
-    d11RepeatedSpans)
+    d11RepeatedSpans, d11bMergedSpans)
 }

@@ -5,6 +5,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("mergeSpans folds consecutive positions into exact islands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: runs {0,1,2}, {5}, {9,10}; doc 2: single {4} — island
+    // breaks exactly at gaps > 1, span_len = run + 7 extra tokens
+    val flagged = Seq((1L, 0L), (1L, 1L), (1L, 2L), (1L, 5L), (1L, 9L),
+      (1L, 10L), (2L, 4L)).toDF("doc_id", "p")
+    val got = operators.Dedup.mergeSpans(flagged)
+      .select($"doc_id", $"span_start", $"span_len", $"n_grams")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 0L, 10L, 3L), (1L, 5L, 8L, 1L),
+      (1L, 9L, 9L, 2L), (2L, 4L, 8L, 1L)))
+  }
+
   test("minhash-LSH candidates recall the exact jaccard>=0.5 pairs") {
     val exact = SparkEntry.queries("d04_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect()

@@ -30,21 +30,26 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  /** Each measured (metric, value, floor) row, dumped to SCALE_r07.json
-    * after the suite so the recall evidence is a driver-readable
-    * artifact (round-6 verdict ask #5), not just test-log `info` lines.
-    * Referenced from BASELINE.md. */
+  private val ArtifactFile = "SCALE_r08.json"
+
+  /** Each measured (metric, value, floor) row, dumped to the round's
+    * SCALE artifact after the suite so the recall evidence is a
+    * driver-readable artifact (round-6 verdict ask #5), not just
+    * test-log `info` lines. Referenced from BASELINE.md. */
   private val metrics =
     collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
 
   private def record(name: String, value: Double, floor: Double): Unit =
     metrics.put(name, (value, floor))
 
-  /** Rows already present in the artifact on disk, so a partial run
+  /** Rows already present in the artifact on disk (falling back to the
+    * previous round's file the first time), so a partial run
     * (e.g. `testOnly -- -z q17a`) updates its own metrics without
     * clobbering the rest of the table. */
   private def existingRows(): Seq[(String, (Double, Double))] = {
-    val p = java.nio.file.Paths.get("SCALE_r07.json")
+    val cur = java.nio.file.Paths.get(ArtifactFile)
+    val p = if (java.nio.file.Files.exists(cur)) cur
+      else java.nio.file.Paths.get("SCALE_r07.json")
     if (!java.nio.file.Files.exists(p)) return Nil
     val Row =
       """"([^"]+)":\s*\{"value":\s*([-0-9.eE]+),\s*"floor":\s*([-0-9.eE]+)\}""".r
@@ -70,7 +75,7 @@ class ScaleStressSpec extends AnyFunSuite
            |}
            |""".stripMargin
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r07.json"), json)
+        java.nio.file.Paths.get(ArtifactFile), json)
     }
     super.afterAll()
   }
@@ -221,6 +226,45 @@ class ScaleStressSpec extends AnyFunSuite
     assert(sparse >= 0.30, f"span-pair recall collapsed: $sparse%.4f")
     assert(sparse / ceiling >= 0.80,
       f"winnow loses too much: $sparse%.4f of ceiling $ceiling%.4f")
+  }
+
+  test("10x corpus: merged spans (d11b) hold position recall vs the" +
+      " no-screen exact truth") {
+    import spark.implicits._
+    // d11b's two-phase funnel (winnowed screen -> full-density merge on
+    // flagged docs) can only lose whole DOCUMENTS at the screen; inside
+    // a flagged doc the merge is unwinnowed. Measure both properties at
+    // 10x: (a) soundness — every reported span position is a truly
+    // repeated position (found ⊆ truth, no invention); (b) recall — the
+    // fraction of exactly-repeated positions the funnel retains, where
+    // the exact truth is the SAME merge run with no screen at all.
+    val spans = operators.Dedup.spanFingerprints(spark, dir)
+      .localCheckpoint()
+    val repAll = spans.groupBy($"span_hash")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"span_hash")
+    val truthPos = spans.join(repAll, Seq("span_hash"), "left_semi")
+      .select($"doc_id", $"p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truthPos.size >= 1000,
+      s"inflation too weak for spans: ${truthPos.size} repeated positions")
+    val found = SparkEntry.queries("d11b_merged_spans")(spark, dir)
+      .select($"doc_id", $"span_start", $"n_grams").collect()
+    val foundPos = found.flatMap { r =>
+      (0L until r.getLong(2)).map(i => (r.getLong(0), r.getLong(1) + i))
+    }.toSet
+    assert(foundPos.subsetOf(truthPos),
+      s"d11b invented positions: ${(foundPos -- truthPos).take(5)}")
+    val recall = (foundPos & truthPos).size.toDouble / truthPos.size
+    val truthDocs = truthPos.map(_._1)
+    val foundDocs = foundPos.map(_._1)
+    val docRecall = (foundDocs & truthDocs).size.toDouble / truthDocs.size
+    info(f"d11b span-position recall at 10x: $recall%.4f " +
+      f"(${foundPos.size}/${truthPos.size}); doc recall $docRecall%.4f")
+    record("d11b_span_position_recall", recall, 0.70)
+    record("d11b_flagged_doc_recall", docRecall, 0.70)
+    assert(recall >= 0.70, f"span-position recall collapsed: $recall%.4f")
+    assert(docRecall >= 0.70, f"flagged-doc recall collapsed: $docRecall%.4f")
   }
 
   test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {
