@@ -73,6 +73,15 @@ object Bench {
 
     val t0 = baselineT0()
 
+    // Host-load telemetry (sweep-level noise adjudication): per-query
+    // retry catches query-level noise, but a loaded host inflates the
+    // WHOLE sweep. Record 1-min loadavg before/after so a future judge
+    // can attribute sweep-level drift from the artifact alone.
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadavg()
+
     def run(name: String): Double = {
       val start = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -145,6 +154,7 @@ object Bench {
     // Full detail to a file the judge (and next round) can read.
     val detail =
       s"""{"metric":"total","value":$foldedTotal,"unit":"sec","sf":$sfNum,
+         |"host_load":{"loadavg_before":${"%.2f".format(loadBefore)},"loadavg_after":${"%.2f".format(loadavg())},"cpus":${Runtime.getRuntime.availableProcessors}},
          |"queries":${jmap(folded, "%.3f")},
          |"ratios_vs_t0":${jmap(folded.collect { case (k, v) if v >= 0 && t0.contains(k) => (k, v / t0(k)) }, "%.3f")},
          |"reruns_first_pass":${jmap(suspects.map(k => k -> byName(k)), "%.3f")},

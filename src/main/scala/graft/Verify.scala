@@ -31,13 +31,28 @@ object Verify {
     // and the driver's dtype-sensitive pandas comparator crashes on a
     // tz-aware-vs-naive mismatch. The session is UTC-pinned, so the cast
     // is value-preserving — it only changes the parquet annotation.
+    // ... and RECURSIVELY: a timestamp nested inside a struct/array/map
+    // (e.g. a query projecting asofJoin's _carried struct whole) must be
+    // rewritten too, or the nested field dumps tz-adjusted and trips the
+    // same comparator. Cast to the recursively-rewritten type — Spark
+    // casts complex types field-by-field, and the session is UTC-pinned
+    // so every leaf cast is value-preserving.
+    import org.apache.spark.sql.types._
+    def denaive(dt: DataType): DataType = dt match {
+      case TimestampType => TimestampNTZType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = denaive(f.dataType))))
+      case a: ArrayType => a.copy(elementType = denaive(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = denaive(m.keyType), valueType = denaive(m.valueType))
+      case other => other
+    }
     def naiveTs(df: org.apache.spark.sql.DataFrame) =
-      df.schema.fields.foldLeft(df) {
-        case (d, f) if f.dataType ==
-            org.apache.spark.sql.types.TimestampType =>
-          d.withColumn(f.name, org.apache.spark.sql.functions
-            .col(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
-        case (d, _) => d
+      df.schema.fields.foldLeft(df) { case (d, f) =>
+        val target = denaive(f.dataType)
+        if (target == f.dataType) d
+        else d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast(target))
       }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -277,8 +277,8 @@ object Pipeline {
       |      FROM counts),
       |r AS (SELECT source, n_orig,
       |        least(1.0,
-      |          0.4 * (SELECT sum(n_orig) FROM counts) * wgt /
-      |            (SELECT sum(wgt) FROM w) / n_orig) AS rate
+      |          CAST(0.4 AS DOUBLE) * (SELECT sum(n_orig) FROM counts)
+      |            * wgt / (SELECT sum(wgt) FROM w) / n_orig) AS rate
       |      FROM w),
       |mix AS (
       |  SELECT d.doc_id, d.lang, d.text FROM documents d

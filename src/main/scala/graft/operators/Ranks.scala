@@ -136,12 +136,21 @@ object Ranks {
     val grp = sCols :+ "__ps_b"
     val totals = withB.groupBy(grp.map(col): _*).agg(sum(value).as("__ps_t"))
       .localCheckpoint() // B rows; the self-join would re-aggregate twice
+    // NULL-AWARE bucket ordering: `<` alone is null-false both ways, so
+    // a null bucket would get offset 0 (colliding with the first
+    // non-null bucket) AND be excluded from every other bucket's
+    // offset. Order the null bucket FIRST (the NULLS FIRST convention
+    // the per-bucket windows also use), so its total feeds every
+    // non-null bucket and its own rows keep offset 0 — exactly
+    // row_number's treatment of a null leading sort key.
+    val bucketBefore = (col("__ps_bb") < col("__ps_b")) ||
+      (col("__ps_bb").isNull && col("__ps_b").isNotNull)
     val offsets = totals
       .join(broadcast(totals.select(
           (sCols.map(n => col(n).as(s"${n}_b")) :+
             col("__ps_b").as("__ps_bb") :+ col("__ps_t").as("__ps_tb")): _*)),
         sCols.map(n => col(s"${n}_b") <=> col(n))
-          .foldLeft(col("__ps_bb") < col("__ps_b"))(_ && _), "left")
+          .foldLeft(bucketBefore)(_ && _), "left")
       .groupBy(grp.map(col): _*)
       .agg(coalesce(sum(col("__ps_tb")), lit(0L)).as("__ps_off"))
     val wLocal = Window.partitionBy(grp.map(col): _*)

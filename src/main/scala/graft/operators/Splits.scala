@@ -492,12 +492,18 @@ object Splits {
     val s = df.sparkSession
     import s.implicits._
     val base = df.localCheckpoint()
+    // NULL-SAFE quota join: the SQL twin's `PARTITION BY lang` ranks a
+    // null-lang stratum like any other, and stratumRank's internals
+    // already join strata with <=> — a using-column join here would
+    // silently drop that stratum at the last step.
     val quotas = base.groupBy($"lang")
       .agg(count(lit(1)).as("n_stratum"),
         ceil(count(lit(1)) * frac).cast("long").as("quota"))
+      .withColumnRenamed("lang", "__q_lang")
     Ranks.stratumRank(base, Seq($"lang"), substring($"h", 1, 2),
         Seq($"h", $"doc_id"), "rk")
-      .join(broadcast(quotas), "lang")
+      .join(broadcast(quotas), $"lang" <=> $"__q_lang")
+      .drop("__q_lang")
       .filter($"rk" <= $"quota")
   }
 
@@ -518,9 +524,14 @@ object Splits {
     * denominator Σ n^0.7 is an exact BIGINT sum — a raw double sum
     * there is aggregation-order-dependent across engines and would
     * make the rate table flake at floor boundaries. The remaining
-    * multiply/divide chain runs on identical integers with identical
-    * association on both engines, so the broadcast rate table matches
-    * the oracle's bit-for-bit.
+    * multiply/divide chain is DOUBLE on both engines with the same
+    * left association — the oracle writes `CAST(0.4 AS DOUBLE)`
+    * because DuckDB otherwise parses the literal as DECIMAL and
+    * multiplies exactly before its one double division, a different
+    * rounding chain that could flip the kept set when a rate lands
+    * exactly on a floor(rate*65536) boundary. Same IEEE ops in the
+    * same order on identical integer inputs ⇒ the broadcast rate
+    * table matches the oracle's bit-for-bit.
     *
     * 100 TB shape: one count aggregate per source, two scalar
     * subqueries over the |sources|-row table, the rate table broadcast
@@ -534,8 +545,8 @@ object Splits {
       |      FROM counts),
       |r AS (SELECT source, n_orig,
       |        least(1.0,
-      |          0.4 * (SELECT sum(n_orig) FROM counts) * wgt /
-      |            (SELECT sum(wgt) FROM w) / n_orig) AS rate
+      |          CAST(0.4 AS DOUBLE) * (SELECT sum(n_orig) FROM counts)
+      |            * wgt / (SELECT sum(wgt) FROM w) / n_orig) AS rate
       |      FROM w),
       |kept AS (
       |  SELECT d.source FROM documents d JOIN r ON d.source = r.source

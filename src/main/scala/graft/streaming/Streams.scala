@@ -443,10 +443,11 @@ object Streams {
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[FunnelMatch] = {
-      val wm = tv.getCurrentWatermarkInMs()
+      // µs-domain boundary like the sort key (see AsofProcessor)
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
       val all = buf.get().toIndexedSeq
         .sortBy(e => (usec(e.ts), e.event_id))
-      val firstOpen = all.indexWhere(_.ts.getTime >= wm)
+      val firstOpen = all.indexWhere(e => usec(e.ts) >= wmUs)
       val nFinal = if (firstOpen == -1) all.size else firstOpen
       val L = pattern.size
       val matches = (0 to nFinal - L).iterator
@@ -616,10 +617,11 @@ object Streams {
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[FunnelMatch] = {
-      val wm = tv.getCurrentWatermarkInMs()
+      // µs-domain boundary like the sort key (see AsofProcessor)
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
       val all = buf.get().toIndexedSeq
         .sortBy(e => (usec(e.ts), e.event_id))
-      val firstUnfinal = all.indexWhere(_.ts.getTime >= wm)
+      val firstUnfinal = all.indexWhere(e => usec(e.ts) >= wmUs)
       val nFinal = if (firstUnfinal == -1) all.size else firstUnfinal
       val ledger: Set[(Long, Long)] = emitted.get()
         .map(e => (usec(e.ts), e.event_id)).toSet
@@ -649,8 +651,17 @@ object Streams {
       emitted.clear()
       val nl = newLedger.result()
       if (nl.nonEmpty) emitted.appendList(nl.toArray)
+      onFinalize(uid, all.size, keep.length)
       out.result().iterator
     }
+
+    /** Observation hook, called once per timer firing with the row
+      * count buffered before eviction and kept after — lets the
+      * scale-stress suite MEASURE the documented O(unfinalized + open
+      * prefix) state bound instead of trusting the scaladoc. No-op in
+      * production. */
+    protected def onFinalize(uid: Long, buffered: Int, kept: Int): Unit =
+      ()
   }
 
   /** The RETRY-IDEMPOTENT foreachBatch sink for the checkpointed
@@ -793,8 +804,15 @@ object Streams {
       buf.clear()
       if (keep.nonEmpty) buf.appendList(keep)
       if (carry != null) carried.update(carry)
+      onFinalize(uid, all.size, keep.length)
       out.result().iterator
     }
+
+    /** Observation hook (see [[QuantFunnelProcessor.onFinalize]]):
+      * measures the O(unfinalized + 1) state bound in ScaleStressSpec.
+      * No-op in production. */
+    protected def onFinalize(uid: Long, buffered: Int, kept: Int): Unit =
+      ()
   }
 
   /** Streaming as-of enrichment through [[AsofProcessor]]. */

@@ -110,6 +110,25 @@ class RanksSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("globalRank with a NULL bucket (null sort keys) matches NULLS FIRST") {
+    import spark.implicits._
+    // a caller whose bucket expression yields null (here: because the
+    // sort key itself is null for some rows — ascending order puts
+    // them FIRST) must still match row_number: the null bucket's total
+    // feeds every non-null bucket's offset and its own rows start at
+    // offset 0, instead of colliding with the first non-null bucket
+    val df = fixture.withColumn("kn", when($"id" % 10 =!= 0, $"k"))
+    val w = Window.orderBy($"kn".asc, $"id")
+    val want = df.withColumn("rn", row_number().over(w))
+      .select($"id", $"rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = operators.Ranks
+      .globalRank(df, substring($"kn", 1, 1), Seq($"kn".asc, $"id"), "rn")
+      .select($"id", $"rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("tinyRank fails loudly on a duplicate key (violated contract)") {
     import spark.implicits._
     val dup = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")

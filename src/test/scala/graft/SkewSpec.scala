@@ -69,6 +69,30 @@ class SkewSpec extends AnyFunSuite {
       s"kept $kept vs expected ~$expect at rate $hugeRate")
   }
 
+  test("stratifiedTake keeps a NULL-lang stratum (null-safe quota join)") {
+    import spark.implicits._
+    // SQL's `PARTITION BY lang` ranks the null group like any other;
+    // a using-column quota join would silently drop it at the last
+    // step. Compare against a driver-side derivation per stratum.
+    val docs = spark.range(0, 300).select(
+        $"id".as("doc_id"),
+        when($"id" % 3 === 0, lit(null).cast("string"))
+          .when($"id" % 3 === 1, lit("en")).otherwise(lit("fr")).as("lang"),
+        md5($"id".cast("string")).as("h"))
+      .localCheckpoint()
+    val got = operators.Splits.stratifiedTake(docs, 0.2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .groupBy(_._2)
+      .flatMap { case (_, rows) =>
+        val quota = math.ceil(rows.length * 0.2).toInt
+        rows.sortBy(r => (r._3, r._1)).take(quota).map(_._1).toSeq
+      }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.size == 60 && got.size == 60) // 100 per stratum, 20 kept
+  }
+
   test("AQE splits a runtime-detected skewed join (skew=true in final plan)") {
     import spark.implicits._
     // Thresholds lowered so test-sized data trips the same machinery
