@@ -360,7 +360,13 @@ object Dedup {
     * path and both are cross-checked for label equality in DedupSpec.
     *
     * Oracle: DuckDB recursive-CTE transitive closure over the same
-    * pairs, min reachable id per node. */
+    * pairs, min reachable id per node.
+    *
+    * SCALE NOTE: the CC is O(log² n) rounds, but the d04 PAIR STAGE
+    * this form inherits is the exact shared-shingle self-join — the
+    * declared quadratic ground truth (the round-8 sf1 step measured
+    * ~80x on 10x data). The production form is [[d06bDupClustersLsh]]:
+    * the same CC over d03's LSH-verified pairs. */
   val d06DupClusters: Q = Q(
     "d06_dup_clusters",
     """WITH RECURSIVE
@@ -385,6 +391,64 @@ object Dedup {
     import s.implicits._
     connectedComponentsStars(
       ngramJaccardPairs(s, d).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** d06b: duplicate clusters over the d03 MINHASH-LSH pair stage —
+    * the SCALE PATH d06's ground-truth form cannot take: d06 inherits
+    * d04's exact shingle self-join, whose shared-shingle buckets grow
+    * with dup density (the round-8 sf1 step measured it ~80x on 10x
+    * data — quadratic by inheritance). d06b swaps ONLY the pair stage
+    * for d03's banded candidates + exact verification (identical pair
+    * schema and threshold, recall bounded by the measured LSH floors
+    * in SCALE_r08.json) and keeps the same star-contraction CC — the
+    * swap the d06/c01 scaladocs always promised at 100 TB, now a
+    * registered, oracled query. The oracle chains d03's hash-verified
+    * CTEs into d06's recursive-CC SQL, so cluster assignments match
+    * DuckDB bit-for-bit REGARDLESS of LSH recall (both engines see
+    * the same candidate set). */
+  val d06bDupClustersLsh: Q = Q(
+    "d06b_dup_clusters_lsh",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b),
+      |dup AS (SELECT doc_a, doc_b FROM inter p
+      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |        UNION SELECT doc_b, doc_a FROM dup),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    connectedComponentsStars(
+      minhashPairs(s, d, numHashes = 64, bands = 16)
+        .select($"doc_a", $"doc_b"))
       .select($"node".as("doc_id"), $"label".as("cluster_id"))
   }
 
@@ -946,7 +1010,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
-    d04NgramJaccard, d05Simhash, d06DupClusters, d07SemanticDedup,
-    d08IncrementalDedup, d09LineDedup, d10MinhashEstimate,
-    d11RepeatedSpans, d11bMergedSpans)
+    d04NgramJaccard, d05Simhash, d06DupClusters, d06bDupClustersLsh,
+    d07SemanticDedup, d08IncrementalDedup, d09LineDedup,
+    d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans)
 }

@@ -12,7 +12,10 @@ import graft.sources.Tables
   * differential-tested, not just its stages.
   *
   * At 100 TB the only change is swapping the d04 ground-truth stage for
-  * d03's MinHash+LSH candidates — same pair schema, same removal rule. */
+  * d03's MinHash+LSH candidates — same pair schema, same removal rule:
+  * that swap is REGISTERED as [[c01bCorpusCleanLsh]] (the round-8 sf1
+  * step measured this form ~105x on 10x data through the shared-shingle
+  * self-join; the LSH twin reads ~2x). */
 object Pipeline {
 
   val c01CorpusClean: Q = Q(
@@ -60,6 +63,84 @@ object Pipeline {
     val quality = TextAnalysis.t02QualityScore.build(s, d)
       .select($"doc_id", $"lang", $"n_tokens", $"quality")
     val dupes = Dedup.d04NgramJaccard.build(s, d)
+      .select($"doc_b").distinct()
+    quality
+      .filter($"quality" >= 0.5)
+      .join(dupes, quality("doc_id") === dupes("doc_b"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("total_tokens"),
+        Exact.davg($"quality").as("avg_quality"))
+  }
+
+  /** c01b: the corpus-cleaning pipeline on its 100 TB dedup stage —
+    * the swap c01's scaladoc promises ("at 100 TB the only change is
+    * swapping the d04 ground-truth stage for d03's MinHash+LSH
+    * candidates"), now a registered, oracled query instead of a
+    * comment: the quality scorer, removal rule (drop every doc_b of a
+    * pair), and stats stage are c01's VERBATIM; only the pair stage is
+    * d03's banded candidates + exact verification. The round-8 sf1
+    * step motivated it with numbers: c01 read ~105x on 10x data (the
+    * shared-shingle self-join grows with dup density), while the LSH
+    * stage's band buckets stay bounded. Oracle parity is recall-
+    * independent — DuckDB recomputes the identical hash family, so
+    * both engines drop the same doc set. */
+  val c01bCorpusCleanLsh: Q = Q(
+    "c01b_corpus_clean_lsh",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    round(
+      |      0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+      |      + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0)
+      |      + 0.3 * (CAST(n_types AS DOUBLE) / n_tokens), 6) AS quality
+      |  FROM f),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b),
+      |dupes AS (SELECT DISTINCT doc_b FROM inter p
+      |          JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |          JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |          WHERE 2 * inter >= (s1.n + s2.n - inter))
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(quality)
+      |    AS avg_quality
+      |FROM q
+      |WHERE quality >= 0.5
+      |  AND doc_id NOT IN (SELECT doc_b FROM dupes)
+      |GROUP BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val quality = TextAnalysis.t02QualityScore.build(s, d)
+      .select($"doc_id", $"lang", $"n_tokens", $"quality")
+    val dupes = Dedup.minhashPairs(s, d, numHashes = 64, bands = 16)
       .select($"doc_b").distinct()
     quality
       .filter($"quality" >= 0.5)
@@ -318,6 +399,6 @@ object Pipeline {
         sum($"n_toks").as("strat_tokens"))
   }
 
-  val all: Seq[Q] = Seq(c01CorpusClean, c02IngestToSplits,
-    c03PretrainFunnel, c04MixBuild)
+  val all: Seq[Q] = Seq(c01CorpusClean, c01bCorpusCleanLsh,
+    c02IngestToSplits, c03PretrainFunnel, c04MixBuild)
 }
