@@ -162,7 +162,182 @@ object Multimodal {
       .select($"doc_id", $"neighbor_id", $"sim")
   }
 
-  val all: Seq[Q] = Seq(m01BinaryFrames, m02BatchDecode, m03MediaSimilarity)
+  /** m03b: media similarity through LSH BUCKETS — the scale path m03's
+    * scaladoc defers to ("bucketing the extracted vectors through
+    * s02/s04's LSH"), now a registered, oracled query: the same
+    * per-partition feature extraction, then candidates restricted to
+    * docs sharing at least one 4-bit hyperplane band (2 bands, the s02
+    * OR construction — one fat signature over-splits the residual
+    * directions and starves recall), exact cosine + top-3 within the
+    * candidates (the round-8 sf1 step measured the all-pairs form at
+    * 22x on 10x data; here pair work is bounded by band-bucket sizes).
+    *
+    * MEAN-CENTERING makes hyperplane LSH effective on this data: text
+    * byte-sum features all point near the corpus-average direction, so
+    * raw hyperplane signs would agree everywhere and collapse to one
+    * bucket; the per-band corpus mean is subtracted first and planes
+    * cut the RESIDUAL directions. The mean is exact cross-engine: band
+    * sums are integers whose corpus totals stay far below 2^53, so the
+    * double sum is partition-order-independent and the one division is
+    * the same IEEE op in both engines; residuals, plane dots (left
+    * fold, matching DuckDB's list_dot_product order), and signs then
+    * evaluate bit-identically — which is what lets the oracle recompute
+    * the buckets from scratch in SQL (s02's proven pattern, s02's
+    * md5 plane family at dim 16). */
+  val m03bMediaSimilarityLsh: Q = Q(
+    "m03b_media_similarity_lsh",
+    """WITH imgs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |bytes AS (
+      |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+      |  FROM imgs),
+      |b2 AS (
+      |  SELECT doc_id, (i - 1) % 16 AS band,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM bytes),
+      |sums AS (
+      |  SELECT doc_id, band, CAST(sum(v) AS BIGINT) AS s
+      |  FROM b2 GROUP BY doc_id, band),
+      |feat AS (
+      |  SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY band) AS f,
+      |    sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm
+      |  FROM sums GROUP BY doc_id),
+      |mv AS (
+      |  SELECT list(CAST(ts AS DOUBLE) / n ORDER BY band) AS m
+      |  FROM (SELECT band, CAST(sum(s) AS BIGINT) AS ts, count(*) AS n
+      |        FROM sums GROUP BY band)),
+      |dims AS (SELECT unnest(range(0, 16)) AS i),
+      |ps AS (SELECT unnest(range(0, 8)) AS p),
+      |planes AS (
+      |  SELECT p, list(CAST((('0x' || substr(md5(CAST(p AS VARCHAR)
+      |      || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)
+      |      AS DOUBLE) / 1000.0 ORDER BY i) AS pv
+      |  FROM ps, dims GROUP BY p),
+      |resid AS (
+      |  SELECT f.doc_id,
+      |    list_transform(range(1, 17), j -> f.f[j] - mv.m[j]) AS r
+      |  FROM feat f CROSS JOIN mv),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN list_dot_product(r, pv) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM resid CROSS JOIN planes),
+      |sigs AS (
+      |  SELECT doc_id, p // 4 AS band,
+      |    CAST(sum(bit << (p % 4)) AS BIGINT) AS sig
+      |  FROM bits GROUP BY doc_id, p // 4),
+      |bsz AS (SELECT band, sig, count(*) AS n FROM sigs
+      |        GROUP BY band, sig),
+      |sc AS (
+      |  SELECT s.doc_id, s.band, s.sig,
+      |    ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |      % CAST(ceil(CAST(b.n AS DOUBLE) / 256) AS BIGINT) AS cell
+      |  FROM sigs s JOIN bsz b ON s.band = b.band AND s.sig = b.sig),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS neighbor_id
+      |  FROM sc a JOIN sc b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.cell = b.cell
+      |      AND a.doc_id <> b.doc_id),
+      |pairs AS (
+      |  SELECT c.doc_id, c.neighbor_id,
+      |    list_dot_product(fa.f, fb.f) / (fa.nrm * fb.nrm) AS sim
+      |  FROM cands c
+      |  JOIN feat fa ON fa.doc_id = c.doc_id
+      |  JOIN feat fb ON fb.doc_id = c.neighbor_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT doc_id, neighbor_id, sim
+      |FROM r WHERE rn <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val banded = mediaFeatSigs(s, d)
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // candidates = docs sharing AT LEAST ONE 4-bit band (the s02 OR
+    // construction — one band over-splits residual directions and
+    // starves recall), deduped on ids BEFORE the vectors rejoin.
+    // FAT-BUCKET CAP (the d07 salting trade): concentrated features
+    // make one residual direction dominate — at the sf1 step the
+    // biggest band bucket held ~40% of the corpus, quadratic-grade —
+    // so buckets over 256 docs salt into md5 sub-cells and pair work
+    // is bounded by N*256 per band; recall inside a fat bucket decays
+    // by the documented ~1/cells, everywhere else is untouched (the
+    // fixture's buckets are all under the cap).
+    val sizes = banded.groupBy($"band", $"sig")
+      .agg(count(lit(1)).as("n"))
+    val salted = banded.join(broadcast(sizes), Seq("band", "sig"))
+      .withColumn("cell",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % ceil($"n" / 256.0).cast("long"))
+    val cands = salted.select($"doc_id", $"band", $"sig", $"cell")
+      .join(salted.select($"doc_id".as("neighbor_id"), $"band", $"sig",
+        $"cell"), Seq("band", "sig", "cell"))
+      .filter($"doc_id" =!= $"neighbor_id")
+      .select($"doc_id", $"neighbor_id").distinct()
+    val vecs = banded.select($"doc_id", $"f", $"nrm")
+      .dropDuplicates("doc_id")
+    val dot = column(graft.functions.DoubleVecDot(
+      expression($"f"), expression($"fb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"sim".desc, $"neighbor_id")
+    cands
+      .join(vecs, "doc_id")
+      .join(vecs.select($"doc_id".as("neighbor_id"), $"f".as("fb"),
+        $"nrm".as("nrmb")), "neighbor_id")
+      .select($"doc_id", $"neighbor_id",
+        (dot / ($"nrm" * $"nrmb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"neighbor_id", $"sim")
+  }
+
+  /** (doc_id, f, nrm, band, sig) — m03's extracted features plus the
+    * mean-centered hyperplane BAND signatures m03b buckets on (8
+    * planes as 2 bands x 4 bits, two rows per doc). Shared with
+    * MultimodalSpec so the bucket-split guard inspects the REAL
+    * signature distribution, not a reimplementation. */
+  def mediaFeatSigs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val feats: Dataset[ImgFeat] = Tables.documents(s, d)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bands = new Array[Double](16)
+          var i = 0
+          while (i < payload.length) {
+            bands(i % 16) += (payload(i) & 0xFF)
+            i += 1
+          }
+          ImgFeat(id, bands, math.sqrt(bands.map(x => x * x).sum))
+        }
+      }
+      .localCheckpoint() // codec pass runs ONCE (mean + both join sides)
+    val a = feats.toDF("doc_id", "f", "nrm")
+    val mean = a.agg(array((0 until 16).map(i =>
+      sum(element_at($"f", i + 1)) / count(lit(1))): _*).as("m"))
+    val nBands = 2
+    val bandBits = 4
+    val bandsCol = {
+      val bits = Similarity.hyperplaneSketch(
+        zip_with($"f", $"m", (x, mm) => x - mm),
+        nPlanes = nBands * bandBits, dim = 16)
+      array((0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        aggregate(zip_with(
+            slice(bits, lit(b * bandBits + 1), lit(bandBits)),
+            sequence(lit(0), lit(bandBits - 1)),
+            (bit, i) => bit * call_function("shiftleft", lit(1), i)),
+          lit(0), (acc, v) => acc + v).as("sig"))): _*)
+    }
+    a.crossJoin(broadcast(mean))
+      .select($"doc_id", $"f", $"nrm", explode(bandsCol).as("bb"))
+      .select($"doc_id", $"f", $"nrm", $"bb.band", $"bb.sig")
+  }
+
+  val all: Seq[Q] = Seq(m01BinaryFrames, m02BatchDecode,
+    m03MediaSimilarity, m03bMediaSimilarityLsh)
 }
 
 /** STUB CODEC — stands in for image/audio decoding libraries that are

@@ -191,11 +191,19 @@ object Similarity {
   }
 
   /** s03: embedding-cosine near-duplicate pairs (all-pairs at fixture
-    * scale as ground truth; the documented scale path is s02-style
-    * bucketing first). Threshold 0.42 picked against the fixture's sim
-    * distribution (near-random embeddings, max pairwise sim ≈ 0.51 —
-    * the `label` column is NOT a cosine-cluster id in this data) to
-    * yield a small, stable pair set. */
+    * scale as ground truth). Threshold 0.42 picked against the
+    * fixture's sim distribution (near-random embeddings, max pairwise
+    * sim ≈ 0.51 — the `label` column is NOT a cosine-cluster id in
+    * this data) to yield a small, stable pair set.
+    *
+    * SCALE PATH: NOT hyperplane banding — at a threshold this close to
+    * the background similarity, band-collision probability for true
+    * pairs (~0.64^bits per band) gives useless recall; hyperplane LSH
+    * prunes only when true pairs are far more similar than background
+    * (the top-k regime, registered as s02/s04b). Threshold-style
+    * semantic dedup at scale is the CLUSTER-then-pair form registered
+    * as d07 (SemDeDup cells + capped within-cell pairs), which is also
+    * what the literature runs at high (0.9+) thresholds. */
   val s03CosineDedup: Q = Q(
     "s03_cosine_dedup",
     """WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
