@@ -59,7 +59,9 @@ object Bench {
     "m02_batch_decode", "sc01_script_transform", "st05_stateful_totals",
     "w01_smb_join", "f06_parquet_codecs", "d09_line_dedup",
     "c02_ingest_splits", "w04_merge_upsert", "st13_quant_funnel",
-    "s04b_knn_ivf_trained")
+    "s04b_knn_ivf_trained", "c01b_corpus_clean_lsh",
+    "d06b_dup_clusters_lsh", "m03b_media_similarity_lsh",
+    "d11b_merged_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
