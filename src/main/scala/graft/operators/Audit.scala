@@ -277,6 +277,94 @@ object Audit {
           .as("contrib_milli"))
   }
 
+  /** dq05: SPLIT-LEAKAGE audit — near-duplicate pairs that cross the
+    * train/val/test boundary, the contamination a trainer must catch
+    * BEFORE training (a val/test doc with a train-side near-dup
+    * inflates eval scores exactly like benchmark contamination, but
+    * arises from the split itself). Composes two shipped operators
+    * verbatim: p01's deterministic split device
+    * ([[Splits.splitAssignment]] — auditing the EXACT assignment the
+    * pipeline ships) and d03's LSH pair stage
+    * ([[Dedup.minhashPairs]] — the scale-path candidate set, recall
+    * bounded by SCALE_r08's measured floors). Output is the per-
+    * direction leakage table (ordered split pair, pair count, leaked
+    * doc count, worst jaccard) — the one-page report a data audit
+    * publishes; the oracle chains both operators' hash-verified CTEs,
+    * so the whole composition is differential-tested.
+    *
+    * 100 TB shape: d03's banded self-join dominates (its own scale
+    * story); the split columns are two map-side md5 prefixes joined
+    * back to the pair table on doc ids — no new shuffle beyond the
+    * pair aggregation. */
+  val dq05SplitLeakage: Q = Q(
+    "dq05_split_leakage",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b),
+      |pairs AS (SELECT doc_a, doc_b,
+      |            round(CAST(inter AS DOUBLE) /
+      |              (s1.n + s2.n - inter), 6) AS jaccard
+      |          FROM inter p
+      |          JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |          JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |          WHERE 2 * inter >= (s1.n + s2.n - inter)),
+      |splits AS (SELECT doc_id,
+      |             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+      |                    THEN 'train'
+      |                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f3'
+      |                    THEN 'val'
+      |                  ELSE 'test' END AS split
+      |           FROM documents),
+      |leaks AS (SELECT least(sa.split, sb.split) AS split_a,
+      |            greatest(sa.split, sb.split) AS split_b,
+      |            p.doc_a, p.doc_b, p.jaccard
+      |          FROM pairs p
+      |          JOIN splits sa ON p.doc_a = sa.doc_id
+      |          JOIN splits sb ON p.doc_b = sb.doc_id
+      |          WHERE sa.split <> sb.split)
+      |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_leaked_docs,
+      |  max(jaccard) AS max_jaccard
+      |FROM leaks GROUP BY split_a, split_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pairs = Dedup.minhashPairs(s, d, numHashes = 64, bands = 16)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val splits = Splits.splitAssignment(Tables.documents(s, d))
+    pairs
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"),
+        $"doc_a", $"doc_b", $"jaccard")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_leaked_docs"),
+        max($"jaccard").as("max_jaccard"))
+  }
+
   val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
-    dq03EmbeddingAudit, dq04DriftAudit)
+    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage)
 }

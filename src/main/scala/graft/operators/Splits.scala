@@ -26,16 +26,27 @@ object Splits {
       |  count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d)
+    splitAssignment(Tables.documents(s, d))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+  }
+
+  /** p01's deterministic split device as a reusable frame — (doc_id,
+    * split) via the md5-prefix thresholds. Shared with dq05 so the
+    * leakage audit scores the EXACT split assignment the pipeline
+    * ships, not a reimplementation that could drift. */
+  def splitAssignment(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .select($"doc_id",
         substring(md5($"doc_id".cast("string")), 1, 2).as("h"))
       .select($"doc_id",
         when($"h" < "e6", "train")
           .when($"h" < "f3", "val")
           .otherwise("test").as("split"))
-      .groupBy($"split")
-      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_doc"),
-        max($"doc_id").as("max_doc"))
   }
 
   /** p02: stratified training-mix rebalancing — downsample every

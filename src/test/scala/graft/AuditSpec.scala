@@ -79,4 +79,36 @@ class AuditSpec extends AnyFunSuite {
     assert(byAction("kept") ==
       total - mods.getOrElse(0L, 0L) - mods.getOrElse(3L, 0L))
   }
+
+  test("dq05: leakage table equals the manual d03-pairs x p01-split join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the audit must be EXACTLY the composition of its two shipped
+    // stages — recompute it from the operators' own outputs and
+    // compare, so a refactor of either stage can't silently drift the
+    // report; also pin the ordered-pair convention (split_a <= split_b)
+    val got = SparkEntry.queries("dq05_split_leakage")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    val splits = operators.Splits
+      .splitAssignment(sources.Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = operators.Dedup
+      .minhashPairs(spark, sf, numHashes = 64, bands = 16)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs
+      .map { case (a, b) => (splits(a), splits(b), b) }
+      .filter { case (sa, sb, _) => sa != sb }
+      .groupBy { case (sa, sb, _) =>
+        (Seq(sa, sb).min, Seq(sa, sb).max) }
+      .map { case (k, vs) => k -> (vs.size.toLong,
+        vs.map(_._3).distinct.size.toLong) }
+    assert(got == want, s"leakage diverges: $got vs $want")
+    got.keys.foreach { case (a, b) => assert(a <= b) }
+    assert(got.values.map(_._1).sum > 0, "fixture has no cross-split" +
+      " near-dups — the audit would be vacuous")
+  }
 }

@@ -322,6 +322,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no bounded rank heap:\n$p")
   }
 
+  test("m03b: bucket-size table broadcasts; top-3 is a bounded heap") {
+    // the scale twin's two plan properties: the tiny (band, sig) size
+    // table joins broadcast (the fat-bucket salt must not shuffle the
+    // corpus against a 32-row table), and the per-doc top-3 runs the
+    // WindowGroupLimit heap, never a full per-doc sort
+    val p = plan("m03b_media_similarity_lsh")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no bounded rank heap:\n$p")
+  }
+
   test("c03: funnel reads the corpus text exactly once (checkpointed base)") {
     // first cut re-scanned documents.parquet 22 times across the five
     // stage aggregates; the checkpointed 4-column base must leave ZERO
