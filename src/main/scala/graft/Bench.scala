@@ -61,7 +61,7 @@ object Bench {
     "c02_ingest_splits", "w04_merge_upsert", "st13_quant_funnel",
     "s04b_knn_ivf_trained", "c01b_corpus_clean_lsh",
     "d06b_dup_clusters_lsh", "m03b_media_similarity_lsh",
-    "d11b_merged_spans")
+    "d11b_merged_spans", "d12_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -149,9 +149,16 @@ object Dedup {
     * array-expression formulation would be re-inlined per hash by
     * CollapseProject, recomputing the shingle array numHashes times).
     * One shuffle on doc_id, linear hashing. */
-  def minhashSigs(s: SparkSession, d: String, numHashes: Int): DataFrame = {
+  def minhashSigs(s: SparkSession, d: String, numHashes: Int): DataFrame =
+    minhashSigsOf(Tables.documents(s, d), numHashes)
+
+  /** [[minhashSigs]] over an arbitrary (doc_id, text) frame — the
+    * incremental form (d12) signs the BATCH and the CORPUS separately
+    * instead of one fixture read. */
+  def minhashSigsOf(docs: DataFrame, numHashes: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val shingleRows = Tables.documents(s, d)
+    val shingleRows = docs
       .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
       .select($"doc_id", md5($"g").as("m"))
       .select($"doc_id",
@@ -167,25 +174,34 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH band candidates (doc_a < doc_b) from a signature table. */
-  def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+  /** (doc_id, band, bh) band rows from a signature table — the
+    * join-key form both the self-join (d03) and the batch-vs-corpus
+    * join (d12) bucket on. bands*r beyond the signature would slice()
+    * empty/truncated band hashes that match almost everything — fail
+    * loudly instead; the guard is a per-row assert_true riding the
+    * existing scan (a driver-side length probe would cost an extra
+    * job per call). */
+  def bandSignatures(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    // bands*r beyond the signature would slice() empty/truncated band
-    // hashes that match almost everything — fail loudly instead. The
-    // guard is a per-row assert_true riding the existing scan (a
-    // driver-side length probe would cost an extra job per call).
     val checked = sigs.filter(assert_true(
       size($"sig") >= lit(bands * r),
       lit(s"bands*r = ${bands * r} exceeds minhash signature length"))
       .isNull)
-    val banded = checked
+    checked
       .select($"doc_id", explode(array((0 until bands).map(b => struct(
         lit(b).as("band"),
         concat_ws(",",
           slice($"sig", b * r + 1, r).cast("array<string>")).as("bh")
       )): _*)).as("b"))
       .select($"doc_id", $"b.band", $"b.bh")
+  }
+
+  /** LSH band candidates (doc_a < doc_b) from a signature table. */
+  def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    val banded = bandSignatures(sigs, bands, r)
     banded.as("x")
       .join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
@@ -679,6 +695,114 @@ object Dedup {
       .select($"doc_id", $"ch".isNotNull.as("dup_of_corpus"))
   }
 
+  /** d12: incremental NEAR-dup — d08's daily-increment shape at d03's
+    * near-duplicate level, the form a rolling crawl actually needs: an
+    * exact-normalized hash (d08) misses a re-crawl that changed one
+    * boilerplate line, so the batch is signed with minhash and
+    * band-joined against the CORPUS side's band table, then exact-
+    * verified — each batch doc reports whether the existing corpus
+    * already holds a near-duplicate (jaccard >= 0.5) and the best
+    * jaccard found. Fixture convention mirrors d08: corpus = even
+    * docs, batch = odd docs plus suffix-perturbed copies of every
+    * 10th doc (the suffix shifts ~8 shingles of ~52, jaccard ≈ 0.86 —
+    * TRUE near-dups the exact-hash form cannot see).
+    *
+    * 100 TB shape: the corpus collapses to its (band, bh) table —
+    * maintained INCREMENTALLY in production (append each ingested
+    * batch's band rows); join work is proportional to batch-bucket
+    * collisions, never corpus pairs; verification touches only
+    * candidate shingle sets. One new shuffle per ingest, none over
+    * the corpus text. */
+  val d12IncrementalNearDup: Q = Q(
+    "d12_incremental_neardup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    text || ' zq1 zq2 zq3 zq4 zq5 zq6' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |alld AS (SELECT 'c' AS side, doc_id, text FROM corpus
+      |         UNION ALL SELECT 'b' AS side, doc_id, text FROM batch),
+      |toks AS (SELECT side, doc_id, string_split(text, ' ') AS t
+      |         FROM alld),
+      |sh AS (SELECT DISTINCT side, doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT side, doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT side, doc_id, i,
+      |           min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY side, doc_id, i),
+      |bandhash AS (SELECT side, doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY side, doc_id, i // 4),
+      |cands AS (SELECT DISTINCT b.doc_id AS batch_id,
+      |            c.doc_id AS corpus_id
+      |          FROM bandhash b JOIN bandhash c
+      |            ON b.band = c.band AND b.bh = c.bh
+      |          WHERE b.side = 'b' AND c.side = 'c'),
+      |sizes AS (SELECT side, doc_id, count(*) AS n FROM sh
+      |          GROUP BY side, doc_id),
+      |inter AS (SELECT cd.batch_id, cd.corpus_id, count(*) AS inter
+      |          FROM cands cd
+      |          JOIN sh a ON a.side = 'b' AND a.doc_id = cd.batch_id
+      |          JOIN sh b ON b.side = 'c' AND b.doc_id = cd.corpus_id
+      |            AND a.g = b.g
+      |          GROUP BY cd.batch_id, cd.corpus_id),
+      |ver AS (SELECT i.batch_id,
+      |          max(round(CAST(inter AS DOUBLE) /
+      |            (s1.n + s2.n - inter), 6)) AS best_jaccard
+      |        FROM inter i
+      |        JOIN sizes s1 ON s1.side = 'b' AND s1.doc_id = i.batch_id
+      |        JOIN sizes s2 ON s2.side = 'c' AND s2.doc_id = i.corpus_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)
+      |        GROUP BY i.batch_id)
+      |SELECT b.doc_id, (v.best_jaccard IS NOT NULL) AS dup_of_corpus,
+      |  v.best_jaccard
+      |FROM batch b LEFT JOIN ver v ON v.batch_id = b.doc_id"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text")
+      .unionAll(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text")))
+    val bands = 16
+    val r = 4
+    val cBands = bandSignatures(minhashSigsOf(corpus, 64), bands, r)
+      .select($"doc_id".as("corpus_id"), $"band", $"bh")
+    val bBands = bandSignatures(minhashSigsOf(batch, 64), bands, r)
+      .select($"doc_id".as("batch_id"), $"band", $"bh")
+    val cands = bBands.join(cBands, Seq("band", "bh"))
+      .select($"batch_id", $"corpus_id").distinct()
+    val bSh = batch.select($"doc_id".as("batch_id"),
+      shingles(toks($"text")).as("sh_b"))
+    val cSh = corpus.select($"doc_id".as("corpus_id"),
+      shingles(toks($"text")).as("sh_c"))
+    val ver = cands
+      .join(bSh, "batch_id")
+      .join(cSh, "corpus_id")
+      .select($"batch_id",
+        size(array_intersect($"sh_b", $"sh_c")).as("inter"),
+        (size($"sh_b") + size($"sh_c") -
+          size(array_intersect($"sh_b", $"sh_c"))).as("uni"))
+      .filter(lit(2) * $"inter" >= $"uni")
+      .groupBy($"batch_id")
+      .agg(max(round($"inter" / $"uni", 6)).as("best_jaccard"))
+    batch.select($"doc_id")
+      .join(ver, $"doc_id" === $"batch_id", "left_outer")
+      .select($"doc_id", $"best_jaccard".isNotNull.as("dup_of_corpus"),
+        $"best_jaccard")
+  }
+
   /** d09: cross-corpus SEGMENT dedup (the C4 / RefinedWeb "line
     * dedup" step, re-shaped for the newline-free fixture): cut every
     * document into non-overlapping 10-word segments, and for any
@@ -1012,5 +1136,6 @@ object Dedup {
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
     d04NgramJaccard, d05Simhash, d06DupClusters, d06bDupClustersLsh,
     d07SemanticDedup, d08IncrementalDedup, d09LineDedup,
-    d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans)
+    d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans,
+    d12IncrementalNearDup)
 }

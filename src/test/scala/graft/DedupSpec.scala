@@ -238,4 +238,27 @@ class DedupSpec extends AnyFunSuite {
       .filter($"clean_hash" =!= md5($"text")).count()
     assert(untouched == 0L, "a zero-drop doc failed to round-trip its text")
   }
+
+  test("d12: perturbed batch docs are near-dups the exact hash cannot see") {
+    val rows = SparkEntry.queries("d12_incremental_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // every suffix-perturbed copy (ids shifted by 1e6) must be flagged
+    // with a jaccard in the TRUE near-dup band — below 1.0 (so d08's
+    // exact-normalized hash provably cannot have caught it: an exact
+    // dup has identical shingle sets) and above the 0.5 threshold
+    val perturbed = rows.filter(_._1 >= 1000000L)
+    assert(perturbed.nonEmpty)
+    perturbed.foreach { case (id, dup, j) =>
+      assert(dup, s"perturbed $id not flagged against the corpus")
+      assert(j.exists(v => v >= 0.5 && v < 1.0),
+        s"perturbed $id jaccard $j outside the near-dup band")
+    }
+    // and the report is not vacuously positive: most odd batch docs
+    // have no corpus near-dup
+    val odd = rows.filter(_._1 < 1000000L)
+    assert(odd.count(!_._2) > odd.length / 2,
+      "odd batch mostly flagged — fixture should not be that dup-heavy")
+  }
 }
