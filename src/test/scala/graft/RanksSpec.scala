@@ -83,10 +83,15 @@ class RanksSpec extends AnyFunSuite {
     // computed driver-side, independent of any Spark window.
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // keys are OPTIONAL: a None key models the null-sort-key rows the
+    // null-aware bucket ordering handles — they sort FIRST (Spark asc
+    // NULLS FIRST) and their bucket expression is null
     val genCase = for {
       n <- Gen.choose(1, 60)
       vs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
-      ks <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      ks <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(-500L, 500L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long])))
       width <- Gen.choose(1L, 200L)
       off <- Gen.choose(-100L, 100L)
     } yield (ks.zip(vs), width, off)
@@ -100,7 +105,7 @@ class RanksSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val sorted = rows.zipWithIndex
         .map { case ((k, v), i) => (i.toLong, k, v) }
-        .sortBy { case (i, k, _) => (k, i) }
+        .sortBy { case (i, k, _) => (k.isDefined, k.getOrElse(0L), i) }
       val want = sorted.zip(sorted.scanLeft(0L) { case (acc, (_, _, v)) =>
         acc + v }.tail).map { case ((i, _, _), cum) => i -> cum }.toMap
       got == want

@@ -460,6 +460,83 @@ class StreamingSpec extends AnyFunSuite {
       "restarted stream must converge to the batch aggregate")
   }
 
+  test("st13: checkpointed restart resumes the quantified funnel exactly-once") {
+    // The ledger's strongest claim under its riskiest condition: kill
+    // the query mid-stream (buffered state + possibly-emitted matches
+    // in RocksDB), restart a NEW query from the checkpoint, land the
+    // rest of the data — the sink must converge to the batch twin with
+    // ZERO duplicate rows (a re-emission after restart would land in a
+    // DIFFERENT batch partition, which the idempotent sink cannot
+    // collapse — only the ledger prevents it).
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_qsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_qdest").toString
+    val schema = sources.Tables.events(spark, sf).schema
+    val tokens = Seq("view", "click*", "purchase")
+    val chunks = batchEvents.grouped(
+      math.max(1, batchEvents.size / 3)).toSeq
+
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+        .as[streaming.Event]
+      streaming.Streams.quantFunnelMatchesTws(src, tokens)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: Dataset[streaming.FunnelMatch], id: Long) =>
+            streaming.Streams.sinkMatchesIdempotent(b, id, dest)
+        }
+        .start()
+    }
+
+    try {
+      val q1 = startQuery()
+      try {
+        chunks.head.toDF().write.mode("append").parquet(srcDir)
+        q1.processAllAvailable()
+        chunks(1).toDF().write.mode("append").parquet(srcDir)
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      chunks.drop(2).foreach(c =>
+        c.toDF().write.mode("append").parquet(srcDir))
+      val s0 = sentinel
+      Seq(s0).toDF().write.mode("append").parquet(srcDir)
+      Seq(s0.copy(event_id = -2L,
+          ts = new Timestamp(s0.ts.getTime + 60000)))
+        .toDF().write.mode("append").parquet(srcDir)
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = streaming.Streams.readMatchesSink(spark, dest)
+        .filter($"user_id" >= 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSeq
+      assert(got.distinct.size == got.size,
+        s"restart re-emitted matches: ${got.diff(got.distinct).take(5)}")
+      val want = operators.Windows
+        .matchPathQuant(sources.Tables.events(spark, sf), tokens)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getTimestamp(4).getTime)).toSet
+      assert(want.nonEmpty)
+      assert(got.toSet == want,
+        s"restarted funnel diverges: extra=${got.toSet -- want}, " +
+          s"missing=${want -- got.toSet}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState event-time timers close sessions == batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
