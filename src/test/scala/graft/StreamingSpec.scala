@@ -537,6 +537,91 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st14: checkpointed restart carries the as-of state across queries") {
+    // The restart-critical property is different from st13's: after a
+    // firing evicts every finalized row, the ONE-ROW carry ValueState
+    // is all that lets post-restart left rows match pre-restart right
+    // rows — lose it and the join silently turns inner-empty for the
+    // boundary rows. Kill mid-stream, restart, land the rest, compare
+    // to the batch asofJoin twin.
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_asrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ackpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_adest").toString
+    val schema = sources.Tables.events(spark, sf).schema
+    val chunks = batchEvents.grouped(
+      math.max(1, batchEvents.size / 3)).toSeq
+
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+        .as[streaming.Event]
+      streaming.Streams.asofEnrichTws(src, "view", "purchase")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: Dataset[streaming.AsofMatch], id: Long) =>
+            streaming.Streams.sinkMatchesIdempotent(b, id, dest)
+        }
+        .start()
+    }
+
+    try {
+      val q1 = startQuery()
+      try {
+        chunks.head.toDF().write.mode("append").parquet(srcDir)
+        q1.processAllAvailable()
+        chunks(1).toDF().write.mode("append").parquet(srcDir)
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      chunks.drop(2).foreach(c =>
+        c.toDF().write.mode("append").parquet(srcDir))
+      val s0 = sentinel
+      Seq(s0).toDF().write.mode("append").parquet(srcDir)
+      Seq(s0.copy(event_id = -2L,
+          ts = new Timestamp(s0.ts.getTime + 60000)))
+        .toDF().write.mode("append").parquet(srcDir)
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = streaming.Streams.readSink(spark, dest,
+          org.apache.spark.sql.Encoders.product[streaming.AsofMatch].schema)
+        .filter($"user_id" >= 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4))).toSeq
+      assert(got.distinct.size == got.size,
+        s"restart re-emitted as-of rows: ${got.diff(got.distinct).take(5)}")
+      val ev = sources.Tables.events(spark, sf)
+      val right = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("right_event"))
+      val left = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val want = operators.AsofJoin.asofJoin(left, right,
+        key = "user_id", leftTs = "ts", rightTs = "ts")
+        .select($"user_id", $"event_id", $"ts",
+          $"_carried.ts".as("right_ts"),
+          $"_carried.right_event".as("right_event"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4))).toSet
+      assert(want.nonEmpty)
+      assert(got.toSet == want,
+        s"restarted as-of diverges: extra=${got.toSet -- want}, " +
+          s"missing=${want -- got.toSet}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState event-time timers close sessions == batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
