@@ -389,6 +389,31 @@ class ScaleStressSpec extends AnyFunSuite
     // failure mode at 437s vs 18.5s capped).
     record("m03b_media_topk_recall", recall, 0.15)
     assert(recall >= 0.15, f"m03b recall collapsed at 10x: $recall%.4f")
+    // the two-part report (the d03/d11 house pattern): ATTRIBUTE the
+    // loss — restricted to docs whose every bucket is under the cap
+    // (no salting), recall isolates the pure banding quality; the
+    // gap between the two numbers is the cap's documented price, now
+    // measured instead of asserted
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val bandRows = operators.Multimodal.mediaFeatSigs(spark, dir)
+    val sizes = bandRows.groupBy("band", "sig")
+      .agg(fcount(flit(1)).as("n"))
+    val uncapped = bandRows.join(sizes, Seq("band", "sig"))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max("n").as("mx"))
+      .filter(org.apache.spark.sql.functions.col("mx") <= 256)
+      .collect().map(_.getLong(0)).toSet
+    val freePairs = exact.filter { case (a, b) =>
+      uncapped(a) && uncapped(b) }
+    if (freePairs.nonEmpty) {
+      val freeRecall = (lsh & freePairs).size.toDouble / freePairs.size
+      info(f"m03b uncapped-bucket recall at 10x: $freeRecall%.4f " +
+        f"(${(lsh & freePairs).size}/${freePairs.size}; " +
+        f"${uncapped.size} uncapped docs)")
+      record("m03b_uncapped_bucket_recall", freeRecall, 0.35)
+      assert(freeRecall >= 0.35,
+        f"banding itself is broken (cap not involved): $freeRecall%.4f")
+    }
   }
 
   private def knnSetM(df: org.apache.spark.sql.DataFrame)
