@@ -30,7 +30,7 @@ import graft.sources.Tables
 object Dedup {
 
   /** Tokens column. */
-  private def toks(c: Column): Column = split(c, " ")
+  def toks(c: Column): Column = split(c, " ")
 
   /** Distinct 3-word shingles, map-side, guarded for short docs. The
     * token array is lambda-bound (functions.Grams.bindArray): with a
@@ -775,18 +775,38 @@ object Dedup {
       .unionAll(docs.filter($"doc_id" % 10 === 0)
         .select(($"doc_id" + 1000000L).as("doc_id"),
           concat($"text", lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text")))
-    val bands = 16
-    val r = 4
-    val cBands = bandSignatures(minhashSigsOf(corpus, 64), bands, r)
+    nearDupAgainstCorpus(batch, corpusBandIndex(corpus),
+      corpus.select($"doc_id".as("corpus_id"),
+        shingles(toks($"text")).as("sh_c")))
+  }
+
+  /** The corpus-side near-dup INDEX d12 (and its streaming ingest
+    * face) probes: (corpus_id, band, bh) minhash band rows. Production
+    * maintains this incrementally — append each ingested batch's rows
+    * after admission. */
+  def corpusBandIndex(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    bandSignatures(minhashSigsOf(corpus, 64), bands = 16, r = 4)
       .select($"doc_id".as("corpus_id"), $"band", $"bh")
-    val bBands = bandSignatures(minhashSigsOf(batch, 64), bands, r)
+  }
+
+  /** d12's core against a PRE-BUILT corpus index — shaped so a
+    * streaming ingest gate can call it per micro-batch (StreamingSpec
+    * drives exactly that through foreachBatch): sign the batch, probe
+    * the index, exact-verify candidates against the corpus shingle
+    * sets, report (doc_id, dup_of_corpus, best_jaccard) per batch
+    * doc. Work is proportional to the BATCH's bucket collisions. */
+  def nearDupAgainstCorpus(batch: DataFrame, cBands: DataFrame,
+      cSh: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bBands = bandSignatures(minhashSigsOf(batch, 64), 16, 4)
       .select($"doc_id".as("batch_id"), $"band", $"bh")
     val cands = bBands.join(cBands, Seq("band", "bh"))
       .select($"batch_id", $"corpus_id").distinct()
     val bSh = batch.select($"doc_id".as("batch_id"),
       shingles(toks($"text")).as("sh_b"))
-    val cSh = corpus.select($"doc_id".as("corpus_id"),
-      shingles(toks($"text")).as("sh_c"))
     val ver = cands
       .join(bSh, "batch_id")
       .join(cSh, "corpus_id")

@@ -537,6 +537,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest near-dup gate equals d12 over chunked delivery") {
+    // the d12 increment shape run the way production runs it: the
+    // corpus band index is built ONCE (static side), then each
+    // micro-batch of newly ingested docs probes it through foreachBatch
+    // — d12's core verbatim per batch, stateless across batches, so
+    // any chunking must land on the batch operator's exact output
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val docs = sources.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text")
+    val cBands = operators.Dedup.corpusBandIndex(corpus).localCheckpoint()
+    val cSh = corpus.select($"doc_id".as("corpus_id"),
+      operators.Dedup.shingles(operators.Dedup.toks($"text")).as("sh_c"))
+      .localCheckpoint()
+    val batchDocs = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text")
+      .unionAll(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndsrc").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_nddest").toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ndckpt").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          operators.Dedup.nearDupAgainstCorpus(b, cBands, cSh), id, dest)
+      }
+      .start()
+    try {
+      batchDocs.grouped(math.max(1, batchDocs.size / 3)).foreach { c =>
+        c.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.streaming.Streams.readSink(spark, dest,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dup_of_corpus",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("best_jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    assert(got.distinct.size == got.size, "gate emitted duplicate rows")
+    val want = SparkEntry.queries("d12_incremental_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"gate diverges from d12: extra=${(got.toSet -- want).take(5)}, " +
+        s"missing=${(want -- got.toSet).take(5)}")
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
