@@ -12,12 +12,23 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")
+    // --executed: materialize through the noop sink first and print the
+    // FINAL adaptive plan — `.explain` alone shows the static plan, so
+    // AQE's runtime decisions (broadcast↔SMJ flips, skew splits,
+    // coalesced reads) are invisible without it. This is how the
+    // at-scale plan claims in PLANS.md are checked against tmp/sf1.
+    val executed = args.contains("--executed")
+    val qnames = args.filterNot(_ == "--executed").toSeq
     val spark = GraftSession.local("8", "graft-explain")
-    val names = if (args.nonEmpty) args.toSeq
+    val names = if (qnames.nonEmpty) qnames
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (executed) {
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }
