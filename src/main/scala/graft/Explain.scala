@@ -26,7 +26,12 @@ object Explain {
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (executed) {
-        df.write.format("noop").mode("overwrite").save()
+        // execute df's OWN QueryExecution: a write/count/foreach wraps
+        // the logical plan in a NEW QueryExecution (the SkewSpec trap)
+        // and this df's AdaptiveSparkPlan would print
+        // isFinalPlan=false with the pre-AQE choices; toRdd is the
+        // one RDD backed by THIS QueryExecution's adaptive plan
+        df.queryExecution.toRdd.foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
       } else df.explain("formatted")
     }

@@ -287,10 +287,13 @@ object Audit {
     * pipeline ships) and d03's LSH pair stage
     * ([[Dedup.minhashPairs]] — the scale-path candidate set, recall
     * bounded by SCALE_r08's measured floors). Output is the per-
-    * direction leakage table (ordered split pair, pair count, leaked
-    * doc count, worst jaccard) — the one-page report a data audit
-    * publishes; the oracle chains both operators' hash-verified CTEs,
-    * so the whole composition is differential-tested.
+    * direction leakage table — ordered split pair, pair count,
+    * distinct contaminated docs ON EACH SIDE (for (train, val):
+    * n_docs_b = val docs holding a train near-dup, the eval
+    * contamination a trainer acts on), worst jaccard — the one-page
+    * report a data audit publishes; the oracle chains both operators'
+    * hash-verified CTEs, so the whole composition is
+    * differential-tested.
     *
     * 100 TB shape: d03's banded self-join dominates (its own scale
     * story); the split columns are two map-side md5 prefixes joined
@@ -339,13 +342,18 @@ object Audit {
       |           FROM documents),
       |leaks AS (SELECT least(sa.split, sb.split) AS split_a,
       |            greatest(sa.split, sb.split) AS split_b,
-      |            p.doc_a, p.doc_b, p.jaccard
+      |            CASE WHEN sa.split <= sb.split THEN p.doc_a
+      |                 ELSE p.doc_b END AS doc_in_a,
+      |            CASE WHEN sa.split <= sb.split THEN p.doc_b
+      |                 ELSE p.doc_a END AS doc_in_b,
+      |            p.jaccard
       |          FROM pairs p
       |          JOIN splits sa ON p.doc_a = sa.doc_id
       |          JOIN splits sb ON p.doc_b = sb.doc_id
       |          WHERE sa.split <> sb.split)
       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
-      |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_leaked_docs,
+      |  CAST(count(DISTINCT doc_in_a) AS BIGINT) AS n_docs_a,
+      |  CAST(count(DISTINCT doc_in_b) AS BIGINT) AS n_docs_b,
       |  max(jaccard) AS max_jaccard
       |FROM leaks GROUP BY split_a, split_b""".stripMargin) { (s, d) =>
     import s.implicits._
@@ -356,12 +364,22 @@ object Audit {
       .join(splits.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
       .filter($"sa" =!= $"sb")
+      // PER-SIDE doc attribution: (doc_a, doc_b) is id order, which is
+      // unrelated to which SPLIT each doc belongs to — counting
+      // doc_b alone would measure neither side of the leak. Re-key
+      // each pair's docs to the ordered (split_a, split_b) sides so
+      // n_docs_a / n_docs_b are the distinct contaminated docs OF THAT
+      // SPLIT (for (train, val): n_docs_b = val docs with a train
+      // near-dup — the eval contamination a trainer acts on).
       .select(least($"sa", $"sb").as("split_a"),
         greatest($"sa", $"sb").as("split_b"),
-        $"doc_a", $"doc_b", $"jaccard")
+        when($"sa" <= $"sb", $"doc_a").otherwise($"doc_b").as("doc_in_a"),
+        when($"sa" <= $"sb", $"doc_b").otherwise($"doc_a").as("doc_in_b"),
+        $"jaccard")
       .groupBy($"split_a", $"split_b")
       .agg(count(lit(1)).as("n_pairs"),
-        countDistinct($"doc_b").as("n_leaked_docs"),
+        countDistinct($"doc_in_a").as("n_docs_a"),
+        countDistinct($"doc_in_b").as("n_docs_b"),
         max($"jaccard").as("max_jaccard"))
   }
 

@@ -1024,14 +1024,10 @@ object Dedup {
       |FROM w GROUP BY span_hash
       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin) { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 8)
-      .select($"doc_id", $"ws",
-        explode(sequence(lit(0), size($"ws") - 8)).as("p"))
-      .select($"doc_id",
-        md5(concat_ws(" ", slice($"ws", $"p" + 1, lit(8))))
-          .as("span_hash"))
+    // ONE fingerprint definition for the whole d11 family: this is
+    // [[spanFingerprints]] + the winnow; Catalyst prunes the unused
+    // position column, so the plan is unchanged vs the old inline copy
+    spanFingerprints(s, d)
       .filter(substring($"span_hash", 1, 2) < "20")
       .groupBy($"span_hash")
       .agg(countDistinct($"doc_id").as("n_docs"),
@@ -1128,7 +1124,11 @@ object Dedup {
       |  CAST(count(*) AS BIGINT) AS n_grams
       |FROM isl GROUP BY doc_id, isl_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val spans = spanFingerprints(s, d)
+    // materialized ONCE: the fingerprint scan (split + explode + md5
+    // over the whole corpus) feeds the winnow screen, the flagged-doc
+    // set, AND the full-density re-scan — without this it re-runs ~4x
+    // (at cluster scale: persist(DISK_ONLY))
+    val spans = spanFingerprints(s, d).localCheckpoint()
     val winnowRep = spans
       .filter(substring($"span_hash", 1, 2) < "20")
       .groupBy($"span_hash")

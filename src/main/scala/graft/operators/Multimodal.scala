@@ -124,27 +124,7 @@ object Multimodal {
       |SELECT doc_id, neighbor_id, sim FROM r WHERE rn <= 3"""
       .stripMargin) { (s, d) =>
     import s.implicits._
-    val feats: Dataset[ImgFeat] = Tables.documents(s, d)
-      .filter($"doc_id" % 2 === 0)
-      .select($"doc_id", $"text".cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        // per-partition "codec" pass, same contract as decodePipeline
-        batch.map { case (id, payload) =>
-          val bands = new Array[Double](16)
-          var i = 0
-          while (i < payload.length) {
-            bands(i % 16) += (payload(i) & 0xFF)
-            i += 1
-          }
-          ImgFeat(id, bands, math.sqrt(bands.map(x => x * x).sum))
-        }
-      }
-      // materialized once: the dataset feeds BOTH sides of the pair
-      // join, and without this the per-partition codec pass runs twice
-      // — with a real decoder at scale, that is decoding the whole
-      // corpus twice
-      .localCheckpoint()
+    val feats = mediaFeatures(s, d)
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val a = feats.toDF("doc_id", "f", "nrm")
     val b = feats.toDF("neighbor_id", "fb", "nrmb")
@@ -290,15 +270,17 @@ object Multimodal {
       .select($"doc_id", $"neighbor_id", $"sim")
   }
 
-  /** (doc_id, f, nrm, band, sig) — m03's extracted features plus the
-    * mean-centered hyperplane BAND signatures m03b buckets on (8
-    * planes as 2 bands x 4 bits, two rows per doc). Shared with
-    * MultimodalSpec so the bucket-split guard inspects the REAL
-    * signature distribution, not a reimplementation. */
-  def mediaFeatSigs(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** m03's per-partition "codec" feature extraction (the
+    * decodePipeline contract) — the ONE copy the all-pairs ground
+    * truth (m03) and the bucketing path (m03b via [[mediaFeatSigs]])
+    * both call: the recall floors and the oracle's mean-centering
+    * exactness argument assume bit-identical features, so a second
+    * inline copy would be a silent-drift hazard. Materialized once —
+    * the dataset feeds the corpus mean and both join sides; with a
+    * real decoder at scale a recompute decodes the corpus again. */
+  def mediaFeatures(s: SparkSession, d: String): Dataset[ImgFeat] = {
     import s.implicits._
-    val feats: Dataset[ImgFeat] = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", $"text".cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
@@ -313,8 +295,18 @@ object Multimodal {
           ImgFeat(id, bands, math.sqrt(bands.map(x => x * x).sum))
         }
       }
-      .localCheckpoint() // codec pass runs ONCE (mean + both join sides)
-    val a = feats.toDF("doc_id", "f", "nrm")
+      .localCheckpoint()
+  }
+
+  /** (doc_id, f, nrm, band, sig) — m03's extracted features plus the
+    * mean-centered hyperplane BAND signatures m03b buckets on (8
+    * planes as 2 bands x 4 bits, two rows per doc). Shared with
+    * MultimodalSpec so the bucket-split guard inspects the REAL
+    * signature distribution, not a reimplementation. */
+  def mediaFeatSigs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val a = mediaFeatures(s, d).toDF("doc_id", "f", "nrm")
     val mean = a.agg(array((0 until 16).map(i =>
       sum(element_at($"f", i + 1)) / count(lit(1))): _*).as("m"))
     val nBands = 2

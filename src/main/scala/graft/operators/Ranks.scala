@@ -142,7 +142,12 @@ object Ranks {
     // offset. Order the null bucket FIRST (the NULLS FIRST convention
     // the per-bucket windows also use), so its total feeds every
     // non-null bucket and its own rows keep offset 0 — exactly
-    // row_number's treatment of a null leading sort key.
+    // row_number's treatment of a null leading sort key under
+    // ASCENDING order. CONTRACT NOTE: this fixes null-first only —
+    // a caller sorting DESC (Spark desc = NULLS LAST) whose null sort
+    // keys reach a null bucket must map those nulls into an explicit
+    // last-ordered bucket value instead (all current callers derive
+    // buckets from non-null keys; RanksSpec pins the asc path).
     val bucketBefore = (col("__ps_bb") < col("__ps_b")) ||
       (col("__ps_bb").isNull && col("__ps_b").isNotNull)
     val offsets = totals

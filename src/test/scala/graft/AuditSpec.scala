@@ -90,7 +90,7 @@ class AuditSpec extends AnyFunSuite {
     val got = SparkEntry.queries("dq05_split_leakage")(spark, sf)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3)))
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
     val splits = operators.Splits
       .splitAssignment(sources.Tables.documents(spark, sf))
@@ -99,13 +99,18 @@ class AuditSpec extends AnyFunSuite {
       .minhashPairs(spark, sf, numHashes = 64, bands = 16)
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    // per-side doc attribution: each pair's docs re-keyed to the
+    // ordered split pair, so the distinct counts are per SPLIT side
+    // (not the id-order doc_b, which belongs to neither side)
     val want = pairs
-      .map { case (a, b) => (splits(a), splits(b), b) }
-      .filter { case (sa, sb, _) => sa != sb }
-      .groupBy { case (sa, sb, _) =>
-        (Seq(sa, sb).min, Seq(sa, sb).max) }
+      .map { case (a, b) => (splits(a), splits(b), a, b) }
+      .filter { case (sa, sb, _, _) => sa != sb }
+      .map { case (sa, sb, a, b) =>
+        if (sa <= sb) (sa, sb, a, b) else (sb, sa, b, a) }
+      .groupBy { case (sa, sb, _, _) => (sa, sb) }
       .map { case (k, vs) => k -> (vs.size.toLong,
-        vs.map(_._3).distinct.size.toLong) }
+        vs.map(_._3).distinct.size.toLong,
+        vs.map(_._4).distinct.size.toLong) }
     assert(got == want, s"leakage diverges: $got vs $want")
     got.keys.foreach { case (a, b) => assert(a <= b) }
     assert(got.values.map(_._1).sum > 0, "fixture has no cross-split" +
