@@ -114,8 +114,13 @@ object Bench {
     val byName = results.toMap
     val sfNum = sfNumPre
 
+    // Locale.ROOT everywhere a number reaches JSON: a JVM whose default
+    // locale writes comma decimal separators would otherwise emit an
+    // invalid artifact (round-8 advice).
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def jmap(kvs: Seq[(String, Double)], fmt: String): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+      kvs.map { case (k, v) => "\"" + k + "\":" + num(fmt, v) }
         .mkString("{", ",", "}")
 
     // A regression needs BOTH a >1.5x ratio AND a >0.5s absolute delta:
@@ -165,10 +170,22 @@ object Bench {
     val foldedByName = folded.toMap
     val foldedTotal = folded.map(_._2).filter(_ >= 0).sum
 
+    // Ratio distribution vs the anchor — the headline signal (absolute
+    // totals drift with host load; the round-8 verdict asked for
+    // median/max ratio to BE the tail line's summary).
+    val ratios = folded.collect {
+      case (k, v) if v >= 0 && t0.contains(k) => v / t0(k) }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) 0.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    val maxRatio = if (ratios.isEmpty) 0.0 else ratios.last
+
     // Full detail to a file the judge (and next round) can read.
     val detail =
       s"""{"metric":"total","value":$foldedTotal,"unit":"sec","sf":$sfNum,
-         |"host_load":{"loadavg_before":${"%.2f".format(loadBefore)},"loadavg_after":${"%.2f".format(loadavg())},"cpus":${Runtime.getRuntime.availableProcessors}},
+         |"ratio_median":${num("%.3f", medianRatio)},"ratio_max":${num("%.3f", maxRatio)},
+         |"host_load":{"loadavg_before":${num("%.2f", loadBefore)},"loadavg_after":${num("%.2f", loadavg())},"cpus":${Runtime.getRuntime.availableProcessors}},
          |"queries":${jmap(folded, "%.3f")},
          |"ratios_vs_t0":${jmap(folded.collect { case (k, v) if v >= 0 && t0.contains(k) => (k, v / t0(k)) }, "%.3f")},
          |"reruns_first_pass":${jmap(suspects.map(k => k -> byName(k)), "%.3f")},
@@ -192,7 +209,7 @@ object Bench {
     val regTop = regressions.take(3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     def line(qs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${"%.1f".format(foldedTotal)},"unit":"sec","queries":${jmap(qs, "%.2f")},"n_queries":${results.size},"regressions":$regTop,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num("%.1f", foldedTotal)},"unit":"sec","queries":${jmap(qs, "%.2f")},"n_queries":${results.size},"ratio_median":${num("%.2f", medianRatio)},"ratio_max":${num("%.2f", maxRatio)},"regressions":$regTop,"sf":$sfNum}"""
     var out = line(head)
     var keep = head.size
     while (out.length > 1850 && keep > 10) { keep -= 5; out = line(head.take(keep)) }

@@ -106,9 +106,13 @@ object Multimodal {
       |  SELECT doc_id, (i - 1) % 16 AS band,
       |    ascii(substr(text, CAST(i AS INT), 1)) AS v
       |  FROM bytes),
-      |sums AS (
+      |sums0 AS (
       |  SELECT doc_id, band, CAST(sum(v) AS BIGINT) AS s
       |  FROM b2 GROUP BY doc_id, band),
+      |sums AS (
+      |  SELECT i.doc_id, d.band, coalesce(s0.s, 0) AS s
+      |  FROM imgs i CROSS JOIN (SELECT unnest(range(0, 16)) AS band) d
+      |  LEFT JOIN sums0 s0 ON s0.doc_id = i.doc_id AND s0.band = d.band),
       |feat AS (
       |  SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY band) AS f,
       |    sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm
@@ -175,9 +179,13 @@ object Multimodal {
       |  SELECT doc_id, (i - 1) % 16 AS band,
       |    ascii(substr(text, CAST(i AS INT), 1)) AS v
       |  FROM bytes),
-      |sums AS (
+      |sums0 AS (
       |  SELECT doc_id, band, CAST(sum(v) AS BIGINT) AS s
       |  FROM b2 GROUP BY doc_id, band),
+      |sums AS (
+      |  SELECT i.doc_id, d.band, coalesce(s0.s, 0) AS s
+      |  FROM imgs i CROSS JOIN (SELECT unnest(range(0, 16)) AS band) d
+      |  LEFT JOIN sums0 s0 ON s0.doc_id = i.doc_id AND s0.band = d.band),
       |feat AS (
       |  SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY band) AS f,
       |    sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm

@@ -30,7 +30,28 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r08.json"
+  private val ArtifactFile = "SCALE_r09.json"
+
+  /** The COMPLETE set of metric names any test in this suite can
+    * `record()` — the artifact's tamper-evidence (round-8 verdict
+    * ask #1): a hand-typed row with no record() call site (the orphan
+    * m03b_clear_pair_recall of SCALE_r08) would otherwise survive the
+    * merge-with-existing-rows carry-forward indefinitely and tell a
+    * reader a floor is failing that no assertion checks. record()
+    * rejects names outside this registry, and an on-disk row whose
+    * name is unknown FAILS the suite instead of propagating. */
+  private val KnownMetrics: Set[String] = Set(
+    "q17a_quartile_agreement",
+    "d03_minhash_lsh_recall", "d03_clear_pair_recall",
+    "s02_lsh_ann_recall", "s04b_trained_ivf_recall",
+    "s04_untrained_ivf_recall", "d07_capped_semantic_recall",
+    "d11_span_pair_recall", "d11_span_winnow_efficiency",
+    "d11b_span_position_recall", "d11b_flagged_doc_recall",
+    "st13_10x_state_headroom", "st13_10x_batch_parity",
+    "st14_10x_state_headroom", "st14_10x_batch_parity",
+    "m03b_media_topk_recall", "m03b_uncapped_bucket_recall",
+    "m03b_probe_2x4_recall", "m03b_probe_4x2_recall",
+    "m03b_probe_4x2_cand_ratio")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -39,23 +60,37 @@ class ScaleStressSpec extends AnyFunSuite
   private val metrics =
     collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
 
-  private def record(name: String, value: Double, floor: Double): Unit =
+  private def record(name: String, value: Double, floor: Double): Unit = {
+    assert(KnownMetrics(name),
+      s"metric '$name' is not in KnownMetrics — register it so the " +
+        "artifact stays record()-backed")
     metrics.put(name, (value, floor))
+  }
 
   /** Rows already present in the artifact on disk (falling back to the
     * previous round's file the first time), so a partial run
     * (e.g. `testOnly -- -z q17a`) updates its own metrics without
-    * clobbering the rest of the table. */
+    * clobbering the rest of the table. Every on-disk row must name a
+    * KNOWN metric — an unknown name means the artifact was hand-edited
+    * (or a metric was retired without pruning), and silently carrying
+    * it forward is exactly the integrity hole the round-8 verdict
+    * flagged, so the suite fails loudly instead. */
   private def existingRows(): Seq[(String, (Double, Double))] = {
     val cur = java.nio.file.Paths.get(ArtifactFile)
     val p = if (java.nio.file.Files.exists(cur)) cur
-      else java.nio.file.Paths.get("SCALE_r07.json")
+      else java.nio.file.Paths.get("SCALE_r08.json")
     if (!java.nio.file.Files.exists(p)) return Nil
     val Row =
       """"([^"]+)":\s*\{"value":\s*([-0-9.eE]+),\s*"floor":\s*([-0-9.eE]+)\}""".r
-    Row.findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
+    val rows = Row.findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
       m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)
     }.toSeq
+    val unknown = rows.map(_._1).filterNot(KnownMetrics)
+    assert(unknown.isEmpty,
+      s"artifact $p carries rows with no record() source: " +
+        s"${unknown.mkString(", ")} — delete them (hand-added rows are " +
+        "not evidence)")
+    rows
   }
 
   override def afterAll(): Unit = {
