@@ -529,8 +529,66 @@ object StreamingQueries {
     graft.streaming.Streams.readSink(s, dest, outSchema)
   }
 
+  /** st15: the STREAMING INGEST NEAR-DUP GATE as a driver-facing
+    * CORRECTNESS row (round-8 verdict ask #2 — previously only a
+    * StreamingSpec assertion): d12's batch-vs-corpus core run the way
+    * a rolling crawl ingests. The corpus band index is built once (the
+    * static side — in production the w06 stored table), then a file
+    * source delivers the batch docs in three chunks and foreachBatch
+    * probes the index per micro-batch through
+    * [[graft.operators.Dedup.nearDupAgainstCorpus]] into the
+    * retry-idempotent sink. The gate is STATELESS across batches —
+    * each doc's verdict depends only on the static corpus — so no
+    * watermark/state store is involved; exactly-once comes from the
+    * sink's per-batch overwrite. Oracle: d12's SQL verbatim — any
+    * chunking, replay, or sink fault must still land on the batch
+    * operator's exact output. */
+  val st15NearDupGate: Q = Q(
+    "st15_neardup_gate", Dedup.d12OracleSql) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, BooleanType, DoubleType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st15_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    rmrf(new java.io.File(base))
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"
+    new java.io.File(src).mkdirs()
+    new java.io.File(dest).mkdirs()
+    val corpus = Dedup.d12Corpus(s, d)
+    // static side: index + corpus shingle sets, materialized once —
+    // per-batch work then touches only the batch's band collisions
+    val cBands = Dedup.corpusBandIndex(corpus).localCheckpoint()
+    val cSh = corpus.select($"doc_id".as("corpus_id"),
+      Dedup.shingles(Dedup.toks($"text")).as("sh_c")).localCheckpoint()
+    val batch = Dedup.d12Batch(s, d)
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          Dedup.nearDupAgainstCorpus(b, cBands, cSh), id, dest)
+      }
+      .start()
+    try {
+      // three ingest chunks as filtered writes — no driver-side buffer
+      (0 until 3).foreach { k =>
+        batch.filter(pmod($"doc_id", lit(3)) === k)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.Streams.readSink(s, dest,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("dup_of_corpus", BooleanType),
+        StructField("best_jaccard", DoubleType))))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
-    st13QuantFunnel, st14AsofEnrich)
+    st13QuantFunnel, st14AsofEnrich, st15NearDupGate)
 }

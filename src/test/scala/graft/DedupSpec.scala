@@ -261,4 +261,40 @@ class DedupSpec extends AnyFunSuite {
     assert(odd.count(!_._2) > odd.length / 2,
       "odd batch mostly flagged — fixture should not be that dup-heavy")
   }
+
+  test("d12 re-pointed at the w06 stored band index reproduces its answer") {
+    // the round-8 verdict's ask #3 closure: the -Dgraft.d12.indexDir
+    // flag swaps d12's inline corpus signing for the parquet index the
+    // w06 writer maintains (write half, append half — the incremental
+    // admission cycle); the flagged run must be row-identical to the
+    // inline run, or the stored index lost/duplicated/drifted rows.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_d12idx_test"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+        .foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(dest))
+    val corpus = operators.Dedup.d12Corpus(spark, sf)
+    graft.sources.Writers.writePartitioned(
+      operators.Dedup.corpusBandIndex(corpus.filter($"doc_id" % 4 === 0)),
+      "band", dest)
+    operators.Dedup.corpusBandIndex(corpus.filter($"doc_id" % 4 === 2))
+      .sortWithinPartitions("band")
+      .write.mode("append").partitionBy("band").parquet(dest)
+    def rows() = SparkEntry.queries("d12_incremental_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    val inline = rows()
+    System.setProperty("graft.d12.indexDir", dest)
+    val stored = try rows()
+      finally System.clearProperty("graft.d12.indexDir")
+    assert(inline.nonEmpty)
+    assert(stored == inline,
+      s"stored-index run diverges: extra=${(stored -- inline).take(5)}, " +
+        s"missing=${(inline -- stored).take(5)}")
+  }
 }
