@@ -43,6 +43,14 @@ object ScaleData {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, base, out, factor)
+    spark.stop()
+  }
+
+  /** The inflation itself, callable in-process (Sf1PlanSpec reuses it
+    * to generate the fixture when tmp/sf1 is absent). */
+  def build(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
     import spark.implicits._
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
@@ -109,7 +117,5 @@ object ScaleData {
           $"label")
       }
     }.reduce(_ unionByName _), "embeddings")
-
-    spark.stop()
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AT-SCALE executed-plan assertions (round-8 verdict ask #5): the
+  * round-8 "at-scale plan check" in PLANS.md — q05's fact edge stays
+  * SortMergeJoin at sf1 while every dimension edge stays broadcast,
+  * q45's filtered orders side stays broadcast, AQE coalesces shuffle
+  * reads — was run BY HAND via `Explain --executed`; here the same
+  * claims regress loudly in CI.
+  *
+  * Fixture: `tmp/sf1` (gitignored; regeneration command in BASELINE.md
+  * and FIXTURES.md) — reused when present, generated from sf0.1 via
+  * [[ScaleData.build]] when absent, so a fresh checkout still runs.
+  *
+  * Methodology note (the SkewSpec trap, round-8 self-review): the
+  * assertions must execute the DataFrame's OWN QueryExecution via
+  * `toRdd` — a write/count action wraps the logical plan in a NEW
+  * QueryExecution whose AdaptiveSparkPlan would print
+  * isFinalPlan=false with the pre-AQE join choices. */
+class Sf1PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val Sf1Dir = "tmp/sf1"
+  private val Tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** tmp/sf1, generated on first use if any table is missing. */
+  private lazy val sf1: String = {
+    val missing = Tables.filterNot(t =>
+      new java.io.File(s"$Sf1Dir/$t.parquet/_SUCCESS").exists())
+    if (missing.nonEmpty) {
+      info(s"generating $Sf1Dir (missing: ${missing.mkString(", ")})")
+      ScaleData.build(spark, "/root/testdata/sf0.1", Sf1Dir, 10)
+    }
+    Sf1Dir
+  }
+
+  /** Executes the frame's own adaptive plan and returns the FINAL plan
+    * section (everything before the echoed "== Initial Plan ==" block,
+    * which still shows the static choices). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf1)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"),
+      s"$name did not reach a final adaptive plan")
+    s.split("== Initial Plan ==").head
+  }
+
+  test("q05 at sf1: AQE keeps the fact edge SMJ, every dim edge broadcast") {
+    val plan = finalPlan("q05_local_supplier_volume")
+    // the one SortMergeJoin is the lineitem⋈orders fact edge — at sf1
+    // file-size stats put BOTH sides past the broadcast threshold and
+    // the final plan keeps the shuffle join (6M ⋈ 1.5M rows; a
+    // broadcast here would ship the fact table to every executor)
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .toSeq
+    assert(smjLines.nonEmpty, s"q05 fact edge not SMJ at sf1:\n$plan")
+    assert(smjLines.forall(l =>
+      l.contains("o_orderkey") && l.contains("l_orderkey")),
+      s"unexpected non-fact SortMergeJoin:\n${smjLines.mkString("\n")}")
+    // all four dimension edges (customer, supplier, nation, region)
+    // stay broadcast — dims don't grow with the fact tables
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >=4 broadcast dim edges, got $bhj:\n$plan")
+    // and AQE coalesces the shuffle reads (32 map partitions fold to
+    // the few the data volume justifies)
+    assert(plan.contains("AQEShuffleRead coalesced"),
+      s"no coalesced shuffle read in q05's final plan:\n$plan")
+  }
+
+  test("q45 at sf1: the filtered orders side stays broadcast") {
+    val plan = finalPlan("q45_profit")
+    // q45's orders side arrives filtered; the post-filter size keeps
+    // it under the broadcast threshold even at sf1 — the join must NOT
+    // degrade to a shuffle (that regression doubles the query's
+    // exchanges at 100 TB)
+    val bhjOrders = plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("o_orderkey"))
+    assert(bhjOrders,
+      s"q45's orders edge lost its broadcast at sf1:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("o_orderkey")),
+      s"q45's orders edge runs SMJ at sf1:\n$plan")
+  }
+}
