@@ -237,30 +237,47 @@ object Multimodal {
       |  FROM pairs)
       |SELECT doc_id, neighbor_id, sim
       |FROM r WHERE rn <= 3""".stripMargin) { (s, d) =>
+    mediaTopKFromSigs(mediaFeatSigs(s, d))
+  }
+
+  /** LSH-bucketed candidate pairs from a (doc_id, f, nrm, band, sig)
+    * frame: docs sharing AT LEAST ONE band (the s02 OR construction —
+    * one fat band over-splits residual directions and starves recall),
+    * deduped on ids BEFORE the vectors rejoin.
+    * FAT-BUCKET CAP (the d07 salting trade): concentrated features
+    * make one residual direction dominate — at the sf1 step the
+    * biggest band bucket held ~40% of the corpus, quadratic-grade —
+    * so buckets over `cap` docs salt into md5 sub-cells and pair work
+    * is bounded by N*cap per band; recall inside a fat bucket decays
+    * by the documented ~1/cells, everywhere else is untouched (the
+    * fixture's buckets are all under the cap). Factored out so the
+    * ScaleStressSpec band-shape experiment measures candidate cost on
+    * the REAL pipeline, not a reimplementation. */
+  def mediaCandidates(banded: org.apache.spark.sql.DataFrame,
+      cap: Int = 256): org.apache.spark.sql.DataFrame = {
+    val s = banded.sparkSession
     import s.implicits._
-    val banded = mediaFeatSigs(s, d)
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    // candidates = docs sharing AT LEAST ONE 4-bit band (the s02 OR
-    // construction — one band over-splits residual directions and
-    // starves recall), deduped on ids BEFORE the vectors rejoin.
-    // FAT-BUCKET CAP (the d07 salting trade): concentrated features
-    // make one residual direction dominate — at the sf1 step the
-    // biggest band bucket held ~40% of the corpus, quadratic-grade —
-    // so buckets over 256 docs salt into md5 sub-cells and pair work
-    // is bounded by N*256 per band; recall inside a fat bucket decays
-    // by the documented ~1/cells, everywhere else is untouched (the
-    // fixture's buckets are all under the cap).
     val sizes = banded.groupBy($"band", $"sig")
       .agg(count(lit(1)).as("n"))
     val salted = banded.join(broadcast(sizes), Seq("band", "sig"))
       .withColumn("cell",
         conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % ceil($"n" / 256.0).cast("long"))
-    val cands = salted.select($"doc_id", $"band", $"sig", $"cell")
+          .cast("long") % ceil($"n" / cap.toDouble).cast("long"))
+    salted.select($"doc_id", $"band", $"sig", $"cell")
       .join(salted.select($"doc_id".as("neighbor_id"), $"band", $"sig",
         $"cell"), Seq("band", "sig", "cell"))
       .filter($"doc_id" =!= $"neighbor_id")
       .select($"doc_id", $"neighbor_id").distinct()
+  }
+
+  /** m03b's candidate + exact-cosine + top-3 stages over a banded
+    * signature frame. */
+  def mediaTopKFromSigs(banded: org.apache.spark.sql.DataFrame,
+      cap: Int = 256): org.apache.spark.sql.DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val cands = mediaCandidates(banded, cap)
     val vecs = banded.select($"doc_id", $"f", $"nrm")
       .dropDuplicates("doc_id")
     val dot = column(graft.functions.DoubleVecDot(
@@ -312,13 +329,20 @@ object Multimodal {
     * MultimodalSpec so the bucket-split guard inspects the REAL
     * signature distribution, not a reimplementation. */
   def mediaFeatSigs(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    mediaFeatSigsCfg(s, d, nBands = 2, bandBits = 4)
+
+  /** [[mediaFeatSigs]] with an explicit band shape — the
+    * ScaleStressSpec experiment compares the shipped 2 bands × 4 bits
+    * against 4 × 2 (more, coarser probes) on the 10× fixture; the
+    * production config above is whichever the measured recall/cost
+    * trade favors. */
+  def mediaFeatSigsCfg(s: SparkSession, d: String, nBands: Int,
+      bandBits: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val a = mediaFeatures(s, d).toDF("doc_id", "f", "nrm")
     val mean = a.agg(array((0 until 16).map(i =>
       sum(element_at($"f", i + 1)) / count(lit(1))): _*).as("m"))
-    val nBands = 2
-    val bandBits = 4
     val bandsCol = {
       val bits = Similarity.hyperplaneSketch(
         zip_with($"f", $"m", (x, mm) => x - mm),

@@ -451,6 +451,41 @@ class ScaleStressSpec extends AnyFunSuite
     }
   }
 
+  test("10x corpus: m03b band-shape probe — 2x4 vs 4x2 recall and cost") {
+    // Round-8 verdict ask #6: is the cap-bound 0.26 recall cheap to
+    // lift? The candidate knob is the band shape at fixed 8 planes:
+    // the shipped 2 bands x 4 bits (few, precise probes) vs 4 bands x
+    // 2 bits (more, coarser probes — each band matches 1/4 of sign
+    // space instead of 1/16, so buckets are fatter and the salting cap
+    // binds HARDER, but a doc gets 4 chances to collide). Measured
+    // head-to-head on the 10x fixture: top-3 recall vs the m03 exact
+    // truth, plus the candidate-pair cost ratio. The production config
+    // in Multimodal.mediaFeatSigs is whichever this table favors.
+    val exact = knnSetM(SparkEntry.queries("m03_media_similarity")(spark, dir))
+    assert(exact.nonEmpty)
+    def run(nBands: Int, bits: Int): (Double, Long) = {
+      val banded = operators.Multimodal
+        .mediaFeatSigsCfg(spark, dir, nBands, bits).localCheckpoint()
+      val nCands = operators.Multimodal.mediaCandidates(banded).count()
+      val topk = knnSetM(operators.Multimodal.mediaTopKFromSigs(banded))
+      ((topk & exact).size.toDouble / exact.size, nCands)
+    }
+    val (r24, c24) = run(2, 4)
+    val (r42, c42) = run(4, 2)
+    val candRatio = c42.toDouble / math.max(1L, c24)
+    info(f"m03b band-shape at 10x: 2x4 recall $r24%.4f ($c24 cands), " +
+      f"4x2 recall $r42%.4f ($c42 cands, ${candRatio}%.2fx cost)")
+    record("m03b_probe_2x4_recall", r24, 0.15)
+    record("m03b_probe_4x2_recall", r42, 0.0)
+    record("m03b_probe_4x2_cand_ratio", candRatio, 0.0)
+    // the shipped config must not be strictly dominated: if 4x2 both
+    // recalls MORE and costs LESS, the production shape is wrong and
+    // this assertion forces the flip
+    assert(!(r42 > r24 * 1.1 && candRatio < 1.0),
+      f"4x2 dominates the shipped 2x4 (recall $r42%.4f vs $r24%.4f at " +
+        f"$candRatio%.2fx cost) — flip Multimodal.mediaFeatSigs")
+  }
+
   private def knnSetM(df: org.apache.spark.sql.DataFrame)
       : Set[(Long, Long)] =
     df.select("doc_id", "neighbor_id").collect()
