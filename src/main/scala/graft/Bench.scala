@@ -39,6 +39,31 @@ object Bench {
       .toMap
   }
 
+  /** The SECOND-scale anchor table (round-8 verdict ask #4): BASELINE.md
+    * rows of the form `| name @sf1 | seconds |` anchor the full-registry
+    * sf1 sweep, so regressions are tracked at BOTH scales. The `@sf1`
+    * marker keeps these rows invisible to [[baselineT0]]'s sf0.1 parse
+    * (its name group rejects the marker) and vice versa. */
+  private def baselineSf1(): Map[String, Double] = {
+    val f = new java.io.File("BASELINE.md")
+    if (!f.exists()) return Map.empty
+    val row = """\|\s*([a-z0-9_]+) @sf1\s*\|\s*([0-9.]+)\s*\|""".r
+    scala.io.Source.fromFile(f)(scala.io.Codec.UTF8).getLines()
+      .collect { case row(name, secs) => name -> secs.toDouble }
+      .toMap
+  }
+
+  /** Declared quadratic ground truths — oracle anchors whose production
+    * twins are registered (d04→d03, c01→c01b, d06→d06b, m03→m03b,
+    * s01→s02/s04b, s03→d07). They exist to differential-check the
+    * sketches at oracle scale; at the sf1 sweep they'd burn ~20 min
+    * re-measuring a documented 80-100x blowup (BASELINE.md round-8
+    * scale-step table has the numbers), so the sf1 sweep excludes
+    * them. */
+  private val declaredQuadratics: Set[String] = Set(
+    "d04_ngram_jaccard", "c01_corpus_clean", "d06_dup_clusters",
+    "m03_media_similarity", "s01_knn_brute", "s03_cosine_dedup")
+
   /** One representative per operator family + every heavy hitter; the
     * stdout line reports exactly these (full map → BENCH_DETAIL.json). */
   private val headline: Seq[String] = Seq(
@@ -61,7 +86,8 @@ object Bench {
     "c02_ingest_splits", "w04_merge_upsert", "st13_quant_funnel",
     "s04b_knn_ivf_trained", "c01b_corpus_clean_lsh",
     "d06b_dup_clusters_lsh", "m03b_media_similarity_lsh",
-    "d11b_merged_spans", "d12_incremental_neardup")
+    "d11b_merged_spans", "d12_incremental_neardup",
+    "st15_neardup_gate", "w06_band_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,13 +99,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.registerAll(spark)
 
-    // t0 ratios/retries only make sense AT the anchor's scale — an
-    // off-anchor run (sf1 scale-step, sf0.001 smoke) would read every
-    // query >2x and retry the whole sweep pointlessly.
+    // t0 ratios/retries only make sense AT a scale that has its own
+    // anchor table — sf0.1 (the driver's bench scale) and sf1 (the
+    // round-9 second-scale sweep) each parse theirs; any other dir
+    // (sf0.001 smoke) runs un-anchored.
     val sfNumPre = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    val t0 = if (sfNumPre == "0.1") baselineT0()
-      else Map.empty[String, Double]
+    val t0 = sfNumPre match {
+      case "0.1" => baselineT0()
+      case "1" => baselineSf1()
+      case _ => Map.empty[String, Double]
+    }
 
     // Host-load telemetry (sweep-level noise adjudication): per-query
     // retry catches query-level noise, but a loaded host inflates the
@@ -107,9 +137,12 @@ object Bench {
     // warmup: touch every fixture table + one agg to JIT the scan path
     run("q01_pricing_summary")
 
-    // optional args: restrict to the named queries (bench iteration aid)
+    // optional args: restrict to the named queries (bench iteration aid);
+    // the sf1 sweep drops the declared quadratic ground truths (their
+    // registered twins cover the capability at that scale)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.contains(n))
+      .filter(n => sfNumPre != "1" || !declaredQuadratics(n))
     val results = names.map(n => n -> run(n))
     val byName = results.toMap
     val sfNum = sfNumPre
@@ -181,22 +214,38 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.last
 
+    // At sf1 the scale signal is the per-query sf1/sf0.1 ratio against
+    // the sf0.1 anchor: on 10x data a scan/shuffle-parallel query reads
+    // well under 10x — anything OVER 10x is super-linear and flagged
+    // (the round-8 scale step's criterion, now sweep-wide).
+    val sf01Anchor = if (sfNum == "1") baselineT0()
+      else Map.empty[String, Double]
+    val scaleRatios = folded.collect {
+      case (k, v) if v >= 0 && sf01Anchor.contains(k) =>
+        (k, v / sf01Anchor(k)) }
+    val superlinear = scaleRatios.filter(_._2 > 10.0).sortBy(-_._2)
+    val scaleExtra = if (sfNum != "1") ""
+      else s""""ratios_vs_sf01":${jmap(scaleRatios, "%.3f")},
+         |"superlinear":${superlinear.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+         |""".stripMargin
+
     // Full detail to a file the judge (and next round) can read.
     val detail =
       s"""{"metric":"total","value":$foldedTotal,"unit":"sec","sf":$sfNum,
          |"ratio_median":${num("%.3f", medianRatio)},"ratio_max":${num("%.3f", maxRatio)},
          |"host_load":{"loadavg_before":${num("%.2f", loadBefore)},"loadavg_after":${num("%.2f", loadavg())},"cpus":${Runtime.getRuntime.availableProcessors}},
          |"queries":${jmap(folded, "%.3f")},
-         |"ratios_vs_t0":${jmap(folded.collect { case (k, v) if v >= 0 && t0.contains(k) => (k, v / t0(k)) }, "%.3f")},
+         |$scaleExtra"ratios_vs_t0":${jmap(folded.collect { case (k, v) if v >= 0 && t0.contains(k) => (k, v / t0(k)) }, "%.3f")},
          |"reruns_first_pass":${jmap(suspects.map(k => k -> byName(k)), "%.3f")},
          |"regressions":${regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")}}
          |""".stripMargin
     // Only a FULL suite at the driver's bench scale owns BENCH_DETAIL.json;
-    // restricted or off-scale runs (iteration aids, smoke checks) write a
-    // scratch file so they can't clobber the committed sweep (a trap hit
-    // twice in round 3).
+    // the full sf1 sweep owns BENCH_SF1.json; restricted or off-scale
+    // runs (iteration aids, smoke checks) write a scratch file so they
+    // can't clobber the committed sweeps (a trap hit twice in round 3).
     val detailFile =
       if (args.isEmpty && sfNum == "0.1") "BENCH_DETAIL.json"
+      else if (args.isEmpty && sfNum == "1") "BENCH_SF1.json"
       else "BENCH_DETAIL_partial.json"
     val w = new java.io.PrintWriter(detailFile, "UTF-8")
     try w.write(detail) finally w.close()

@@ -318,7 +318,19 @@ object Dedup {
     * least one band with high probability). The md5-derived 60-bit
     * hash makes the whole sketch — votes, sign bits, banding, hamming
     * filter — reproducible in DuckDB, so the driver hash-checks it
-    * (was rows-only with xxhash64). */
+    * (was rows-only with xxhash64).
+    *
+    * FAT-BUCKET CAP (round 9): the full-registry sf1 sweep caught d05
+    * as its one super-linear query — 14.06x on 10x data, because
+    * heavily-mutated near-copies collapse into shared band buckets
+    * (the biggest sf1 bucket held 5,805 docs ≈ 12% of the corpus;
+    * Σn² = 268M candidate slots). Same guard as m03b/d07: buckets
+    * over 256 docs salt into md5(doc_id) sub-cells, bounding pair
+    * work at N·cap per band; recall inside a fat bucket decays by the
+    * documented ~1/cells, everywhere else untouched. The oracle
+    * mirrors the salt exactly (m03b's proven SQL construction), so
+    * the query stays hash-green at every scale; at the sf0.01 oracle
+    * fixture the cap never binds (max bucket 27). */
   val d05Simhash: Q = Q(
     "d05_simhash",
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -336,11 +348,18 @@ object Dedup {
       |       FROM votes GROUP BY doc_id),
       |banded AS (SELECT doc_id, sh60, b AS band,
       |             (sh60 >> (b * 15)) & 32767 AS bh
-      |           FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS b) bb)
+      |           FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS b) bb),
+      |bsz AS (SELECT band, bh, count(*) AS n FROM banded
+      |        GROUP BY band, bh),
+      |sc AS (SELECT b.doc_id, b.sh60, b.band, b.bh,
+      |         ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |           % CAST(ceil(CAST(z.n AS DOUBLE) / 256) AS BIGINT) AS cell
+      |       FROM banded b JOIN bsz z ON b.band = z.band AND b.bh = z.bh)
       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |  CAST(bit_count(xor(x.sh60, y.sh60)) AS INT) AS hamming
-      |FROM banded x JOIN banded y
-      |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |FROM sc x JOIN sc y
+      |  ON x.band = y.band AND x.bh = y.bh AND x.cell = y.cell
+      |    AND x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sh60, y.sh60)) <= 8""".stripMargin) { (s, d) =>
     import s.implicits._
     val withHash = simhashByExplode(s, d)
@@ -349,13 +368,18 @@ object Dedup {
         shiftright($"sh60", b * 15).bitwiseAND(0x7FFF).as("bh"))): _*))
         .as("b"))
       .select($"doc_id", $"sh60", $"b.band", $"b.bh")
-    banded.as("x").join(banded.as("y"),
+    val sizes = banded.groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
+    val salted = banded.join(broadcast(sizes), Seq("band", "bh"))
+      .withColumn("cell",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % ceil($"n" / 256.0).cast("long"))
+    salted.as("x").join(salted.as("y"),
       $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
-        $"x.doc_id" < $"y.doc_id")
+        $"x.cell" === $"y.cell" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         bit_count($"x.sh60".bitwiseXOR($"y.sh60")).as("hamming"))
-      .distinct()
       .filter($"hamming" <= 8)
+      .distinct()
   }
 
   /** d06: duplicate CLUSTERS — connected components over the d04
