@@ -330,7 +330,10 @@ object Dedup {
     * documented ~1/cells, everywhere else untouched. The oracle
     * mirrors the salt exactly (m03b's proven SQL construction), so
     * the query stays hash-green at every scale; at the sf0.01 oracle
-    * fixture the cap never binds (max bucket 27). */
+    * fixture the cap never binds (max bucket 27). Recall price
+    * MEASURED at the 10x stress fixture (SCALE_r09 d05_* rows):
+    * 0.63 of all pairs, 0.71 of hamming<=3 pairs survive the cap —
+    * the bounded trade for dropping 14x super-linear to 3.85x. */
   val d05Simhash: Q = Q(
     "d05_simhash",
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -361,6 +364,13 @@ object Dedup {
       |  ON x.band = y.band AND x.bh = y.bh AND x.cell = y.cell
       |    AND x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sh60, y.sh60)) <= 8""".stripMargin) { (s, d) =>
+    simhashPairs(s, d, cap = 256)
+  }
+
+  /** d05's full pipeline with an explicit fat-bucket cap —
+    * ScaleStressSpec measures the cap's recall price at 10x by running
+    * capped vs uncapped (cap = Int.MaxValue) on the same fixture. */
+  def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     import s.implicits._
     val withHash = simhashByExplode(s, d)
     val banded = withHash.select($"doc_id", $"sh60",
@@ -372,7 +382,7 @@ object Dedup {
     val salted = banded.join(broadcast(sizes), Seq("band", "bh"))
       .withColumn("cell",
         conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % ceil($"n" / 256.0).cast("long"))
+          .cast("long") % ceil($"n" / cap.toDouble).cast("long"))
     salted.as("x").join(salted.as("y"),
       $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
         $"x.cell" === $"y.cell" && $"x.doc_id" < $"y.doc_id")

@@ -51,7 +51,8 @@ class ScaleStressSpec extends AnyFunSuite
     "st14_10x_state_headroom", "st14_10x_batch_parity",
     "m03b_media_topk_recall", "m03b_uncapped_bucket_recall",
     "m03b_probe_2x4_recall", "m03b_probe_4x2_recall",
-    "m03b_probe_4x2_cand_ratio")
+    "m03b_probe_4x2_cand_ratio",
+    "d05_capped_pair_recall", "d05_close_pair_recall")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -398,7 +399,7 @@ class ScaleStressSpec extends AnyFunSuite
     // with ~625-vector clusters salted into ~7 cells, surviving
     // within-cell fraction is ~1/cells — the documented trade; what
     // must NOT happen is collapse to (near) zero or quadratic blowup
-    assert(recall >= 0.05 && capped.nonEmpty,
+    assert(recall >= 0.40 && capped.nonEmpty,
       f"capped recall out of range: $recall%.4f")
   }
 
@@ -449,6 +450,44 @@ class ScaleStressSpec extends AnyFunSuite
       assert(freeRecall >= 0.35,
         f"banding itself is broken (cap not involved): $freeRecall%.4f")
     }
+  }
+
+  test("10x corpus: d05's fat-bucket cap binds and its recall price is bounded") {
+    import spark.implicits._
+    // The round-9 sf1 sweep caught d05 super-linear (14x on 10x data —
+    // mutated near-copies collapse into shared simhash band buckets)
+    // and the fix was the house salting cap. House rule: every capped
+    // operator gets its recall price MEASURED at 10x, not asserted.
+    // Uncapped here is the exact same pipeline with cap = MaxValue —
+    // the ~27s quadratic-grade run the cap exists to avoid; capped can
+    // only DROP pairs, never invent.
+    val capped = pairSet(operators.Dedup.simhashPairs(spark, dir, 256))
+    val uncappedDf = operators.Dedup
+      .simhashPairs(spark, dir, Int.MaxValue).localCheckpoint()
+    val uncapped = pairSet(uncappedDf)
+    assert(uncapped.size >= 1000,
+      s"inflation produced too few simhash pairs: ${uncapped.size}")
+    assert(capped.subsetOf(uncapped),
+      s"cap invented pairs: ${(capped -- uncapped).take(5)}")
+    val recall = capped.size.toDouble / uncapped.size
+    // hamming <= 3 is simhash's own promise (4 bands x 15 bits: <= 3
+    // flipped bits leave at least one band intact by pigeonhole, so
+    // UNCAPPED recall there is 1.0 by construction) — what the cap
+    // gives up on exactly those pairs is the honest price
+    val close = uncappedDf.filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.nonEmpty, "no hamming<=3 mass at 10x")
+    val closeRecall = (capped & close).size.toDouble / close.size
+    info(f"d05 capped-vs-uncapped recall at 10x (cap=256): $recall%.4f " +
+      f"(${capped.size}/${uncapped.size}); hamming<=3 recall " +
+      f"$closeRecall%.4f (${(capped & close).size}/${close.size})")
+    record("d05_capped_pair_recall", recall, 0.40)
+    record("d05_close_pair_recall", closeRecall, 0.50)
+    assert(recall >= 0.40 && capped.nonEmpty,
+      f"capped recall collapsed: $recall%.4f")
+    assert(closeRecall >= 0.50,
+      f"close-pair recall collapsed: $closeRecall%.4f")
   }
 
   test("10x corpus: m03b band-shape probe — 2x4 vs 4x2 recall and cost") {
