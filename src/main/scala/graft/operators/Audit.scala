@@ -383,63 +383,6 @@ object Audit {
         max($"jaccard").as("max_jaccard"))
   }
 
-  /** dq06: BENCHMARK DECONTAMINATION — the published 13-gram-overlap
-    * recipe (GPT-3 appendix C / Dolma's decontamination step): a
-    * training document is contaminated if it shares any 13-token gram
-    * with the evaluation/benchmark set, and must be dropped before
-    * training or every benchmark score it touches is inflated. Fixture
-    * convention: benchmark = docs with doc_id % 7 == 0 (70 docs at
-    * sf0.01 — dense enough that the gate is non-vacuous: 8 training
-    * docs share 562 grams), training = the rest; output is one row per
-    * training doc (n_hits = distinct shared grams, contaminated flag).
-    *
-    * 100 TB shape: the benchmark side is SMALL by construction (eval
-    * suites are KBs against a 100 TB corpus), so its distinct gram-
-    * fingerprint table BROADCASTS and the training side never
-    * shuffles its grams — one map-side explode + broadcast join, then
-    * a per-doc count whose input is only the matched rows. At extreme
-    * benchmark sizes, pre-screen with bloom_filter (q67's runtime-
-    * filter machinery) before the exact join. Complements dq05: that
-    * audits INTERNAL split leakage via near-dup pairs; this audits
-    * EXTERNAL benchmark overlap via exact grams. */
-  val dq06BenchmarkContamination: Q = Q(
-    "dq06_benchmark_contamination",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |           FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 13),
-      |g AS (SELECT DISTINCT doc_id,
-      |        md5(array_to_string(list_slice(ws, p + 1, p + 13), ' ')) AS h
-      |      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 12)) AS p
-      |            FROM d)),
-      |b AS (SELECT DISTINCT h FROM g WHERE doc_id % 7 = 0),
-      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
-      |         FROM g WHERE doc_id % 7 <> 0 AND h IN (SELECT h FROM b)
-      |         GROUP BY doc_id)
-      |SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-      |  (h.doc_id IS NOT NULL) AS contaminated
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
-      |LEFT JOIN hits h ON h.doc_id = t.doc_id""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val grams = docs
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 13)
-      .select($"doc_id", $"ws",
-        explode(sequence(lit(0), size($"ws") - 13)).as("p"))
-      .select($"doc_id",
-        md5(concat_ws(" ", slice($"ws", $"p" + 1, lit(13)))).as("h"))
-      .distinct()
-    val bench = grams.filter($"doc_id" % 7 === 0).select($"h").distinct()
-    val hits = grams.filter($"doc_id" % 7 =!= 0)
-      .join(broadcast(bench), "h")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
-    docs.filter($"doc_id" % 7 =!= 0).select($"doc_id")
-      .join(hits, Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
-        $"n_hits".isNotNull.as("contaminated"))
-  }
-
   val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
-    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage,
-    dq06BenchmarkContamination)
+    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage)
 }

@@ -117,43 +117,4 @@ class AuditSpec extends AnyFunSuite {
       " near-dups — the audit would be vacuous")
   }
 
-  test("dq06: contamination flags exactly the docs sharing benchmark grams," +
-      " benchmark side broadcast") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val df = SparkEntry.queries("dq06_benchmark_contamination")(spark, sf)
-    val rows = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    // benchmark docs are never in the report, every training doc is
-    rows.foreach { case (id, _, _) =>
-      assert(id % 7 != 0, s"benchmark doc $id leaked into the report") }
-    // the flag is exactly n_hits > 0
-    rows.foreach { case (id, n, c) =>
-      assert(c == (n > 0), s"doc $id: contaminated=$c but n_hits=$n") }
-    // non-vacuous on the fixture, and not everything is contaminated
-    assert(rows.exists(_._3), "no contamination found — gate is vacuous")
-    assert(rows.count(!_._3) > rows.length / 2,
-      "most docs contaminated — the % 7 split is broken")
-    // cross-check one contaminated doc against a direct gram overlap
-    val docs = graft.sources.Tables.documents(spark, sf)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 13)
-      .select($"doc_id",
-        explode(sequence(lit(0), size($"ws") - 13)).as("p"), $"ws")
-      .select($"doc_id",
-        md5(concat_ws(" ", slice($"ws", $"p" + 1, lit(13)))).as("h"))
-      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
-    val benchGrams = docs.filter(_._1 % 7 == 0).map(_._2).toSet
-    val wantHits = docs.filter(_._1 % 7 != 0)
-      .groupBy(_._1).view.mapValues(_.count(g => benchGrams(g._2))).toMap
-    rows.foreach { case (id, n, _) =>
-      assert(wantHits.getOrElse(id, 0) == n,
-        s"doc $id: n_hits=$n, direct recount=${wantHits.getOrElse(id, 0)}") }
-    // the scale claim: the benchmark gram table rides a broadcast —
-    // the training side's grams never shuffle
-    df.queryExecution.toRdd.foreach(_ => ())
-    assert(df.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"),
-      "dq06's benchmark join is not broadcast")
-  }
 }
