@@ -305,14 +305,35 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    // assign: nearest centroid per vector (broadcast the centroid set)
+    ivfProbe(emb, centroids,
+      emb.join(ivfAssignment(emb, centroids), "vec_id"), nprobe)
+  }
+
+  /** The IVF inverted LISTS — (vec_id, c_id) nearest-centroid
+    * assignment of the corpus (broadcast of the small centroid table,
+    * one map-side pass). Factored out so w07 can PERSIST it: the
+    * stored index is this table bucketed by cell plus the k-row
+    * centroid table — ~1% of corpus bytes replacing a full re-train +
+    * re-assign on every serve. */
+  def ivfAssignment(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id")
-    val assigned = emb.join(broadcast(centroids))
+    emb.join(broadcast(centroids))
       .select($"vec_id", $"embedding", $"nrm", $"c_id",
         (dot($"embedding", $"c_vec") / ($"nrm" * $"c_nrm")).as("c_sim"))
       .withColumn("crk", row_number().over(wAssign))
       .filter($"crk" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"c_id")
+      .select($"vec_id", $"c_id")
+  }
+
+  /** Probe + exact re-rank against an assigned corpus: `assigned`
+    * carries (vec_id, embedding, nrm, c_id) — inline (ivfTopK) or
+    * reattached from a STORED assignment (w07). */
+  def ivfProbe(emb: DataFrame, centroids: DataFrame, assigned: DataFrame,
+      nprobe: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     // queries probe their nprobe nearest centroids
     val qs = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),

@@ -258,6 +258,74 @@ object WriterQueries {
     f.delete(); ()
   }
 
+  /** w07: the PERSISTED trained-ANN index — w06's lifecycle story for
+    * the vector side: TRAIN the IVF coarse quantizer once
+    * ([[Similarity.trainedCentroids]], Lloyd over the corpus), WRITE
+    * the index (the k-row centroid table + the (vec_id, c_id) inverted
+    * lists partitioned by cell — ~1% of corpus bytes), then SERVE kNN
+    * by probing the index READ BACK from parquet, never re-training.
+    *
+    * The content check is the strongest available for a float-trained
+    * index: the stored-index answer must be ROW-IDENTICAL to the
+    * inline (train-in-this-session) answer — training is
+    * deterministic (hash-seeded Lloyd) and the float/long round-trip
+    * through parquet is exact, so any divergence means the persisted
+    * index lost, duplicated, or re-bucketed vectors. The oracle pins
+    * the verdict row (s04b's pattern: per-query answer completeness,
+    * recall vs the brute truth, and the stored≡inline equality).
+    *
+    * 100 TB: serving reads k centroid rows + only the PROBED cells'
+    * lists (cell-partitioned layout → partition pruning on c_id);
+    * ingest appends a new batch's (vec_id, c_id) rows after one
+    * broadcast-assign pass — the d12/w06 admission cycle, vector-side. */
+  val w07AnnIndex: Q = Q(
+    "w07_ann_index",
+    """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+      |  AS BIGINT) AS n_queries,
+      |  true AS all_answered, true AS recall_ok,
+      |  true AS stored_equals_inline""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dest = tmp(d, "ann_index")
+    rmrfLocal(new java.io.File(dest))
+    val cents = Similarity.trainedCentroids(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    // WRITE: centroids + cell-partitioned inverted lists
+    cents.write.parquet(s"$dest/centroids")
+    Writers.writePartitioned(
+      Similarity.ivfAssignment(emb, cents), "c_id", s"$dest/lists")
+    // SERVE: probe the stored index (centroids and lists from parquet)
+    val storedCents = s.read.parquet(s"$dest/centroids")
+      .select($"c_id", $"c_vec", $"c_nrm")
+    val storedLists = s.read.parquet(s"$dest/lists")
+      .select($"vec_id", $"c_id")
+    val stored = Similarity.ivfProbe(emb, storedCents,
+      emb.join(storedLists, "vec_id"), nprobe = 4)
+    val inline = Similarity.ivfTopK(s, d, cents, nprobe = 4)
+    // verdicts: completeness, recall floor vs brute truth, stored≡inline
+    val truth = Similarity.s01KnnBrute.build(s, d)
+    val nq = emb.filter($"vec_id" % 50 === 0)
+      .agg(count(lit(1)).as("n_queries"))
+    val hits = stored.join(truth, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val answered = stored.groupBy($"q_id")
+      .agg(count(lit(1)).as("n")).agg(
+        count(lit(1)).as("n_answered"), min($"n").as("min_k"))
+    val diff = stored.select($"q_id", $"vec_id", $"rk")
+      .unionAll(inline.select($"q_id", $"vec_id", $"rk"))
+      .groupBy($"q_id", $"vec_id", $"rk")
+      .agg(count(lit(1)).as("c")).filter($"c" =!= 2)
+      .agg(count(lit(1)).as("n_diff"))
+    nq.crossJoin(broadcast(hits)).crossJoin(broadcast(answered))
+      .crossJoin(broadcast(diff))
+      .select($"n_queries",
+        ($"n_answered" === $"n_queries" && $"min_k" === 5L)
+          .as("all_answered"),
+        ($"n_hits" >= $"n_queries" * 5.0 * 0.55).as("recall_ok"),
+        ($"n_diff" === 0L).as("stored_equals_inline"))
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
-    w04MergeUpsert, w05ZorderStats, w06BandIndex)
+    w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex)
 }

@@ -133,4 +133,32 @@ class SimilaritySpec extends AnyFunSuite {
     }.sum
     assert(hits >= 10, s"recall@3 too low: $hits/12")
   }
+
+  test("w07: stored ANN index answers true verdicts and its cell layout" +
+      " partition-prunes") {
+    import spark.implicits._
+    // at the oracle fixture (sf0.01): the 0.55 recall floor is stated
+    // for that scale — the 500-vector smoke fixture undershoots it
+    // (k=16 cells over 500 points leaves ~31-point cells; nprobe 4
+    // covers too little of the true top-5 mass there)
+    val d01 = "/root/testdata/sf0.01"
+    // the verdict row is the oracle's contract — assert it here too so
+    // a divergence fails fast with the booleans named, not as a hash
+    val row = SparkEntry.queries("w07_ann_index")(spark, d01).collect()(0)
+    assert(row.getAs[Boolean]("all_answered"), "stored index left a query" +
+      " unanswered")
+    assert(row.getAs[Boolean]("recall_ok"), "stored-index recall floor")
+    assert(row.getAs[Boolean]("stored_equals_inline"),
+      "stored-index kNN diverges from the inline-trained answer")
+    // the serving claim: the inverted lists are laid out by cell, so a
+    // probe that touches cells {1,3} reads ONLY those partitions —
+    // PartitionFilters on c_id in the scan, no full-index read
+    val lists = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_wq_" +
+        s"${d01.replaceAll("[^A-Za-z0-9]", "_")}/ann_index/lists")
+      .filter($"c_id".isin(1, 3))
+    val scan = lists.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("c_id"),
+      s"cell filter not pushed to partition pruning:\n$scan")
+  }
 }
