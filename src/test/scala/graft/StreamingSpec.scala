@@ -603,6 +603,80 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st15: checkpointed restart resumes the ingest near-dup gate" +
+      " exactly-once") {
+    // The gate is stateless across batches, so its restart risk is not
+    // state loss but DELIVERY accounting: the file-source offsets live
+    // in the checkpoint, and a restart must neither re-ingest chunk 1
+    // (a replayed batch would land under a NEW batch id — duplicate
+    // rows the idempotent per-batch overwrite cannot collapse) nor
+    // skip the chunks that arrived while the query was down. Kill
+    // after chunk 1, deliver chunks 2-3 while down, restart from the
+    // checkpoint, compare to d12's batch answer with a duplicate check.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val docs = sources.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val cBands = operators.Dedup.corpusBandIndex(corpus).localCheckpoint()
+    val cSh = corpus.select($"doc_id".as("corpus_id"),
+      operators.Dedup.shingles(operators.Dedup.toks($"text")).as("sh_c"))
+      .localCheckpoint()
+    val batch = operators.Dedup.d12Batch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val chunks = batch.grouped(math.max(1, batch.size / 3)).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndrsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndrckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_ndrdest").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def startQuery() =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            operators.Dedup.nearDupAgainstCorpus(b, cBands, cSh), id, dest)
+        }
+        .start()
+
+    val q1 = startQuery()
+    try {
+      chunks.head.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // chunks 2-3 arrive while the query is DOWN
+    chunks.drop(1).foreach(c =>
+      c.toDF("doc_id", "text").write.mode("append").parquet(srcDir))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = graft.streaming.Streams.readSink(spark, dest,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dup_of_corpus",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("best_jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    assert(got.distinct.size == got.size,
+      s"restart re-emitted rows: ${got.diff(got.distinct).take(5)}")
+    val want = SparkEntry.queries("d12_incremental_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"restarted gate diverges from d12: extra=${(got.toSet -- want).take(5)}, " +
+        s"missing=${(want -- got.toSet).take(5)}")
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
