@@ -828,20 +828,19 @@ object Dedup {
     import s.implicits._
     val corpus = d12Corpus(s, d)
     // Stored-index mode (round-8 verdict ask #3): with
-    // -Dgraft.d12.indexDir=<dir>, the corpus is NOT re-signed — the
-    // probe reads the persisted (corpus_id, band, bh) table that w06's
-    // writer maintains (write once, append per admitted batch). The
-    // corpus shingle sets are still needed for exact verification of
-    // candidates; at scale those live as a second stored table keyed
-    // by corpus_id (join work ∝ candidates, never corpus size).
-    val cBands = sys.props.get("graft.d12.indexDir") match {
-      case Some(dir) => s.read.parquet(dir)
-        .select($"corpus_id", $"band", $"bh")
-      case None => corpusBandIndex(corpus)
+    // -Dgraft.d12.indexDir=<dir>, the corpus is NEVER touched — the
+    // probe reads the persisted band table AND the persisted shingle
+    // sets that [[writeNearDupIndex]] maintains (write once, append
+    // per admitted batch), so an ingest re-reads neither 100 TB of
+    // text nor its tokenization; verification join work stays ∝
+    // candidates.
+    val (cBands, cSh) = sys.props.get("graft.d12.indexDir") match {
+      case Some(dir) => readNearDupIndex(s, dir)
+      case None => (corpusBandIndex(corpus),
+        corpus.select($"doc_id".as("corpus_id"),
+          shingles(toks($"text")).as("sh_c")))
     }
-    nearDupAgainstCorpus(d12Batch(s, d), cBands,
-      corpus.select($"doc_id".as("corpus_id"),
-        shingles(toks($"text")).as("sh_c")))
+    nearDupAgainstCorpus(d12Batch(s, d), cBands, cSh)
   }
 
   /** The corpus-side near-dup INDEX d12 (and its streaming ingest
@@ -853,6 +852,35 @@ object Dedup {
     import s.implicits._
     bandSignatures(minhashSigsOf(corpus, 64), bands = 16, r = 4)
       .select($"doc_id".as("corpus_id"), $"band", $"bh")
+  }
+
+  /** Writes (or appends) the COMPLETE stored near-dup index for a
+    * corpus slice under `dest`: `bands/` — the (corpus_id, band, bh)
+    * probe table, partitioned by band; `shingles/` — the (corpus_id,
+    * sh_c) exact-verification sets, so a probe never re-tokenizes the
+    * corpus either. The w06 query drives the write/append admission
+    * cycle; d12's -Dgraft.d12.indexDir mode and DedupSpec read it
+    * back. Mode is "overwrite" for the initial build, "append" per
+    * admitted batch. */
+  def writeNearDupIndex(corpus: DataFrame, dest: String,
+      mode: String): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpusBandIndex(corpus)
+      .sortWithinPartitions("band")
+      .write.mode(mode).partitionBy("band").parquet(s"$dest/bands")
+    corpus.select($"doc_id".as("corpus_id"),
+        shingles(toks($"text")).as("sh_c"))
+      .write.mode(mode).parquet(s"$dest/shingles")
+  }
+
+  /** Reads a [[writeNearDupIndex]] directory back as the (bands,
+    * shingles) pair [[nearDupAgainstCorpus]] consumes. */
+  def readNearDupIndex(s: SparkSession, dest: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    (s.read.parquet(s"$dest/bands").select($"corpus_id", $"band", $"bh"),
+      s.read.parquet(s"$dest/shingles").select($"corpus_id", $"sh_c"))
   }
 
   /** d12's core against a PRE-BUILT corpus index — shaped so a

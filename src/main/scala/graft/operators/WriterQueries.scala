@@ -215,41 +215,43 @@ object WriterQueries {
     * d12's "maintained incrementally in production" story as a
     * registered write + append + probe cycle instead of scaladoc:
     *
-    *   1. WRITE: the (corpus_id, band, bh) minhash band index of half
-    *      the corpus (doc_id % 4 == 0), partitioned by band — 16 stable
-    *      directories, each append adds files, never rewrites (w03's
-    *      compaction is the maintenance pass at scale).
+    *   1. WRITE: the full stored index of half the corpus
+    *      (doc_id % 4 == 0) via [[Dedup.writeNearDupIndex]] — the
+    *      (corpus_id, band, bh) probe table partitioned by band (16
+    *      stable directories; appends add files, never rewrite — w03's
+    *      compaction is the maintenance pass) PLUS the (corpus_id,
+    *      sh_c) shingle sets the exact verification joins.
     *   2. APPEND: the other half's rows (doc_id % 4 == 2) land with
     *      mode=append — the per-ingest admission step; nothing already
-    *      stored is touched or re-signed.
-    *   3. PROBE: d12's batch runs [[Dedup.nearDupAgainstCorpus]] with
-    *      the index READ BACK from parquet. The stored index now covers
-    *      exactly d12's corpus (all even docs), so the oracle is d12's
-    *      SQL verbatim — any loss, duplication, or schema drift through
-    *      the write/append/read cycle hash-mismatches.
+    *      stored is touched, re-signed, or re-tokenized.
+    *   3. PROBE: d12's batch runs [[Dedup.nearDupAgainstCorpus]]
+    *      ENTIRELY from the read-back index (bands + shingles — the
+    *      corpus text is untouched after admission). The stored index
+    *      covers exactly d12's corpus (all even docs), so the oracle is
+    *      d12's SQL verbatim — any loss, duplication, or schema drift
+    *      through the write/append/read cycle hash-mismatches.
     *
-    * 100 TB: the index is ~48 small rows per corpus doc (16 bands × one
-    * (bh, id) pair) — a ~1%-of-corpus table that replaces re-signing
-    * 100 TB of text on every ingest; probes shuffle only the BATCH's
-    * band rows against it. DedupSpec additionally proves d12 itself
-    * reproduces its inline answer when re-pointed at this stored index
-    * via -Dgraft.d12.indexDir. */
+    * 100 TB: the band table is ~48 small rows per corpus doc (~1% of
+    * corpus bytes) and the shingle table is the one derived column an
+    * ingest would otherwise recompute from 100 TB of text per batch;
+    * probes shuffle only the BATCH's band rows, and verification joins
+    * only CANDIDATE shingle rows. DedupSpec additionally proves d12
+    * itself reproduces its inline answer when re-pointed at this
+    * stored index via -Dgraft.d12.indexDir. */
   val w06BandIndex: Q = Q(
     "w06_band_index", Dedup.d12OracleSql) { (s, d) =>
     import s.implicits._
     val dest = tmp(d, "band_index")
     rmrfLocal(new java.io.File(dest)) // stale index of an old fixture
     val corpus = Dedup.d12Corpus(s, d)
-    Writers.writePartitioned(
-      Dedup.corpusBandIndex(corpus.filter($"doc_id" % 4 === 0)),
-      "band", dest)
-    Dedup.corpusBandIndex(corpus.filter($"doc_id" % 4 === 2))
-      .sortWithinPartitions("band")
-      .write.mode("append").partitionBy("band").parquet(dest)
-    Dedup.nearDupAgainstCorpus(Dedup.d12Batch(s, d),
-      s.read.parquet(dest).select($"corpus_id", $"band", $"bh"),
-      corpus.select($"doc_id".as("corpus_id"),
-        Dedup.shingles(Dedup.toks($"text")).as("sh_c")))
+    Dedup.writeNearDupIndex(
+      corpus.filter($"doc_id" % 4 === 0), dest, "overwrite")
+    Dedup.writeNearDupIndex(
+      corpus.filter($"doc_id" % 4 === 2), dest, "append")
+    // probe ENTIRELY from storage: bands and shingle sets both read
+    // back — the corpus text is not touched after the admission writes
+    val (cBands, cSh) = Dedup.readNearDupIndex(s, dest)
+    Dedup.nearDupAgainstCorpus(Dedup.d12Batch(s, d), cBands, cSh)
   }
 
   private def rmrfLocal(f: java.io.File): Unit = {

@@ -278,12 +278,10 @@ class DedupSpec extends AnyFunSuite {
     }
     rmrf(new java.io.File(dest))
     val corpus = operators.Dedup.d12Corpus(spark, sf)
-    graft.sources.Writers.writePartitioned(
-      operators.Dedup.corpusBandIndex(corpus.filter($"doc_id" % 4 === 0)),
-      "band", dest)
-    operators.Dedup.corpusBandIndex(corpus.filter($"doc_id" % 4 === 2))
-      .sortWithinPartitions("band")
-      .write.mode("append").partitionBy("band").parquet(dest)
+    operators.Dedup.writeNearDupIndex(
+      corpus.filter($"doc_id" % 4 === 0), dest, "overwrite")
+    operators.Dedup.writeNearDupIndex(
+      corpus.filter($"doc_id" % 4 === 2), dest, "append")
     def rows() = SparkEntry.queries("d12_incremental_neardup")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
