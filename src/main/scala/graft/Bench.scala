@@ -138,11 +138,13 @@ object Bench {
     run("q01_pricing_summary")
 
     // optional args: restrict to the named queries (bench iteration aid);
-    // the sf1 sweep drops the declared quadratic ground truths (their
-    // registered twins cover the capability at that scale)
+    // the FULL sf1 sweep drops the declared quadratic ground truths
+    // (their registered twins cover the capability at that scale) — but
+    // an explicitly named query always runs, so deliberately
+    // re-measuring a documented blowup stays possible
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.contains(n))
-      .filter(n => sfNumPre != "1" || !declaredQuadratics(n))
+      .filter(n => args.nonEmpty || sfNumPre != "1" || !declaredQuadratics(n))
     val results = names.map(n => n -> run(n))
     val byName = results.toMap
     val sfNum = sfNumPre

@@ -305,16 +305,16 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    ivfProbe(emb, centroids,
-      emb.join(ivfAssignment(emb, centroids), "vec_id"), nprobe)
+    ivfProbe(emb, centroids, ivfAssignment(emb, centroids), nprobe)
   }
 
-  /** The IVF inverted LISTS — (vec_id, c_id) nearest-centroid
-    * assignment of the corpus (broadcast of the small centroid table,
-    * one map-side pass). Factored out so w07 can PERSIST it: the
-    * stored index is this table bucketed by cell plus the k-row
-    * centroid table — ~1% of corpus bytes replacing a full re-train +
-    * re-assign on every serve. */
+  /** Nearest-centroid assignment of the corpus, WIDE — (vec_id,
+    * embedding, nrm, c_id) straight out of the argmax window, one
+    * broadcast map-side pass, no re-join (the inline s04/s04b path
+    * feeds this directly to [[ivfProbe]]). w07 projects it down to
+    * (vec_id, c_id) only at index-WRITE time — the persisted lists
+    * stay ~1% of corpus bytes, and the serve path re-attaches vectors
+    * by vec_id from the corpus table. */
   def ivfAssignment(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -324,7 +324,7 @@ object Similarity {
         (dot($"embedding", $"c_vec") / ($"nrm" * $"c_nrm")).as("c_sim"))
       .withColumn("crk", row_number().over(wAssign))
       .filter($"crk" === 1)
-      .select($"vec_id", $"c_id")
+      .select($"vec_id", $"embedding", $"nrm", $"c_id")
   }
 
   /** Probe + exact re-rank against an assigned corpus: `assigned`

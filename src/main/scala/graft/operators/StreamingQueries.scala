@@ -13,11 +13,8 @@ object StreamingQueries {
 
   /** Recursive delete for the sink/source scratch dirs of the twins
     * that drive real file sinks (st09, st12). */
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
-      .foreach(rmrf)
-    f.delete(); ()
-  }
+  private def rmrf(f: java.io.File): Unit =
+    graft.sources.Writers.rmrf(f)
 
   val st01Tumbling: Q = Q(
     "st01_tumbling_window",

@@ -242,7 +242,7 @@ object WriterQueries {
     "w06_band_index", Dedup.d12OracleSql) { (s, d) =>
     import s.implicits._
     val dest = tmp(d, "band_index")
-    rmrfLocal(new java.io.File(dest)) // stale index of an old fixture
+    Writers.rmrf(new java.io.File(dest)) // stale index of an old fixture
     val corpus = Dedup.d12Corpus(s, d)
     Dedup.writeNearDupIndex(
       corpus.filter($"doc_id" % 4 === 0), dest, "overwrite")
@@ -252,12 +252,6 @@ object WriterQueries {
     // back — the corpus text is not touched after the admission writes
     val (cBands, cSh) = Dedup.readNearDupIndex(s, dest)
     Dedup.nearDupAgainstCorpus(Dedup.d12Batch(s, d), cBands, cSh)
-  }
-
-  private def rmrfLocal(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
-      .foreach(rmrfLocal)
-    f.delete(); ()
   }
 
   /** w07: the PERSISTED trained-ANN index — w06's lifecycle story for
@@ -280,6 +274,11 @@ object WriterQueries {
     * lists (cell-partitioned layout → partition pruning on c_id);
     * ingest appends a new batch's (vec_id, c_id) rows after one
     * broadcast-assign pass — the d12/w06 admission cycle, vector-side. */
+  /** Where w07 materializes the stored ANN index for fixture `d` —
+    * public so SimilaritySpec reads the REAL layout instead of
+    * re-deriving the scratch-path convention. */
+  def annIndexDir(d: String): String = tmp(d, "ann_index")
+
   val w07AnnIndex: Q = Q(
     "w07_ann_index",
     """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
@@ -287,16 +286,18 @@ object WriterQueries {
       |  true AS all_answered, true AS recall_ok,
       |  true AS stored_equals_inline""".stripMargin) { (s, d) =>
     import s.implicits._
-    val dest = tmp(d, "ann_index")
-    rmrfLocal(new java.io.File(dest))
+    val dest = annIndexDir(d)
+    Writers.rmrf(new java.io.File(dest))
     val cents = Similarity.trainedCentroids(s, d)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
         Similarity.norm($"embedding").as("nrm"))
-    // WRITE: centroids + cell-partitioned inverted lists
+    // WRITE: centroids + cell-partitioned inverted lists (projected
+    // to (vec_id, c_id) here — the stored lists stay ~1% of corpus)
     cents.write.parquet(s"$dest/centroids")
     Writers.writePartitioned(
-      Similarity.ivfAssignment(emb, cents), "c_id", s"$dest/lists")
+      Similarity.ivfAssignment(emb, cents).select($"vec_id", $"c_id"),
+      "c_id", s"$dest/lists")
     // SERVE: probe the stored index (centroids and lists from parquet)
     val storedCents = s.read.parquet(s"$dest/centroids")
       .select($"c_id", $"c_vec", $"c_nrm")

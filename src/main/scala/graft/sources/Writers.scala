@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
+  /** Recursive delete for local scratch/sink directories — the ONE
+    * copy (writer queries, streaming twins, and specs all clear
+    * per-fixture scratch paths with it). */
+  def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+      .foreach(rmrf)
+    f.delete(); ()
+  }
+
   /** Dynamic-partitioned parquet write, partition-sorted. */
   def writePartitioned(df: DataFrame, partCol: String, dest: String): Unit =
     df.sortWithinPartitions(partCol)

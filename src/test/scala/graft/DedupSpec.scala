@@ -271,12 +271,7 @@ class DedupSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_d12idx_test"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
-        .foreach(rmrf)
-      f.delete(); ()
-    }
-    rmrf(new java.io.File(dest))
+    graft.sources.Writers.rmrf(new java.io.File(dest))
     val corpus = operators.Dedup.d12Corpus(spark, sf)
     operators.Dedup.writeNearDupIndex(
       corpus.filter($"doc_id" % 4 === 0), dest, "overwrite")

@@ -154,8 +154,7 @@ class SimilaritySpec extends AnyFunSuite {
     // probe that touches cells {1,3} reads ONLY those partitions —
     // PartitionFilters on c_id in the scan, no full-index read
     val lists = spark.read.parquet(
-      s"${System.getProperty("java.io.tmpdir")}/graft_wq_" +
-        s"${d01.replaceAll("[^A-Za-z0-9]", "_")}/ann_index/lists")
+      s"${operators.WriterQueries.annIndexDir(d01)}/lists")
       .filter($"c_id".isin(1, 3))
     val scan = lists.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("c_id"),

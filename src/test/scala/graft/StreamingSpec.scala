@@ -546,8 +546,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     val docs = sources.Tables.documents(spark, sf)
-    val corpus = docs.filter($"doc_id" % 2 === 0)
-      .select($"doc_id", $"text")
+    val corpus = operators.Dedup.d12Corpus(spark, sf)
     val cBands = operators.Dedup.corpusBandIndex(corpus).localCheckpoint()
     val cSh = corpus.select($"doc_id".as("corpus_id"),
       operators.Dedup.shingles(operators.Dedup.toks($"text")).as("sh_c"))
@@ -615,8 +614,7 @@ class StreamingSpec extends AnyFunSuite {
     // checkpoint, compare to d12's batch answer with a duplicate check.
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
-    val docs = sources.Tables.documents(spark, sf)
-    val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val corpus = operators.Dedup.d12Corpus(spark, sf)
     val cBands = operators.Dedup.corpusBandIndex(corpus).localCheckpoint()
     val cSh = corpus.select($"doc_id".as("corpus_id"),
       operators.Dedup.shingles(operators.Dedup.toks($"text")).as("sh_c"))
