@@ -30,7 +30,7 @@ object Bench {
     * their tables, and duplicate keys keep the LAST occurrence, so the
     * anchor is always the most recent round's numbers — regressions are
     * flagged round-over-round, not only vs the original t0. */
-  private def baselineT0(): Map[String, Double] = {
+  private[graft] def baselineT0(): Map[String, Double] = {
     val f = new java.io.File("BASELINE.md")
     if (!f.exists()) return Map.empty
     val row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
@@ -44,7 +44,7 @@ object Bench {
     * sf1 sweep, so regressions are tracked at BOTH scales. The `@sf1`
     * marker keeps these rows invisible to [[baselineT0]]'s sf0.1 parse
     * (its name group rejects the marker) and vice versa. */
-  private def baselineSf1(): Map[String, Double] = {
+  private[graft] def baselineSf1(): Map[String, Double] = {
     val f = new java.io.File("BASELINE.md")
     if (!f.exists()) return Map.empty
     val row = """\|\s*([a-z0-9_]+) @sf1\s*\|\s*([0-9.]+)\s*\|""".r
@@ -60,7 +60,7 @@ object Bench {
     * re-measuring a documented 80-100x blowup (BASELINE.md round-8
     * scale-step table has the numbers), so the sf1 sweep excludes
     * them. */
-  private val declaredQuadratics: Set[String] = Set(
+  private[graft] val declaredQuadratics: Set[String] = Set(
     "d04_ngram_jaccard", "c01_corpus_clean", "d06_dup_clusters",
     "m03_media_similarity", "s01_knn_brute", "s03_cosine_dedup")
 
