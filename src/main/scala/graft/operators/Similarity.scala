@@ -687,9 +687,26 @@ object Similarity {
       |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
       |  CAST(d2_exact AS BIGINT) AS d2_exact
       |FROM final""".stripMargin) { (s, d) =>
+    val p = pqParts(s, d)
+    adcRerank(p, p.codes)
+  }
+
+  /** Exact integer Σ(aᵢ−bᵢ)² over two long arrays — the PQ family's
+    * one distance kernel (shared by s07/s07b and their coarse layer). */
+  private def sqSumL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** The PQ train/encode intermediates SHARED by s07 (exhaustive ADC
+    * ground truth) and s07b (IVF-restricted ADC — the production
+    * composition): integer-grid corpus `q0`, per-vector PQ `codes`,
+    * the 4 query ids `qs`, and their per-(m, c_id) ADC lookup `lut`.
+    * One definition so the two registries cannot drift; both queries'
+    * DuckDB oracles recompute everything bit-for-bit. */
+  final case class PqParts(q0: DataFrame, codes: DataFrame,
+      qs: DataFrame, lut: DataFrame)
+
+  def pqParts(s: SparkSession, d: String): PqParts = {
     import s.implicits._
-    def sqSumL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
     // the quantized working set is materialized ONCE (localCheckpoint;
     // persist(DISK_ONLY) on a cluster): seeds, cells, queries and the
@@ -768,13 +785,26 @@ object Similarity {
       .select($"query_id", $"m", $"c_id",
         ($"i_int".cast("double") / ($"c_n" * $"c_n")).as("partial"))
 
+    PqParts(q0, codes, qs, lut)
+  }
+
+  /** ADC scan + exact re-rank over a (possibly cell-restricted) code
+    * table — s07 passes the full corpus codes; s07b passes only the
+    * codes of vectors in each query's probed coarse cells (the codes
+    * frame may then carry a query_id restriction column). */
+  def adcRerank(p: PqParts, codes: DataFrame): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val perQuery = codes.columns.contains("query_id")
     // ADC: fixed m-order fold of the 8 partials (bit-identical to the
     // oracle's list(... ORDER BY m) → list_sum)
-    val adc = codes.join(broadcast(lut), Seq("m", "c_id"))
+    val joinKeys = if (perQuery) Seq("m", "c_id", "query_id")
+      else Seq("m", "c_id")
+    val adc = codes.join(broadcast(p.lut), joinKeys)
       .groupBy($"query_id", $"vec_id")
       .agg(aggregate(
         transform(array_sort(collect_list(struct($"m", $"partial"))),
-          p => p.getField("partial")),
+          x => x.getField("partial")),
         lit(0.0), _ + _).as("adc_d2"))
     val wAdc = Window.partitionBy($"query_id")
       .orderBy($"adc_d2", $"vec_id")
@@ -782,8 +812,9 @@ object Similarity {
       .filter($"crk" <= 32).select($"query_id", $"vec_id")
 
     val rerank = cand
-      .join(q0.select($"vec_id".as("query_id"), $"qx".as("qa")), "query_id")
-      .join(q0.select($"vec_id", $"qx".as("qb")), "vec_id")
+      .join(p.q0.select($"vec_id".as("query_id"), $"qx".as("qa")),
+        "query_id")
+      .join(p.q0.select($"vec_id", $"qx".as("qb")), "vec_id")
       .select($"query_id", $"vec_id", sqSumL($"qa", $"qb").as("d2_exact"))
     val wFin = Window.partitionBy($"query_id")
       .orderBy($"d2_exact", $"vec_id")
@@ -792,7 +823,154 @@ object Similarity {
         $"d2_exact".cast("long").as("d2_exact"))
   }
 
+  /** s07b: IVF + ADC — the composition s07's scaladoc always deferred
+    * to ("composes with s04's IVF probe for the sub-linear path"), now
+    * a registered, hash-oracled query: a COARSE quantizer (s04's
+    * deterministic sampled-centroid shape, on the same integer grid as
+    * the PQ pipeline so every distance stays exact BIGINT) assigns the
+    * corpus to cells once; each query probes its nprobe=4 nearest
+    * cells and the ADC table-lookup scan runs ONLY over the codes of
+    * vectors in probed cells, then the exact integer re-rank — the
+    * FAISS IVFADC architecture end-to-end.
+    *
+    * 100 TB shape: ADC work drops from |queries|·|corpus| (s07's
+    * declared exhaustive ground truth) to |queries|·(probed fraction),
+    * and the per-vector payload in the scan is the 8-code row (4 B),
+    * not the vector. The SAMPLED coarse layer here is the
+    * oracle-checkable twin with s04's documented erosion: every-100th
+    * sampling makes k ∝ N, so the one-pass assignment is O(N²/100) at
+    * the limit — a production deployment swaps in s04b's Lloyd-TRAINED
+    * fixed-k centroids (float; candidate selection tolerates the grid
+    * mismatch) and persists the assignment via w07's stored-index
+    * lifecycle, keeping assignment O(N·k). SimilaritySpec measures the
+    * candidate reduction and the top-3 agreement vs s07. */
+  val s07bKnnIvfPq: Q = Q(
+    "s07b_knn_ivfpq",
+    """WITH q0 AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(x * 200.0 + 0.5) AS BIGINT)
+      |     FOR x IN embedding::DOUBLE[]] AS qx
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT qx, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+      |    AS c_id
+      |  FROM q0 QUALIFY c_id <= 16),
+      |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      |cells AS (
+      |  SELECT vec_id, m, qx[m*8+1 : m*8+8] AS sv FROM q0 CROSS JOIN ms),
+      |seedcells AS (
+      |  SELECT c_id, m, qx[m*8+1 : m*8+8] AS cv FROM seeds CROSS JOIN ms),
+      |assign0 AS (
+      |  SELECT vec_id, m, sv, c_id,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+      |                         FOR i IN range(1, 9)]), c_id) AS rk
+      |  FROM cells JOIN seedcells USING (m) QUALIFY rk = 1),
+      |dims AS (SELECT unnest(generate_series(1, 8)) AS dim),
+      |refined AS (
+      |  SELECT m, c_id, dim,
+      |    CAST(sum(sv[dim]) AS BIGINT) AS s_d,
+      |    CAST(count(*) AS BIGINT) AS c_n
+      |  FROM assign0 CROSS JOIN dims
+      |  GROUP BY m, c_id, dim),
+      |enc AS (
+      |  SELECT v.vec_id, v.m, r.c_id,
+      |    CAST(sum((r.c_n * v.sv[r.dim] - r.s_d)
+      |           * (r.c_n * v.sv[r.dim] - r.s_d)) AS BIGINT) AS i_int,
+      |    max(r.c_n) AS c_n
+      |  FROM cells v JOIN refined r USING (m)
+      |  GROUP BY v.vec_id, v.m, r.c_id),
+      |codes AS (
+      |  SELECT vec_id, m, c_id,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY CAST(i_int AS DOUBLE) / (c_n * c_n), c_id) AS rk
+      |  FROM enc QUALIFY rk = 1),
+      |qs AS (
+      |  SELECT vec_id AS query_id, row_number() OVER (
+      |    ORDER BY md5(vec_id::VARCHAR || ':q'), vec_id) AS qrk
+      |  FROM q0 QUALIFY qrk <= 4),
+      |lut AS (
+      |  SELECT q.query_id, e.m, e.c_id,
+      |    CAST(e.i_int AS DOUBLE) / (e.c_n * e.c_n) AS partial
+      |  FROM qs q JOIN enc e ON e.vec_id = q.query_id),
+      |coarse AS (
+      |  SELECT vec_id AS cc_id, qx AS cx FROM q0 WHERE vec_id % 100 = 7),
+      |cassign AS (
+      |  SELECT v.vec_id, c.cc_id,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_sum([(v.qx[i] - c.cx[i]) * (v.qx[i] - c.cx[i])
+      |                         FOR i IN range(1, 65)]), c.cc_id) AS crk
+      |  FROM q0 v CROSS JOIN coarse c QUALIFY crk = 1),
+      |probes AS (
+      |  SELECT q.query_id, c.cc_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_sum([(a.qx[i] - c.cx[i]) * (a.qx[i] - c.cx[i])
+      |                         FOR i IN range(1, 65)]), c.cc_id) AS prk
+      |  FROM qs q JOIN q0 a ON a.vec_id = q.query_id
+      |  CROSS JOIN coarse c QUALIFY prk <= 4),
+      |candset AS (
+      |  SELECT p.query_id, ca.vec_id
+      |  FROM probes p JOIN cassign ca USING (cc_id)),
+      |adc AS (
+      |  SELECT cs.query_id, c.vec_id,
+      |    list_sum(list(l.partial ORDER BY l.m)) AS adc_d2
+      |  FROM codes c
+      |  JOIN candset cs ON cs.vec_id = c.vec_id
+      |  JOIN lut l ON l.m = c.m AND l.c_id = c.c_id
+      |    AND l.query_id = cs.query_id
+      |  GROUP BY cs.query_id, c.vec_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_d2, vec_id) AS crk
+      |  FROM adc QUALIFY crk <= 32),
+      |rerank AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    list_sum([(a.qx[i] - b.qx[i]) * (a.qx[i] - b.qx[i])
+      |              FOR i IN range(1, 65)]) AS d2_exact
+      |  FROM cand c JOIN q0 a ON a.vec_id = c.query_id
+      |              JOIN q0 b ON b.vec_id = c.vec_id),
+      |final AS (
+      |  SELECT query_id, vec_id, d2_exact, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY d2_exact, vec_id) AS rk
+      |  FROM rerank QUALIFY rk <= 3)
+      |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+      |  CAST(d2_exact AS BIGINT) AS d2_exact
+      |FROM final""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val p = pqParts(s, d)
+    adcRerank(p, ivfPqCandidateCodes(p))
+  }
+
+  /** The coarse IVF layer over the PQ grid: sampled integer centroids
+    * (s04's deterministic every-100th shape), one broadcast argmin
+    * assignment pass, per-query nprobe nearest cells, and the codes of
+    * vectors in probed cells — the (query_id, vec_id, m, c_id) frame
+    * [[adcRerank]] scans. Exposed so SimilaritySpec can count the
+    * candidate reduction on the real pipeline. */
+  def ivfPqCandidateCodes(p: PqParts, nprobe: Int = 4): DataFrame = {
+    val s = p.q0.sparkSession
+    import s.implicits._
+    val coarse = p.q0.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("cc_id"), $"qx".as("cx"))
+    val cassign = p.q0.crossJoin(broadcast(coarse))
+      .groupBy($"vec_id")
+      .agg(min(struct(sqSumL($"qx", $"cx").as("d2"), $"cc_id")).as("best"))
+      .select($"vec_id", $"best.cc_id".as("cc_id"))
+    val wP = Window.partitionBy($"query_id").orderBy($"d2", $"cc_id")
+    val probes = p.qs
+      .join(p.q0, p.qs("query_id") === p.q0("vec_id"))
+      .select($"query_id", $"qx")
+      .crossJoin(broadcast(coarse))
+      .select($"query_id", $"cc_id", sqSumL($"qx", $"cx").as("d2"))
+      .withColumn("prk", row_number().over(wP))
+      .filter($"prk" <= nprobe)
+      .select($"query_id", $"cc_id")
+    probes.join(cassign, "cc_id")
+      .select($"query_id", $"vec_id")
+      .join(p.codes, "vec_id")
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
     s04bKnnIvfTrained,
-    s05Quantize, s06Kmeans, s07KnnPq)
+    s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq)
 }

@@ -134,6 +134,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 10, s"recall@3 too low: $hits/12")
   }
 
+  test("s07b: IVF-restricted ADC prunes the scan and tracks exhaustive s07") {
+    import spark.implicits._
+    val p = Similarity.pqParts(spark, sf)
+    // the scale claim, counted on the real pipeline: ADC code rows
+    // scanned per query drop to the probed cells' share (nprobe 4 of
+    // the 5 sampled coarse cells at this fixture — the claim is the
+    // restriction mechanism; the fraction grows with the cell count)
+    val nQueries = p.qs.count()
+    val fullRows = p.codes.count() * nQueries
+    val ivfRows = Similarity.ivfPqCandidateCodes(p).count()
+    info(s"s07b ADC scan rows: $ivfRows vs exhaustive $fullRows")
+    assert(ivfRows < fullRows,
+      s"IVF restriction scanned no fewer code rows: $ivfRows vs $fullRows")
+    // answer quality: self still at rank 1 (the query's own cell is by
+    // definition its nearest — always probed), and the top-3 sets
+    // agree with the exhaustive scan on most slots (losses can only
+    // come from true neighbors in unprobed cells)
+    val full = SparkEntry.queries("s07_knn_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ivf = SparkEntry.queries("s07b_knn_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    ivf.filter(_._2 == 1).foreach { case (q, _, v) =>
+      assert(v == q, s"query $q lost itself under IVF restriction") }
+    val overlap = (ivf.map(t => (t._1, t._3)).toSet &
+      full.map(t => (t._1, t._3)).toSet).size.toDouble / full.length
+    info(f"s07b-vs-s07 top-3 id agreement: $overlap%.3f")
+    assert(overlap >= 0.5,
+      f"IVF-ADC diverged too far from exhaustive ADC: $overlap%.3f")
+  }
+
   test("w07: stored ANN index answers true verdicts and its cell layout" +
       " partition-prunes") {
     import spark.implicits._
