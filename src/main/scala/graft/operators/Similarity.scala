@@ -616,8 +616,10 @@ object Similarity {
     * is one broadcast join (refined codebook = 1,024 rows); the ADC
     * scan is map-only against a broadcast 512-row LUT; top-16/top-3
     * ranks compile to WindowGroupLimit per-partition heaps. */
-  val s07KnnPq: Q = Q(
-    "s07_knn_pq",
+  /** The PQ train/encode CTE prefix (q0 → codes → qs → lut) shared
+    * VERBATIM by the s07 and s07b oracles — one string so the SQL
+    * side cannot drift any more than the Scala side (pqParts). */
+  private val PqOracleCtes: String =
     """WITH q0 AS (
       |  SELECT vec_id,
       |    [CAST(floor(x * 200.0 + 0.5) AS BIGINT)
@@ -664,7 +666,11 @@ object Similarity {
       |lut AS (
       |  SELECT q.query_id, e.m, e.c_id,
       |    CAST(e.i_int AS DOUBLE) / (e.c_n * e.c_n) AS partial
-      |  FROM qs q JOIN enc e ON e.vec_id = q.query_id),
+      |  FROM qs q JOIN enc e ON e.vec_id = q.query_id),""".stripMargin
+
+  val s07KnnPq: Q = Q(
+    "s07_knn_pq",
+    PqOracleCtes + """
       |adc AS (
       |  SELECT l.query_id, c.vec_id,
       |    list_sum(list(l.partial ORDER BY l.m)) AS adc_d2
@@ -789,13 +795,17 @@ object Similarity {
   }
 
   /** ADC scan + exact re-rank over a (possibly cell-restricted) code
-    * table — s07 passes the full corpus codes; s07b passes only the
-    * codes of vectors in each query's probed coarse cells (the codes
-    * frame may then carry a query_id restriction column). */
-  def adcRerank(p: PqParts, codes: DataFrame): DataFrame = {
+    * table — s07 passes the full corpus codes; s07b passes
+    * `perQuery = true` with the codes of vectors in each query's
+    * probed coarse cells (the frame then carries a query_id
+    * restriction column; the flag makes the mode an explicit caller
+    * choice, cross-checked against the frame's shape). */
+  def adcRerank(p: PqParts, codes: DataFrame,
+      perQuery: Boolean = false): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
-    val perQuery = codes.columns.contains("query_id")
+    require(perQuery == codes.columns.contains("query_id"),
+      "perQuery flag must match the codes frame's shape")
     // ADC: fixed m-order fold of the 8 partials (bit-identical to the
     // oracle's list(... ORDER BY m) → list_sum)
     val joinKeys = if (perQuery) Seq("m", "c_id", "query_id")
@@ -846,53 +856,7 @@ object Similarity {
     * candidate reduction and the top-3 agreement vs s07. */
   val s07bKnnIvfPq: Q = Q(
     "s07b_knn_ivfpq",
-    """WITH q0 AS (
-      |  SELECT vec_id,
-      |    [CAST(floor(x * 200.0 + 0.5) AS BIGINT)
-      |     FOR x IN embedding::DOUBLE[]] AS qx
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT qx, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
-      |    AS c_id
-      |  FROM q0 QUALIFY c_id <= 16),
-      |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-      |cells AS (
-      |  SELECT vec_id, m, qx[m*8+1 : m*8+8] AS sv FROM q0 CROSS JOIN ms),
-      |seedcells AS (
-      |  SELECT c_id, m, qx[m*8+1 : m*8+8] AS cv FROM seeds CROSS JOIN ms),
-      |assign0 AS (
-      |  SELECT vec_id, m, sv, c_id,
-      |    row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
-      |                         FOR i IN range(1, 9)]), c_id) AS rk
-      |  FROM cells JOIN seedcells USING (m) QUALIFY rk = 1),
-      |dims AS (SELECT unnest(generate_series(1, 8)) AS dim),
-      |refined AS (
-      |  SELECT m, c_id, dim,
-      |    CAST(sum(sv[dim]) AS BIGINT) AS s_d,
-      |    CAST(count(*) AS BIGINT) AS c_n
-      |  FROM assign0 CROSS JOIN dims
-      |  GROUP BY m, c_id, dim),
-      |enc AS (
-      |  SELECT v.vec_id, v.m, r.c_id,
-      |    CAST(sum((r.c_n * v.sv[r.dim] - r.s_d)
-      |           * (r.c_n * v.sv[r.dim] - r.s_d)) AS BIGINT) AS i_int,
-      |    max(r.c_n) AS c_n
-      |  FROM cells v JOIN refined r USING (m)
-      |  GROUP BY v.vec_id, v.m, r.c_id),
-      |codes AS (
-      |  SELECT vec_id, m, c_id,
-      |    row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY CAST(i_int AS DOUBLE) / (c_n * c_n), c_id) AS rk
-      |  FROM enc QUALIFY rk = 1),
-      |qs AS (
-      |  SELECT vec_id AS query_id, row_number() OVER (
-      |    ORDER BY md5(vec_id::VARCHAR || ':q'), vec_id) AS qrk
-      |  FROM q0 QUALIFY qrk <= 4),
-      |lut AS (
-      |  SELECT q.query_id, e.m, e.c_id,
-      |    CAST(e.i_int AS DOUBLE) / (e.c_n * e.c_n) AS partial
-      |  FROM qs q JOIN enc e ON e.vec_id = q.query_id),
+    PqOracleCtes + """
       |coarse AS (
       |  SELECT vec_id AS cc_id, qx AS cx FROM q0 WHERE vec_id % 100 = 7),
       |cassign AS (
@@ -936,9 +900,8 @@ object Similarity {
       |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
       |  CAST(d2_exact AS BIGINT) AS d2_exact
       |FROM final""".stripMargin) { (s, d) =>
-    import s.implicits._
     val p = pqParts(s, d)
-    adcRerank(p, ivfPqCandidateCodes(p))
+    adcRerank(p, ivfPqCandidateCodes(p), perQuery = true)
   }
 
   /** The coarse IVF layer over the PQ grid: sampled integer centroids

@@ -135,7 +135,6 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("s07b: IVF-restricted ADC prunes the scan and tracks exhaustive s07") {
-    import spark.implicits._
     val p = Similarity.pqParts(spark, sf)
     // the scale claim, counted on the real pipeline: ADC code rows
     // scanned per query drop to the probed cells' share (nprobe 4 of
@@ -155,6 +154,8 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val ivf = SparkEntry.queries("s07b_knn_ivfpq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ivf.map(_._1).distinct.length == 4,
+      s"a query vanished from s07b: ${ivf.map(_._1).distinct.toSeq}")
     ivf.filter(_._2 == 1).foreach { case (q, _, v) =>
       assert(v == q, s"query $q lost itself under IVF restriction") }
     val overlap = (ivf.map(t => (t._1, t._3)).toSet &
