@@ -286,7 +286,7 @@ object Audit {
     * ([[Splits.splitAssignment]] — auditing the EXACT assignment the
     * pipeline ships) and d03's LSH pair stage
     * ([[Dedup.minhashPairs]] — the scale-path candidate set, recall
-    * bounded by SCALE_r08's measured floors). Output is the per-
+    * bounded by the SCALE_r* artifact's measured floors). Output is the per-
     * direction leakage table — ordered split pair, pair count,
     * distinct contaminated docs ON EACH SIDE (for (train, val):
     * n_docs_b = val docs holding a train near-dup, the eval

@@ -451,7 +451,7 @@ object Dedup {
     * data — quadratic by inheritance). d06b swaps ONLY the pair stage
     * for d03's banded candidates + exact verification (identical pair
     * schema and threshold, recall bounded by the measured LSH floors
-    * in SCALE_r08.json) and keeps the same star-contraction CC — the
+    * in the SCALE_r* artifact) and keeps the same star-contraction CC — the
     * swap the d06/c01 scaladocs always promised at 100 TB, now a
     * registered, oracled query. The oracle chains d03's hash-verified
     * CTEs into d06's recursive-CC SQL, so cluster assignments match
