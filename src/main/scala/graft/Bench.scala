@@ -87,7 +87,8 @@ object Bench {
     "s04b_knn_ivf_trained", "c01b_corpus_clean_lsh",
     "d06b_dup_clusters_lsh", "m03b_media_similarity_lsh",
     "d11b_merged_spans", "d12_incremental_neardup",
-    "st15_neardup_gate", "w06_band_index")
+    "st15_neardup_gate", "w06_band_index", "w07_ann_index",
+    "s07b_knn_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
