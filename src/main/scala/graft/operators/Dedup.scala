@@ -334,9 +334,14 @@ object Dedup {
     * MEASURED at the 10x stress fixture (SCALE_r09 d05_* rows):
     * 0.63 of all pairs, 0.71 of hamming<=3 pairs survive the cap —
     * the bounded trade for dropping 14x super-linear to 3.85x. */
+  /** Single source of truth for d05's fat-bucket cap: interpolated into
+    * the registered oracle SQL below AND passed to [[simhashPairs]], so
+    * the two sides cannot drift apart silently (round-9 advice). */
+  val D05Cap: Int = 256
+
   val d05Simhash: Q = Q(
     "d05_simhash",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |              FROM documents),
       |h AS (SELECT doc_id,
       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
@@ -356,7 +361,7 @@ object Dedup {
       |        GROUP BY band, bh),
       |sc AS (SELECT b.doc_id, b.sh60, b.band, b.bh,
       |         ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 4))::BIGINT
-      |           % CAST(ceil(CAST(z.n AS DOUBLE) / 256) AS BIGINT) AS cell
+      |           % CAST(ceil(CAST(z.n AS DOUBLE) / $D05Cap) AS BIGINT) AS cell
       |       FROM banded b JOIN bsz z ON b.band = z.band AND b.bh = z.bh)
       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |  CAST(bit_count(xor(x.sh60, y.sh60)) AS INT) AS hamming
@@ -364,7 +369,7 @@ object Dedup {
       |  ON x.band = y.band AND x.bh = y.bh AND x.cell = y.cell
       |    AND x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sh60, y.sh60)) <= 8""".stripMargin) { (s, d) =>
-    simhashPairs(s, d, cap = 256)
+    simhashPairs(s, d, cap = D05Cap)
   }
 
   /** d05's full pipeline with an explicit fat-bucket cap —
@@ -823,24 +828,34 @@ object Dedup {
           concat($"text", lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text")))
   }
 
-  val d12IncrementalNearDup: Q = Q(
-    "d12_incremental_neardup", d12OracleSql) { (s, d) =>
+  /** d12's build with the index source EXPLICIT (round-9 advice: tests
+    * thread the stored-index dir as a parameter instead of mutating the
+    * process-global system property, which would race across suites if
+    * the test JVMs ever ran parallel). `indexDir = Some(dir)` is
+    * stored-index mode: the corpus is NEVER touched — the probe reads
+    * the persisted band table AND the persisted shingle sets that
+    * [[writeNearDupIndex]] maintains (write once, append per admitted
+    * batch), so an ingest re-reads neither 100 TB of text nor its
+    * tokenization; verification join work stays ∝ candidates. */
+  def d12Build(s: SparkSession, d: String,
+      indexDir: Option[String]): DataFrame = {
     import s.implicits._
     val corpus = d12Corpus(s, d)
-    // Stored-index mode (round-8 verdict ask #3): with
-    // -Dgraft.d12.indexDir=<dir>, the corpus is NEVER touched — the
-    // probe reads the persisted band table AND the persisted shingle
-    // sets that [[writeNearDupIndex]] maintains (write once, append
-    // per admitted batch), so an ingest re-reads neither 100 TB of
-    // text nor its tokenization; verification join work stays ∝
-    // candidates.
-    val (cBands, cSh) = sys.props.get("graft.d12.indexDir") match {
+    val (cBands, cSh) = indexDir match {
       case Some(dir) => readNearDupIndex(s, dir)
       case None => (corpusBandIndex(corpus),
         corpus.select($"doc_id".as("corpus_id"),
           shingles(toks($"text")).as("sh_c")))
     }
     nearDupAgainstCorpus(d12Batch(s, d), cBands, cSh)
+  }
+
+  val d12IncrementalNearDup: Q = Q(
+    "d12_incremental_neardup", d12OracleSql) { (s, d) =>
+    // -Dgraft.d12.indexDir=<dir> remains the registered query's
+    // entry-point switch (the driver has no other channel); everything
+    // else goes through the explicit d12Build parameter.
+    d12Build(s, d, sys.props.get("graft.d12.indexDir"))
   }
 
   /** The corpus-side near-dup INDEX d12 (and its streaming ingest

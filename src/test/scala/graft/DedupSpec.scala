@@ -277,14 +277,17 @@ class DedupSpec extends AnyFunSuite {
       corpus.filter($"doc_id" % 4 === 0), dest, "overwrite")
     operators.Dedup.writeNearDupIndex(
       corpus.filter($"doc_id" % 4 === 2), dest, "append")
-    def rows() = SparkEntry.queries("d12_incremental_neardup")(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getBoolean(1),
-        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
-    val inline = rows()
-    System.setProperty("graft.d12.indexDir", dest)
-    val stored = try rows()
-      finally System.clearProperty("graft.d12.indexDir")
+    // round-9 advice: thread the index dir as an explicit d12Build
+    // parameter — no process-global system-property mutation, so this
+    // cannot race a concurrent d12 run if suites ever fork parallel
+    // (the property stays the REGISTERED query's entry-point switch)
+    def rows(indexDir: Option[String]) =
+      operators.Dedup.d12Build(spark, sf, indexDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    val inline = rows(None)
+    val stored = rows(Some(dest))
     assert(inline.nonEmpty)
     assert(stored == inline,
       s"stored-index run diverges: extra=${(stored -- inline).take(5)}, " +

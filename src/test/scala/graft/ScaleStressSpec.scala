@@ -30,7 +30,8 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r09.json"
+  private val ArtifactFile = "SCALE_r10.json"
+  private val PrevArtifactFile = "SCALE_r09.json"
 
   /** The COMPLETE set of metric names any test in this suite can
     * `record()` — the artifact's tamper-evidence (round-8 verdict
@@ -75,15 +76,28 @@ class ScaleStressSpec extends AnyFunSuite
     * KNOWN metric — an unknown name means the artifact was hand-edited
     * (or a metric was retired without pruning), and silently carrying
     * it forward is exactly the integrity hole the round-8 verdict
-    * flagged, so the suite fails loudly instead. */
-  private def existingRows(): Seq[(String, (Double, Double))] = {
+    * flagged, so the suite fails loudly instead.
+    *
+    * Returns the rows plus the set of names whose values were INHERITED
+    * from the previous round's file rather than measured by any run
+    * against the current artifact — those are stamped into a top-level
+    * `carried_forward` list (round-9 advice: deleting the round file to
+    * re-measure must not silently re-present last round's numbers as
+    * fresh), and a name leaves the list the moment a run re-records it. */
+  private def existingRows()
+      : (Seq[(String, (Double, Double))], Set[String]) = {
     val cur = java.nio.file.Paths.get(ArtifactFile)
-    val p = if (java.nio.file.Files.exists(cur)) cur
-      else java.nio.file.Paths.get("SCALE_r08.json")
-    if (!java.nio.file.Files.exists(p)) return Nil
+    val fromPrev = !java.nio.file.Files.exists(cur)
+    val p = if (fromPrev) java.nio.file.Paths.get(PrevArtifactFile) else cur
+    if (!java.nio.file.Files.exists(p)) return (Nil, Set.empty)
+    if (fromPrev)
+      println(s"[ScaleStressSpec] $ArtifactFile absent — carrying rows " +
+        s"forward from $PrevArtifactFile; they stay marked " +
+        "carried_forward until a run re-measures them")
+    val text = java.nio.file.Files.readString(p)
     val Row =
       """"([^"]+)":\s*\{"value":\s*([-0-9.eE]+),\s*"floor":\s*([-0-9.eE]+)\}""".r
-    val rows = Row.findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
+    val rows = Row.findAllMatchIn(text).map { m =>
       m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)
     }.toSeq
     val unknown = rows.map(_._1).filterNot(KnownMetrics)
@@ -91,21 +105,37 @@ class ScaleStressSpec extends AnyFunSuite
       s"artifact $p carries rows with no record() source: " +
         s"${unknown.mkString(", ")} — delete them (hand-added rows are " +
         "not evidence)")
-    rows
+    val carried =
+      if (fromPrev) rows.map(_._1).toSet
+      else {
+        val C = """"carried_forward":\s*\[([^\]]*)\]""".r
+        C.findFirstMatchIn(text).map(_.group(1)).toSeq
+          .flatMap(_.split(","))
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSet
+      }
+    (rows, carried)
   }
 
   override def afterAll(): Unit = {
     if (metrics.nonEmpty) {
-      val merged = collection.mutable.LinkedHashMap(existingRows(): _*)
+      val (onDisk, carriedIn) = existingRows()
+      val merged = collection.mutable.LinkedHashMap(onDisk: _*)
       metrics.foreach { case (n, vf) => merged.put(n, vf) }
+      val carried = (carriedIn -- metrics.keys).filter(merged.contains)
+        .toSeq.sorted
       val rows = merged.map { case (n, (v, f)) =>
         f"""    "$n": {"value": $v%.4f, "floor": $f%.2f}"""
       }.mkString(",\n")
+      val carriedLine =
+        if (carried.isEmpty) ""
+        else carried.mkString(
+          "  \"carried_forward\": [\"", "\", \"", "\"],\n")
       val json =
         s"""{
            |  "suite": "ScaleStressSpec",
            |  "fixture": "10x graded-near-duplicate inflation of sf0.01",
-           |  "metrics": {
+           |$carriedLine  "metrics": {
            |$rows
            |  }
            |}

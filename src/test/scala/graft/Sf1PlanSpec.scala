@@ -10,8 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * claims regress loudly in CI.
   *
   * Fixture: `tmp/sf1` (gitignored; regeneration command in BASELINE.md
-  * and FIXTURES.md) — reused when present, generated from sf0.1 via
-  * [[ScaleData.build]] when absent, so a fresh checkout still runs.
+  * and FIXTURES.md) — reused when present. When ABSENT the suite
+  * cancels (a plain `sbt test` on a fresh checkout must not silently
+  * pay minutes of generation and ~150 MB of disk — round-9 advice);
+  * set GRAFT_GEN_SF1=1 to opt into generating it here, or run the
+  * FIXTURES.md command once, and these assertions resume.
   *
   * Methodology note (the SkewSpec trap, round-8 self-review): the
   * assertions must execute the DataFrame's OWN QueryExecution via
@@ -25,12 +28,18 @@ class Sf1PlanSpec extends AnyFunSuite {
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** tmp/sf1, generated on first use if any table is missing. */
+  /** tmp/sf1, reused when present; generation is opt-in (GRAFT_GEN_SF1=1)
+    * because it costs minutes of wall-clock and ~150 MB of disk. */
   private lazy val sf1: String = {
     val missing = Tables.filterNot(t =>
       new java.io.File(s"$Sf1Dir/$t.parquet/_SUCCESS").exists())
     if (missing.nonEmpty) {
-      info(s"generating $Sf1Dir (missing: ${missing.mkString(", ")})")
+      assume(sys.env.get("GRAFT_GEN_SF1").contains("1"),
+        s"$Sf1Dir absent (missing: ${missing.mkString(", ")}); " +
+          "set GRAFT_GEN_SF1=1 or run the FIXTURES.md regeneration " +
+          "command to enable the at-scale plan assertions")
+      info(s"GRAFT_GEN_SF1=1: generating $Sf1Dir from sf0.1 — " +
+        "expect minutes of runtime and ~150 MB under tmp/")
       ScaleData.build(spark, "/root/testdata/sf0.1", Sf1Dir, 10)
     }
     Sf1Dir
