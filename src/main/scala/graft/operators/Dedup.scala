@@ -285,6 +285,84 @@ object Dedup {
     ngramJaccardPairs(s, d)
   }
 
+  /** d13: the EXACT Jaccard ≥ 0.5 pair set — d04's answer to the row —
+    * computed sub-quadratically via prefix filtering (the AllPairs /
+    * PPJoin candidate bound; Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08). Where d03 trades recall for scale (LSH misses ~29% of
+    * threshold-band pairs at 10×, SCALE artifact d03 rows), d13 keeps
+    * the answer EXACT and still prunes the candidate join: it shares
+    * d04's oracle string verbatim, so the driver hash-proves that a
+    * sub-quadratic plan reproduces the quadratic ground truth.
+    *
+    * The bound: under any global total order over shingles, if
+    * J(A,B) ≥ τ then A and B share a shingle inside both PREFIXES of
+    * length |X| − ⌈τ·|X|⌉ + 1 (the smallest common shingle must sit in
+    * each side's prefix: J ≥ τ ⟹ |A∩B| ≥ τ·(|A∪B|) ≥ τ·|X|, and a
+    * suffix of length ⌈τ·|X|⌉ − 1 < τ·|X| cannot hold every common
+    * shingle). With τ = 0.5 the prefix is ⌊n/2⌋+1 — the index join
+    * touches barely half of each posting list — and the order is
+    * RARE-FIRST (ascending document frequency, shingle as tie-break),
+    * so the shingles that do land in prefixes are precisely the ones
+    * with the shortest posting lists. d04's inverted-index join pays
+    * Σ_g df(g)²; d13 pays that sum only over prefix occurrences of
+    * rare shingles (the measured candidate reduction at the 10× stress
+    * fixture is the SCALE artifact's d13_candidate_reduction row). The
+    * size filter max(na,nb) ≤ 2·min(na,nb) (J ≥ 0.5 forces sizes
+    * within 2×) prunes candidates before the verification join.
+    *
+    * 100 TB: two linear shuffles (df count on g, per-doc window on
+    * doc_id), a prefix-only index self-join, then d03's verification
+    * join shape — no stage touches all pairs, no driver state. */
+  /** The (doc_id, g, n) PREFIX rows of each document's rare-first-
+    * ordered shingle set — the τ=0.5 AllPairs prefix ⌊n/2⌋+1. Exposed
+    * so ScaleStressSpec measures the candidate-join work Σ_g c_g² on
+    * exactly the rows the production join sees. */
+  def prefixRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs
+      .select($"doc_id", explode(shingles(toks($"text"))).as("g"))
+    // global rare-first canonical order = (document frequency, shingle)
+    val dfTab = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"df", $"g")
+    val whole = Window.partitionBy($"doc_id")
+    sh.join(dfTab, "g")
+      .withColumn("r", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter($"r" <= $"n" - ceil($"n" * 0.5) + 1)
+      .select($"doc_id", $"g", $"n")
+  }
+
+  def prefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pref = prefixRows(Tables.documents(s, d))
+    val cands = pref.as("x").join(pref.as("y"),
+        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id" &&
+          greatest($"x.n", $"y.n") <= lit(2) * least($"x.n", $"y.n"))
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val sets = Tables.documents(s, d)
+      .select($"doc_id", shingles(toks($"text")).as("sh"))
+    cands
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        (size($"sh_a") + size($"sh_b") -
+          size(array_intersect($"sh_a", $"sh_b"))).cast("long").as("uni"))
+      .filter(lit(2) * $"inter" >= $"uni")
+      .select($"doc_a", $"doc_b", $"inter", $"uni",
+        round($"inter" / $"uni", 6).as("jaccard"))
+  }
+
+  /** d13 rides d04's oracle STRING — literally the same object — so the
+    * equality of the two answers is enforced by the driver, not by a
+    * copied-and-hopefully-identical SQL text. */
+  val d13PrefixJaccard: Q = Q(
+    "d13_prefix_jaccard", d04NgramJaccard.oracle.get) { (s, d) =>
+    prefixJaccardPairs(s, d)
+  }
+
   /** SimHash via explode + 60 signed-bit-vote sums (same CollapseProject
     * rationale as the minhash signature: an array-aggregate formulation
     * re-evaluates per-token work per bit).
@@ -1264,5 +1342,5 @@ object Dedup {
     d04NgramJaccard, d05Simhash, d06DupClusters, d06bDupClustersLsh,
     d07SemanticDedup, d08IncrementalDedup, d09LineDedup,
     d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans,
-    d12IncrementalNearDup)
+    d12IncrementalNearDup, d13PrefixJaccard)
 }

@@ -70,6 +70,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d13 prefix-filtered join reproduces d04's exact answer row-for-row") {
+    // the whole point of d13: the prefix filter (AllPairs/PPJoin bound)
+    // may prune CANDIDATES but never ANSWERS — any missing row means
+    // the bound was mis-derived (e.g. an off-by-one in the prefix
+    // length) and the driver's shared-oracle check would only catch it
+    // at sf0.01; this pins it at the unit fixture too, both directions
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val exact = rows("d04_ngram_jaccard")
+    val pf = rows("d13_prefix_jaccard")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(pf == exact,
+      s"d13 diverges from d04: missing=${(exact -- pf).take(5)}, " +
+        s"extra=${(pf -- exact).take(5)}")
+    // J >= 0.5 forces set sizes within 2x — the size filter the
+    // candidate join prunes on must hold on every emitted pair
+    // (|A| = uni - (|B| - inter) etc.; check via inter/uni bounds)
+    pf.foreach { case (a, b, inter, uni, _) =>
+      assert(2 * inter >= uni, s"pair ($a,$b) below threshold")
+      assert(inter <= uni, s"pair ($a,$b) inter > uni")
+    }
+  }
+
   test("frequency-capped jaccard pairs are a subset of the uncapped pairs") {
     val capped = operators.Dedup.ngramJaccardPairs(spark, sf, maxDocFreq = 20)
       .select("doc_a", "doc_b").collect()

@@ -53,7 +53,8 @@ class ScaleStressSpec extends AnyFunSuite
     "m03b_media_topk_recall", "m03b_uncapped_bucket_recall",
     "m03b_probe_2x4_recall", "m03b_probe_4x2_recall",
     "m03b_probe_4x2_cand_ratio",
-    "d05_capped_pair_recall", "d05_close_pair_recall")
+    "d05_capped_pair_recall", "d05_close_pair_recall",
+    "d13_answer_agreement", "d13_join_work_reduction")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -227,6 +228,52 @@ class ScaleStressSpec extends AnyFunSuite
       f"(${(lsh & clear).size}/${clear.size})")
     record("d03_clear_pair_recall", clearRecall, 0.95)
     assert(clearRecall >= 0.95, f"clear-pair recall: $clearRecall%.4f")
+  }
+
+  test("10x corpus: prefix-filtered d13 EQUALS exact d04 on a fraction of the join work") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    // d13's claim is categorically stronger than the sketches': not
+    // "recall holds" but "the answer is IDENTICAL to the quadratic
+    // ground truth" — assert full-row equality at 10x, where the true
+    // pair set has grown ~250x, then measure how much of the inverted-
+    // index join work the prefix filter actually removed (the quantity
+    // that decides whether d13 survives 100 TB)
+    def fullRows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .select($"doc_a", $"doc_b", $"inter", $"uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val exact = fullRows("d04_ngram_jaccard")
+    val pf = fullRows("d13_prefix_jaccard")
+    assert(exact.size >= 500, s"inflation too weak: ${exact.size} pairs")
+    val agreement =
+      (pf & exact).size.toDouble / math.max(1, (pf | exact).size)
+    info(f"d13-vs-d04 answer agreement at 10x: $agreement%.4f " +
+      f"(${pf.size} vs ${exact.size} rows)")
+    record("d13_answer_agreement", agreement, 1.0)
+    assert(pf == exact,
+      s"d13 diverges from d04 at 10x: missing=${(exact -- pf).take(5)}, " +
+        s"extra=${(pf -- exact).take(5)}")
+    // join work = Σ_g c_g·(c_g−1)/2 candidate generations over posting
+    // lists: the FULL inverted index (what d04 pays) vs the PREFIX
+    // rows (what d13 pays) — both computed as plain linear aggregates
+    val docs = sources.Tables.documents(spark, dir)
+    def work(rows: org.apache.spark.sql.DataFrame): Double =
+      rows.groupBy($"g").agg(fcount(flit(1)).as("c"))
+        .agg(sum($"c" * ($"c" - 1) / 2).cast("double").as("w"))
+        .collect()(0).getDouble(0)
+    val fullWork = work(docs.select($"doc_id",
+      explode(operators.Dedup.shingles(operators.Dedup.toks($"text")))
+        .as("g")))
+    val prefWork = work(operators.Dedup.prefixRows(docs))
+    val reduction = 1.0 - prefWork / fullWork
+    info(f"d13 join-work reduction at 10x: $reduction%.4f " +
+      f"(${prefWork}%.0f of ${fullWork}%.0f candidate generations)")
+    // measured 0.9793 at 10x (511k of 24.7M candidate generations) —
+    // floor at 0.9 with honest headroom
+    record("d13_join_work_reduction", reduction, 0.9)
+    assert(reduction >= 0.9,
+      f"prefix filter prunes too little at 10x: $reduction%.4f")
   }
 
   test("10x corpus: winnowed span fingerprints (d11) find clear near-dup pairs") {
