@@ -338,6 +338,17 @@ object Similarity {
     val qs = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
         $"nrm".as("q_nrm"))
+    ivfProbeQueries(qs, centroids, assigned, nprobe)
+  }
+
+  /** [[ivfProbe]] with the QUERY frame explicit — (q_id, q_vec, q_nrm)
+    * rows — so a streaming serve gate (st16) can probe the stored index
+    * with each micro-batch's queries and land on the batch answer
+    * row-for-row. */
+  def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
+      assigned: DataFrame, nprobe: Int): DataFrame = {
+    val s = qs.sparkSession
+    import s.implicits._
     val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"c_id")
     val probes = qs.join(broadcast(centroids))
       .select($"q_id", $"q_vec", $"q_nrm", $"c_id",

@@ -584,8 +584,98 @@ object StreamingQueries {
         StructField("best_jaccard", DoubleType))))
   }
 
+  /** st16: STREAMING ANN SERVING against a PERSISTED index — the
+    * vector-side twin of st15's ingest gate, and the serve half of
+    * w07's index lifecycle: the IVF index (centroid table +
+    * cell-partitioned inverted lists) is written to parquet ONCE, then
+    * query embeddings arrive as a stream in three chunks and each
+    * micro-batch probes the STORED index through
+    * [[Similarity.ivfProbeQueries]] — top-5 per query, exact re-rank
+    * within probed cells — into the retry-idempotent sink.
+    *
+    * The index here uses s04's DETERMINISTIC sampled centroids (every
+    * 100th vector) rather than w07's Lloyd-trained ones, for one
+    * reason: it makes the full streamed answer HASH-CHECKABLE — the
+    * oracle is s04's SQL verbatim, so any loss/duplication through the
+    * write→read→probe-per-batch→sink cycle mismatches. (w07 already
+    * proves stored≡inline for the trained index; this row proves the
+    * STREAMING delivery.) Stateless across batches — each query's
+    * top-5 depends only on the static index — so exactly-once comes
+    * from the sink's per-batch overwrite; the restart case is
+    * StreamingSpec's kill-after-chunk-1 test.
+    *
+    * 100 TB: serving reads the k-row centroid table (broadcast) and
+    * only probed cells' lists; per-batch shuffle is the BATCH's probe
+    * rows, never the corpus. */
+  val st16AnnServe: Q = Q(
+    "st16_ann_serve", Similarity.s04KnnIvf.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      FloatType, ArrayType, DoubleType, IntegerType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st16_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    rmrf(new java.io.File(base))
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    new java.io.File(src).mkdirs()
+    new java.io.File(dest).mkdirs()
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    // WRITE the index: s04's sampled centroids + (vec_id, c_id) lists,
+    // cell-partitioned like w07's layout
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    cents.write.parquet(s"$idx/centroids")
+    graft.sources.Writers.writePartitioned(
+      Similarity.ivfAssignment(emb, cents).select($"vec_id", $"c_id"),
+      "c_id", s"$idx/lists")
+    // SERVE side statics, all read BACK from the stored index: the
+    // centroid table and the corpus re-attached to its stored cell
+    // assignment (materialized once — per-batch work is then only the
+    // batch's probes)
+    val storedCents = s.read.parquet(s"$idx/centroids")
+      .select($"c_id", $"c_vec", $"c_nrm").localCheckpoint()
+    val assigned = emb
+      .join(s.read.parquet(s"$idx/lists").select($"vec_id", $"c_id"),
+        "vec_id")
+      .localCheckpoint()
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding")
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bs = b.sparkSession
+        import bs.implicits._
+        val qs = b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+          Similarity.norm($"embedding").as("q_nrm"))
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          Similarity.ivfProbeQueries(qs, storedCents, assigned,
+            nprobe = 2), id, dest)
+      }
+      .start()
+    try {
+      // three query chunks as filtered writes — no driver-side buffer
+      (0 until 3).foreach { k =>
+        queries.filter(pmod($"vec_id", lit(150)) === k * 50)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.Streams.readSink(s, dest,
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("vec_id", LongType),
+        StructField("sim", DoubleType),
+        StructField("rk", IntegerType))))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
-    st13QuantFunnel, st14AsofEnrich, st15NearDupGate)
+    st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe)
 }

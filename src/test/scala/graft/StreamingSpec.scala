@@ -675,6 +675,92 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st16: checkpointed restart resumes the ANN serve gate" +
+      " exactly-once") {
+    // Same delivery-accounting risk as st15 (the gate is stateless —
+    // every query's top-5 depends only on the stored index): a restart
+    // must neither replay chunk 1 under a new batch id nor skip the
+    // query chunks that arrived while the query was down. Kill after
+    // chunk 1, deliver chunks 2-3 down, restart, compare to the batch
+    // s04 answer with a duplicate check.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm")).localCheckpoint()
+    val assigned = operators.Similarity.ivfAssignment(emb, cents)
+      .localCheckpoint()
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val chunks = queries.grouped(math.max(1, queries.size / 3)).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_annsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_anndest").toString
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+
+    def startQuery() =
+      spark.readStream.schema(srcSchema).parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val bs = b.sparkSession
+          import bs.implicits._
+          val qs = b.select($"vec_id".as("q_id"),
+            $"embedding".as("q_vec"),
+            operators.Similarity.norm($"embedding").as("q_nrm"))
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            operators.Similarity.ivfProbeQueries(qs, cents, assigned,
+              nprobe = 2), id, dest)
+        }
+        .start()
+
+    val q1 = startQuery()
+    try {
+      chunks.head.toDF("vec_id", "embedding")
+        .write.mode("append").parquet(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // chunks 2-3 arrive while the query is DOWN
+    chunks.drop(1).foreach(c =>
+      c.toDF("vec_id", "embedding").write.mode("append").parquet(srcDir))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = graft.streaming.Streams.readSink(spark, dest,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got.distinct.size == got.size,
+      s"restart re-emitted rows: ${got.diff(got.distinct).take(5)}")
+    val want = SparkEntry.queries("s04_knn_ivf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"restarted serve gate diverges from s04: " +
+        s"extra=${(got.toSet -- want).take(5)}, " +
+        s"missing=${(want -- got.toSet).take(5)}")
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
