@@ -582,7 +582,91 @@ object Splits {
         round($"rate", 6).as("target_rate"))
   }
 
+  /** p11: LEAK-FREE GROUP SPLIT — the REPAIR for what dq05 audits.
+    * dq05 reports near-dup pairs crossing the train/val/test boundary;
+    * the principled fix is not to move individual leaked docs (each
+    * move can create a new leak with the doc's OTHER near-dups) but to
+    * split by NEAR-DUP CLUSTER: every doc is assigned the split of its
+    * cluster representative (d06b's connected components over d03's
+    * LSH pairs; singletons represent themselves), so no detected
+    * near-dup pair can cross a split BY CONSTRUCTION — both endpoints
+    * share a cluster id, hence a representative, hence a split.
+    * Singleton docs (the overwhelming majority) get md5(doc_id) —
+    * p01's exact device — so the repair perturbs only clustered docs
+    * and the 90/5/5 rates hold up to cluster-size jitter. The residual
+    * leak risk is exactly d03's measured recall gap (SCALE artifact
+    * d03 rows), not a property of this operator.
+    *
+    * Output is the per-doc assignment WITH the representative (the
+    * audit trail: rep != doc_id marks a doc whose split was decided by
+    * its cluster). Oracle chains d06b's recursive-CC SQL with p01's
+    * split CASE — the whole repair differential-tested end-to-end.
+    *
+    * 100 TB shape: d03's banded self-join + the star-contraction CC
+    * dominate (both shipped scale paths); the assignment itself is one
+    * left join of the corpus against the (small) clustered-doc table
+    * and a map-side md5. */
+  val p11LeakfreeSplit: Q = Q(
+    "p11_leakfree_split",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b),
+      |dup AS (SELECT doc_a, doc_b FROM inter p
+      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |        UNION SELECT doc_b, doc_a FROM dup),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
+      |             FROM reach GROUP BY a),
+      |reps AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+      |         FROM documents d LEFT JOIN clusters c
+      |           ON d.doc_id = c.doc_id)
+      |SELECT doc_id, rep,
+      |  CASE WHEN substr(md5(rep::VARCHAR), 1, 2) < 'e6' THEN 'train'
+      |       WHEN substr(md5(rep::VARCHAR), 1, 2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM reps""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val clusters = Dedup.connectedComponentsStars(
+      Dedup.minhashPairs(s, d, numHashes = 64, bands = 16)
+        .select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
+      .select($"doc_id", $"rep",
+        when(substring(md5($"rep".cast("string")), 1, 2) < "e6", "train")
+          .when(substring(md5($"rep".cast("string")), 1, 2) < "f3", "val")
+          .otherwise("test").as("split"))
+  }
+
   val all: Seq[Q] = Seq(p01TrainSplit, p02TrainingMix, p03ShardPack,
     p04ChunkDocs, p05WeightedSample, p06EpochShuffle, p07SequencePack,
-    p08Dsir, p09StratifiedExact, p10TemperatureMix)
+    p08Dsir, p09StratifiedExact, p10TemperatureMix, p11LeakfreeSplit)
 }

@@ -117,4 +117,41 @@ class AuditSpec extends AnyFunSuite {
       " near-dups — the audit would be vacuous")
   }
 
+  test("p11 repairs dq05's leaks: zero cross-split near-dup pairs," +
+      " singletons keep p01's split") {
+    import spark.implicits._
+    // the audit→repair loop closed end-to-end: the SAME pair set dq05
+    // scores must find ZERO boundary crossings under p11's group
+    // split (leak-free by construction), while every doc with no
+    // near-dup — rep == doc_id — keeps p01's assignment bit-for-bit
+    // (the repair must not churn the unaffected 95%+ of the corpus)
+    val p11 = SparkEntry.queries("p11_leakfree_split")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = operators.Dedup
+      .minhashPairs(spark, sf, numHashes = 64, bands = 16)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs")
+    val crossing = pairs.filter { case (a, b) => p11(a)._2 != p11(b)._2 }
+    assert(crossing.isEmpty,
+      s"p11 left cross-split near-dup pairs: ${crossing.take(5)}")
+    // and dq05's fixture premise holds: p01 DID leak on this pair set,
+    // so the zero above is a repair, not a vacuous pass
+    val p01 = operators.Splits
+      .splitAssignment(sources.Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => p01(a) != p01(b) },
+      "p01 has no leaks on this fixture — the repair test is vacuous")
+    val singletons = p11.filter { case (id, (rep, _)) => rep == id }
+    assert(singletons.nonEmpty)
+    singletons.foreach { case (id, (_, split)) =>
+      assert(split == p01(id),
+        s"singleton $id churned: p11=$split p01=${p01(id)}")
+    }
+    // rates stay recognizably 90/5/5 after cluster moves
+    val train = p11.values.count(_._2 == "train").toDouble / p11.size
+    assert(train > 0.8 && train < 0.97, s"train rate drifted: $train")
+  }
+
 }
