@@ -360,8 +360,88 @@ object Multimodal {
       .select($"doc_id", $"f", $"nrm", $"bb.band", $"bb.sig")
   }
 
+  /** m04: SHARED-FRAME pairs across media — the video/audio dedup
+    * primitive (shared intros, outros, re-uploads, spliced segments):
+    * hash every fixed-size payload frame (m01's 64-byte chunking),
+    * drop BOILERPLATE frames appearing in more than 32 media (the
+    * d11/t09 document-frequency cap — at corpus scale a frame shared
+    * by 1M videos would otherwise emit 10¹² join pairs; a capped
+    * frame's posting list bounds pair work at 32²/2 per signature),
+    * then join media on the surviving frame hashes and report pairs
+    * sharing ≥ 2 frames with their overlap fraction of the shorter
+    * payload.
+    *
+    * Differs from d01/d09 in what it keys on: byte-aligned opaque
+    * payload chunks, NO tokenization — the only dedup signal available
+    * for media columns where text-side shingles don't exist. Exact
+    * duplicates share every frame; byte-shifted near-dups are m03b's
+    * feature-space territory (the two are complementary, like d01 vs
+    * d03 on text).
+    *
+    * 100 TB: one map-side chunk+hash pass (frames never leave
+    * executors as bytes — only 32-char signatures shuffle), one df
+    * aggregate, a capped signature join, two broadcast-size joins for
+    * the frame counts. */
+  val m04SharedFrames: Q = Q(
+    "m04_shared_frames",
+    """WITH media AS (SELECT doc_id, text FROM documents
+      |               WHERE doc_id % 2 = 0),
+      |nf AS (SELECT doc_id,
+      |         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+      |       FROM media),
+      |frames AS (SELECT DISTINCT m.doc_id,
+      |             md5(substr(m.text, CAST((k - 1) * 64 + 1 AS INT), 64))
+      |               AS fh
+      |           FROM media m JOIN nf USING (doc_id),
+      |             LATERAL (SELECT unnest(range(1, nf.n_frames + 1)) AS k)
+      |               kk),
+      |rare AS (SELECT fh FROM (
+      |           SELECT fh, count(*) AS nd FROM frames GROUP BY fh)
+      |         WHERE nd >= 2 AND nd <= 32),
+      |ff AS (SELECT f.doc_id, f.fh FROM frames f JOIN rare USING (fh)),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            CAST(count(*) AS BIGINT) AS n_shared
+      |          FROM ff a JOIN ff b
+      |            ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) /
+      |    least(na.n_frames, nb.n_frames), 6) AS overlap
+      |FROM pairs
+      |JOIN nf na ON pairs.doc_a = na.doc_id
+      |JOIN nf nb ON pairs.doc_b = nb.doc_id
+      |WHERE n_shared >= 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text",
+        ceil(length($"text") / 64.0).cast("long").as("n_frames"))
+    // frames are DISTINCT signatures per doc (a frame repeated inside
+    // one payload counts once, like d04's shingle sets)
+    val frames = media
+      .select($"doc_id",
+        explode(sequence(lit(1L), $"n_frames")).as("k"), $"text")
+      .select($"doc_id",
+        md5($"text".substr(($"k" - 1) * 64 + 1, lit(64))).as("fh"))
+      .distinct()
+    val rare = frames.groupBy($"fh").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= 32).select($"fh")
+    val ff = frames.join(rare, "fh")
+    val nf = media.select($"doc_id", $"n_frames")
+    ff.as("a").join(ff.as("b"),
+        $"a.fh" === $"b.fh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .join(nf.select($"doc_id".as("doc_a"), $"n_frames".as("na")),
+        "doc_a")
+      .join(nf.select($"doc_id".as("doc_b"), $"n_frames".as("nb")),
+        "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared",
+        round($"n_shared" / least($"na", $"nb"), 6).as("overlap"))
+  }
+
   val all: Seq[Q] = Seq(m01BinaryFrames, m02BatchDecode,
-    m03MediaSimilarity, m03bMediaSimilarityLsh)
+    m03MediaSimilarity, m03bMediaSimilarityLsh, m04SharedFrames)
 }
 
 /** STUB CODEC — stands in for image/audio decoding libraries that are

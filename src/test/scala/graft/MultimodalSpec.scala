@@ -63,4 +63,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs.max <= nDocs / 2,
       s"dominant bucket holds ${sigs.max}/$nDocs docs — collapse")
   }
+
+  test("m04: shared-frame pairs match an independent driver-side" +
+      " recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // recompute with DIFFERENT machinery (String.grouped vs the
+    // query's substr arithmetic, a Scala Map vs the df-cap join) at
+    // the oracle fixture — an off-by-one in the chunk math or a cap
+    // drift shows up as a set difference, not a silently shifted hash
+    val d01 = "/root/testdata/sf0.01"
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val media = sources.Tables.documents(spark, d01)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val frames = media.map { case (id, t) =>
+      id -> t.grouped(64).map(md5hex).toSet }.toMap
+    val df = frames.values.flatten.toSeq.groupBy(identity)
+      .map { case (h, v) => h -> v.size }
+    val kept = frames.map { case (id, fs) =>
+      id -> fs.filter(h => df(h) >= 2 && df(h) <= 32) }
+    val ids = media.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      shared = (kept(a) & kept(b)).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    val got = SparkEntry.queries("m04_shared_frames")(spark, d01)
+      .select($"doc_a", $"doc_b", $"n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture has no shared-frame pairs — vacuous")
+    assert(got == want,
+      s"m04 diverges: extra=${(got -- want).take(5)}, " +
+        s"missing=${(want -- got).take(5)}")
+  }
 }
