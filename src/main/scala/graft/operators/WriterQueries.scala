@@ -329,6 +329,101 @@ object WriterQueries {
         ($"n_diff" === 0L).as("stored_equals_inline"))
   }
 
+  /** w08: SCD TYPE-2 dimension-history MAINTENANCE — the warehouse
+    * job w04's Type-1 merge doesn't cover: instead of overwriting an
+    * attribute in place, every change CLOSES the key's current row
+    * (valid_to stamped, is_current dropped) and INSERTS a new current
+    * row, so the dimension keeps its full history.
+    *
+    * The cycle runs for real: the pre-cutoff history (customers'
+    * per-day order state, last order per day wins) is written to
+    * parquet as the stored dimension; the post-cutoff changes arrive
+    * as a batch that is windowed INTO ITS OWN mini-history; the merge
+    * closes out exactly the stored current rows whose key appears in
+    * the batch (valid_to = the key's first batch change), unions the
+    * untouched rows back, overwrites the dimension, and returns the
+    * read-back.
+    *
+    * The oracle is the strongest invariant an SCD2 job has: the
+    * merge-MAINTAINED table must equal the table REBUILT from scratch
+    * over all of history (one window over all orders). Any off-by-one
+    * at the cutoff seam — a current row not closed, a close stamped
+    * with the wrong date, a batch row chained wrong — breaks the
+    * row hash.
+    *
+    * 100 TB: the stored dimension is read once and joined to the
+    * batch's (key, first_change) table — broadcast-size for a daily
+    * batch; history rows for unaffected keys are never rewritten by
+    * the MERGE semantics (the full-file union here is the parquet
+    * stand-in for a Delta/Iceberg row-level merge; the per-row work
+    * is identical). Windows partition by the dimension key — no
+    * global sort anywhere. */
+  val w08Scd2History: Q = Q(
+    "w08_scd2_history",
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderdate, o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |cur AS (SELECT * FROM ch WHERE rn = 1)
+      |SELECT o_custkey AS cust_key, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate) AS valid_to,
+      |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate) IS NULL AS is_current,
+      |  o_orderstatus AS status, o_totalprice AS price
+      |FROM cur""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = "1997-01-01"
+    val dest = tmp(d, "scd2_dim")
+    Writers.rmrf(new java.io.File(dest))
+
+    // last change per (key, day) — the standard same-day collapse
+    def changes(src: org.apache.spark.sql.DataFrame) = src
+      .select($"o_custkey".as("cust_key"),
+        $"o_orderdate".as("valid_from"),
+        $"o_orderstatus".as("status"), $"o_totalprice".as("price"),
+        $"o_orderkey")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cust_key", $"valid_from")
+          .orderBy($"o_orderkey".desc)))
+      .filter($"rn" === 1).drop("rn", "o_orderkey")
+
+    def history(ch: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy($"cust_key").orderBy($"valid_from")
+      ch.select($"cust_key", $"valid_from",
+        lead($"valid_from", 1).over(w).as("valid_to"),
+        $"status", $"price")
+        .select($"cust_key", $"valid_from", $"valid_to",
+          $"valid_to".isNull.as("is_current"), $"status", $"price")
+    }
+
+    val orders = Tables.orders(s, d)
+    // 1) initial build: everything before the cutoff, stored
+    history(changes(orders.filter($"o_orderdate" < cutoff)))
+      .write.parquet(s"$dest/v1")
+    val stored = s.read.parquet(s"$dest/v1")
+    // 2) the change batch, windowed into its own mini-history
+    val batchHist =
+      history(changes(orders.filter($"o_orderdate" >= cutoff)))
+    // 3) merge: close out stored current rows the batch supersedes
+    val firstNew = batchHist.groupBy($"cust_key")
+      .agg(min($"valid_from").as("first_new"))
+    val closed = stored.filter($"is_current")
+      .join(firstNew, "cust_key")
+      .select($"cust_key", $"valid_from", $"first_new".as("valid_to"),
+        lit(false).as("is_current"), $"status", $"price")
+    val untouchedCurrent = stored.filter($"is_current")
+      .join(firstNew, Seq("cust_key"), "left_anti")
+    stored.filter(!$"is_current")
+      .unionByName(closed).unionByName(untouchedCurrent)
+      .unionByName(batchHist)
+      .write.parquet(s"$dest/v2")
+    s.read.parquet(s"$dest/v2")
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
-    w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex)
+    w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
+    w08Scd2History)
 }

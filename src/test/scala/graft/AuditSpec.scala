@@ -80,6 +80,38 @@ class AuditSpec extends AnyFunSuite {
       total - mods.getOrElse(0L, 0L) - mods.getOrElse(3L, 0L))
   }
 
+  test("w08: the merged SCD2 dimension holds the history invariants") {
+    import spark.implicits._
+    // the oracle already proves merge-maintained == rebuilt-from-
+    // scratch; these pin the SHAPE invariants a consumer relies on,
+    // independent of the oracle's window formulation: exactly one
+    // current row per key, closed intervals chain seamlessly
+    // (valid_to == the key's next valid_from — no gaps, no overlaps),
+    // and the cutoff seam produced genuinely closed-out rows
+    val rows = SparkEntry.queries("w08_scd2_history")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3)))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, h) =>
+      assert(h.count(_._4) == 1, s"key $k: ${h.count(_._4)} current rows")
+      val sorted = h.sortBy(_._2.getTime)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (_, _, to, _) = pair(0)
+        val (_, from2, _, _) = pair(1)
+        assert(to.contains(from2),
+          s"key $k: interval chain broken at $from2 (valid_to=$to)")
+      }
+      assert(sorted.last._3.isEmpty, s"key $k: current row has valid_to")
+    }
+    // the seam was exercised: some keys have history on both sides of
+    // the 1997-01-01 cutoff, so the merge really closed stored rows
+    val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val straddling = byKey.count { case (_, h) =>
+      h.exists(_._2.before(cut)) && h.exists(r => !r._2.before(cut)) }
+    assert(straddling > 0, "no key straddles the cutoff — merge vacuous")
+  }
+
   test("dq05: leakage table equals the manual d03-pairs x p01-split join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
