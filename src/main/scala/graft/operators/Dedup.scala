@@ -333,15 +333,23 @@ object Dedup {
       .select($"doc_id", $"g", $"n")
   }
 
-  def prefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def prefixJaccardPairs(s: SparkSession, d: String): DataFrame =
+    prefixJaccardPairsOf(Tables.documents(s, d))
+
+  /** [[prefixJaccardPairs]] over an arbitrary (doc_id, text) frame —
+    * lets DedupSpec property-test the AllPairs bound on randomized
+    * corpora against a driver-side brute force, where a fixture can
+    * only witness the shingle distributions it happens to contain. */
+  def prefixJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val pref = prefixRows(Tables.documents(s, d))
+    val pref = prefixRows(docs)
     val cands = pref.as("x").join(pref.as("y"),
         $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id" &&
           greatest($"x.n", $"y.n") <= lit(2) * least($"x.n", $"y.n"))
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val sets = Tables.documents(s, d)
+    val sets = docs
       .select($"doc_id", shingles(toks($"text")).as("sh"))
     cands
       .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")

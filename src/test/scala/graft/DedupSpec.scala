@@ -95,6 +95,61 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("property: d13's prefix bound loses NO pair on randomized corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // The AllPairs bound is a THEOREM, and a fixture only witnesses the
+    // shingle distributions it happens to contain — drive randomized
+    // corpora (small alphabet so shingle collisions and threshold-edge
+    // pairs are common; mutated copies so true near-dups exist) and
+    // require exact equality with a driver-side brute force that never
+    // heard of prefixes. Any off-by-one in the prefix length, the
+    // rare-first ordering, or the 2x size filter loses a pair here.
+    val words = Vector("a", "b", "c", "d", "e")
+    val genDoc = for {
+      len <- Gen.choose(1, 14)
+      ws <- Gen.listOfN(len, Gen.oneOf(words))
+    } yield ws
+    val genCorpus = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n, genDoc)
+      // mutated copies: flip one token of a prior doc -> pairs cluster
+      // around the threshold instead of only at the random background
+      copies <- Gen.listOfN(n / 2, for {
+        src <- Gen.choose(0, n - 1)
+        pos <- Gen.choose(0, 20)
+        w <- Gen.oneOf(words)
+      } yield {
+        val d = docs(src)
+        if (d.isEmpty) d else d.updated(pos % d.length, w)
+      })
+    } yield (docs ++ copies).map(_.mkString(" "))
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.split(" ").toSeq
+      if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    }
+    val prop = Prop.forAllNoShrink(genCorpus) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = operators.Dedup.prefixJaccardPairsOf(docs)
+        .select($"doc_a", $"doc_b", $"inter", $"uni").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size.toLong
+        uni = (sa | sb).size.toLong if 2 * inter >= uni
+      } yield (a, b, inter, uni)).toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("frequency-capped jaccard pairs are a subset of the uncapped pairs") {
     val capped = operators.Dedup.ngramJaccardPairs(spark, sf, maxDocFreq = 20)
       .select("doc_a", "doc_b").collect()
