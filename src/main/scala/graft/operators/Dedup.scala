@@ -371,6 +371,103 @@ object Dedup {
     prefixJaccardPairs(s, d)
   }
 
+  /** d14: CANONICAL-DOC selection — the survivorship POLICY layer over
+    * d06b's clusters. c01's removal rule (drop every pair's doc_b =
+    * keep the lowest doc_id) is the cheap pairwise policy; the
+    * principled one keeps the HIGHEST-QUALITY member of each near-dup
+    * cluster (t02's scorer, ties broken by doc_id), because a crawl's
+    * duplicates differ exactly in the dimensions quality measures —
+    * boilerplate wrappers, truncation, encoding damage — and min-id
+    * keeps whichever copy was crawled first, not the best one. Reports
+    * one row per cluster: the keeper, its quality, and how many
+    * members the policy removes.
+    *
+    * Composes three shipped stages verbatim (d03 LSH pairs → d06b's
+    * star-contraction CC → t02's scorer); the oracle chains their
+    * hash-verified SQL, so the whole policy is differential-tested.
+    *
+    * 100 TB: the cluster table covers only docs with a near-dup (a
+    * small fraction of the corpus); quality is map-side; the pick is
+    * one window over cluster_id. Nothing touches non-duplicated
+    * docs. */
+  val d14CanonicalDocs: Q = Q(
+    "d14_canonical_docs",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b),
+      |dup AS (SELECT doc_a, doc_b FROM inter p
+      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |        UNION SELECT doc_b, doc_a FROM dup),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
+      |             FROM reach GROUP BY a),
+      |f AS (SELECT doc_id,
+      |        len(string_split(text, ' ')) AS n_tokens,
+      |        len(list_filter(string_split(text, ' '),
+      |            x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+      |        len(list_distinct(string_split(text, ' '))) AS n_types
+      |      FROM documents),
+      |q AS (SELECT doc_id, round(
+      |        0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 80
+      |               THEN 1.0 ELSE 0.5 END)
+      |        + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0)
+      |        + 0.3 * (CAST(n_types AS DOUBLE) / n_tokens), 6) AS quality
+      |      FROM f),
+      |r AS (SELECT c.cluster_id, c.doc_id, q.quality,
+      |        row_number() OVER (PARTITION BY c.cluster_id
+      |          ORDER BY q.quality DESC, c.doc_id) AS rk
+      |      FROM clusters c JOIN q USING (doc_id))
+      |SELECT cluster_id,
+      |  max(CASE WHEN rk = 1 THEN doc_id END) AS keeper,
+      |  max(CASE WHEN rk = 1 THEN quality END) AS best_quality,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_removed
+      |FROM r GROUP BY cluster_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val clusters = connectedComponentsStars(
+      minhashPairs(s, d, numHashes = 64, bands = 16)
+        .select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    val quality = TextAnalysis.t02QualityScore.build(s, d)
+      .select($"doc_id", $"quality")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality".desc, $"doc_id")
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(max(when($"rk" === 1, $"doc_id")).as("keeper"),
+        max(when($"rk" === 1, $"quality")).as("best_quality"),
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_removed"))
+  }
+
   /** SimHash via explode + 60 signed-bit-vote sums (same CollapseProject
     * rationale as the minhash signature: an array-aggregate formulation
     * re-evaluates per-token work per bit).
@@ -1350,5 +1447,5 @@ object Dedup {
     d04NgramJaccard, d05Simhash, d06DupClusters, d06bDupClustersLsh,
     d07SemanticDedup, d08IncrementalDedup, d09LineDedup,
     d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans,
-    d12IncrementalNearDup, d13PrefixJaccard)
+    d12IncrementalNearDup, d13PrefixJaccard, d14CanonicalDocs)
 }

@@ -95,6 +95,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 keeps the max-quality member of every d06b cluster") {
+    import spark.implicits._
+    // recompute the policy from the two composed operators' own
+    // outputs: for every cluster, the keeper must be the best-quality
+    // member (ties to the smallest doc_id), and the member accounting
+    // must match d06b exactly
+    val clusters = SparkEntry.queries("d06b_dup_clusters_lsh")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = SparkEntry.queries("t02_quality_score")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val got = SparkEntry.queries("d14_canonical_docs")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty, "no clusters — vacuous")
+    assert(got.keySet == byCluster.keySet,
+      "d14 clusters diverge from d06b")
+    got.foreach { case (cid, (keeper, bq, nm, nr)) =>
+      val members = byCluster(cid).map(_._1)
+      val want = members.minBy(id => (-quality(id), id))
+      assert(keeper == want,
+        s"cluster $cid: keeper $keeper, expected $want " +
+          s"(q=${quality(want)} vs ${quality(keeper)})")
+      assert(bq == quality(keeper))
+      assert(nm == members.length.toLong && nr == nm - 1)
+    }
+    // the policy is not vacuously min-id: the fixture must contain at
+    // least one cluster where quality-max picks a DIFFERENT doc
+    assert(got.exists { case (cid, (keeper, _, _, _)) =>
+      keeper != byCluster(cid).map(_._1).min },
+      "quality-max coincides with min-id on every cluster — the" +
+        " policy distinction is untested at this fixture")
+  }
+
   test("property: d13's prefix bound loses NO pair on randomized corpora") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
