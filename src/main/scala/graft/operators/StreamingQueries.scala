@@ -674,8 +674,95 @@ object StreamingQueries {
         StructField("rk", IntegerType))))
   }
 
+  /** st17: STREAMING CDC → SCD2 — w08's dimension maintenance run the
+    * way a change-data-capture consumer runs it: the pre-cutoff
+    * history is stored once, then post-cutoff change rows arrive as a
+    * stream in three CHRONOLOGICAL chunks (date-range splits, so a
+    * (key, day) change group never straddles batches) and every
+    * micro-batch applies one full merge cycle — window the batch into
+    * its own mini-history ([[WriterQueries.scd2Changes]]/
+    * [[WriterQueries.scd2History]]), close out the stored current rows
+    * it supersedes ([[WriterQueries.scd2Apply]]), write the NEXT
+    * dimension version.
+    *
+    * Exactly-once without a transactional table: versions are keyed by
+    * BATCH ID (batch k reads dim_v{k}, overwrites dim_v{k+1}), so a
+    * replayed batch recomputes its version from the same input
+    * deterministically instead of double-applying — the parquet
+    * stand-in for a Delta/Iceberg transactional merge, restart-proven
+    * in StreamingSpec. Oracle: w08's SQL verbatim (the full REBUILD
+    * over all orders) — the stream of three sequential merges must
+    * land on the from-scratch table row-for-row.
+    *
+    * 100 TB: per batch, one broadcast-size (key, first_change) join
+    * against the stored dimension + keyed windows over the BATCH —
+    * corpus-proportional work only in the version rewrite, which a
+    * row-level-merge table format eliminates. */
+  val st17Scd2Cdc: Q = Q(
+    "st17_scd2_cdc", WriterQueries.w08Scd2History.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, TimestampType, BooleanType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st17_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    rmrf(new java.io.File(base))
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dim = s"$base/dim"
+    new java.io.File(src).mkdirs()
+    val cutoff = "1997-01-01"
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    // stored v0: the pre-cutoff history
+    WriterQueries.scd2History(
+      WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff)))
+      .write.parquet(s"$dim/v0")
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bs = b.sparkSession
+        val stored = bs.read.parquet(s"$dim/v$id")
+        WriterQueries.scd2Apply(stored,
+          WriterQueries.scd2History(WriterQueries.scd2Changes(b)))
+          .write.mode("overwrite").parquet(s"$dim/v${id + 1}")
+      }
+      .start()
+    try {
+      // three CHRONOLOGICAL chunks: SCD2 requires change order
+      val bounds = Seq(("1997-01-01", "1997-07-01"),
+        ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
+      bounds.foreach { case (lo, hi) =>
+        orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // read the LATEST version: a restarted source may coalesce several
+    // pending chunks into one batch, so the chain's length is the
+    // number of BATCHES, not the number of chunks written
+    val latest = new java.io.File(dim).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toInt).max
+    s.read.schema(StructType(Seq(
+        StructField("cust_key", LongType),
+        StructField("valid_from", TimestampType),
+        StructField("valid_to", TimestampType),
+        StructField("is_current", BooleanType),
+        StructField("status", StringType),
+        StructField("price", DoubleType))))
+      .parquet(s"$dim/v$latest")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
-    st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe)
+    st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
+    st17Scd2Cdc)
 }

@@ -358,6 +358,60 @@ object WriterQueries {
     * stand-in for a Delta/Iceberg row-level merge; the per-row work
     * is identical). Windows partition by the dimension key — no
     * global sort anywhere. */
+  /** Last change per (key, day) — the standard same-day collapse; the
+    * SCD2 change-extraction stage shared by w08 and st17's CDC gate. */
+  def scd2Changes(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    src
+      .select($"o_custkey".as("cust_key"),
+        $"o_orderdate".as("valid_from"),
+        $"o_orderstatus".as("status"), $"o_totalprice".as("price"),
+        $"o_orderkey")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cust_key", $"valid_from")
+          .orderBy($"o_orderkey".desc)))
+      .filter($"rn" === 1).drop("rn", "o_orderkey")
+  }
+
+  /** Change rows → SCD2 history (valid_from/valid_to/is_current) via
+    * one key-partitioned lead window. Shared by w08 and st17. */
+  def scd2History(ch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = ch.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"cust_key").orderBy($"valid_from")
+    ch.select($"cust_key", $"valid_from",
+      lead($"valid_from", 1).over(w).as("valid_to"),
+      $"status", $"price")
+      .select($"cust_key", $"valid_from", $"valid_to",
+        $"valid_to".isNull.as("is_current"), $"status", $"price")
+  }
+
+  /** One SCD2 merge step: close the stored CURRENT rows the batch
+    * history supersedes, union the untouched rows back. Shared by w08
+    * (one batch) and st17 (per micro-batch). */
+  def scd2Apply(stored: org.apache.spark.sql.DataFrame,
+      batchHist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = stored.sparkSession
+    import s.implicits._
+    val firstNew = batchHist.groupBy($"cust_key")
+      .agg(min($"valid_from").as("first_new"))
+    val closed = stored.filter($"is_current")
+      .join(firstNew, "cust_key")
+      .select($"cust_key", $"valid_from", $"first_new".as("valid_to"),
+        lit(false).as("is_current"), $"status", $"price")
+    val untouchedCurrent = stored.filter($"is_current")
+      .join(firstNew, Seq("cust_key"), "left_anti")
+    stored.filter(!$"is_current")
+      .unionByName(closed).unionByName(untouchedCurrent)
+      .unionByName(batchHist)
+  }
+
   val w08Scd2History: Q = Q(
     "w08_scd2_history",
     """WITH ch AS (
@@ -374,51 +428,18 @@ object WriterQueries {
       |  o_orderstatus AS status, o_totalprice AS price
       |FROM cur""".stripMargin) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cutoff = "1997-01-01"
     val dest = tmp(d, "scd2_dim")
     Writers.rmrf(new java.io.File(dest))
-
-    // last change per (key, day) — the standard same-day collapse
-    def changes(src: org.apache.spark.sql.DataFrame) = src
-      .select($"o_custkey".as("cust_key"),
-        $"o_orderdate".as("valid_from"),
-        $"o_orderstatus".as("status"), $"o_totalprice".as("price"),
-        $"o_orderkey")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"cust_key", $"valid_from")
-          .orderBy($"o_orderkey".desc)))
-      .filter($"rn" === 1).drop("rn", "o_orderkey")
-
-    def history(ch: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy($"cust_key").orderBy($"valid_from")
-      ch.select($"cust_key", $"valid_from",
-        lead($"valid_from", 1).over(w).as("valid_to"),
-        $"status", $"price")
-        .select($"cust_key", $"valid_from", $"valid_to",
-          $"valid_to".isNull.as("is_current"), $"status", $"price")
-    }
-
     val orders = Tables.orders(s, d)
     // 1) initial build: everything before the cutoff, stored
-    history(changes(orders.filter($"o_orderdate" < cutoff)))
+    scd2History(scd2Changes(orders.filter($"o_orderdate" < cutoff)))
       .write.parquet(s"$dest/v1")
     val stored = s.read.parquet(s"$dest/v1")
-    // 2) the change batch, windowed into its own mini-history
-    val batchHist =
-      history(changes(orders.filter($"o_orderdate" >= cutoff)))
-    // 3) merge: close out stored current rows the batch supersedes
-    val firstNew = batchHist.groupBy($"cust_key")
-      .agg(min($"valid_from").as("first_new"))
-    val closed = stored.filter($"is_current")
-      .join(firstNew, "cust_key")
-      .select($"cust_key", $"valid_from", $"first_new".as("valid_to"),
-        lit(false).as("is_current"), $"status", $"price")
-    val untouchedCurrent = stored.filter($"is_current")
-      .join(firstNew, Seq("cust_key"), "left_anti")
-    stored.filter(!$"is_current")
-      .unionByName(closed).unionByName(untouchedCurrent)
-      .unionByName(batchHist)
+    // 2) the change batch, windowed into its own mini-history;
+    // 3) merge, overwrite, read back
+    scd2Apply(stored,
+      scd2History(scd2Changes(orders.filter($"o_orderdate" >= cutoff))))
       .write.parquet(s"$dest/v2")
     s.read.parquet(s"$dest/v2")
   }

@@ -761,6 +761,98 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st17: checkpointed restart resumes the CDC->SCD2 merge chain" +
+      " exactly-once") {
+    // The gate's cross-batch state lives in the VERSIONED dimension
+    // (batch k reads dim_v{k}, writes dim_v{k+1}), so the restart risk
+    // is a half-applied chain: kill after the first merge landed,
+    // deliver the remaining chronological chunks while down, restart —
+    // the resumed query must pick up at the right version (no skipped
+    // chunk, no double-applied batch) and the final dimension must
+    // equal the from-scratch rebuild (w08's answer).
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, TimestampType, BooleanType}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_st17rs").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dim = s"$base/dim"
+    new java.io.File(src).mkdirs()
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    operators.WriterQueries.scd2History(
+      operators.WriterQueries.scd2Changes(
+        orders.filter($"o_orderdate" < cutoff)))
+      .write.parquet(s"$dim/v0")
+    val srcSchema = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+
+    def startQuery() =
+      spark.readStream.schema(srcSchema).parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val bs = b.sparkSession
+          val stored = bs.read.parquet(s"$dim/v$id")
+          operators.WriterQueries.scd2Apply(stored,
+            operators.WriterQueries.scd2History(
+              operators.WriterQueries.scd2Changes(b)))
+            .write.mode("overwrite").parquet(s"$dim/v${id + 1}")
+        }
+        .start()
+
+    val bounds = Seq(("1997-01-01", "1997-07-01"),
+      ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
+    val q1 = startQuery()
+    try {
+      val (lo, hi) = bounds.head
+      orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // chunks 2-3 arrive while the query is DOWN
+    bounds.drop(1).foreach { case (lo, hi) =>
+      orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .write.mode("append").parquet(src)
+    }
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def rowSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3), r.getString(4),
+        r.getDouble(5))).toSet
+    val outSchema = StructType(Seq(
+      StructField("cust_key", LongType),
+      StructField("valid_from", TimestampType),
+      StructField("valid_to", TimestampType),
+      StructField("is_current", BooleanType),
+      StructField("status", StringType),
+      StructField("price", DoubleType)))
+    // the restarted source coalesces the two chunks delivered while
+    // down into ONE batch — the chain's final version is the max on
+    // disk (v2 here), and the content must still equal the rebuild
+    val latest = new java.io.File(dim).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toInt).max
+    val got = rowSet(
+      spark.read.schema(outSchema).parquet(s"$dim/v$latest"))
+    val want = rowSet(
+      SparkEntry.queries("w08_scd2_history")(spark, sf)
+        .select($"cust_key", $"valid_from", $"valid_to", $"is_current",
+          $"status", $"price"))
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"restarted CDC chain diverges from the rebuild: " +
+        s"extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
