@@ -285,6 +285,52 @@ object Dedup {
     ngramJaccardPairs(s, d)
   }
 
+  /** The minhash-LSH pair + recursive-CC CTE chain (through the
+    * `clusters` CTE) shared as ONE string by every oracle that consumes
+    * cluster assignments — d06b, d14, p11 — so a change to the hash
+    * family, band count, or threshold cannot silently diverge one
+    * consumer's oracle from the others (the D05Cap lesson applied to a
+    * whole CTE block; the round-10 review caught the copies). dq05
+    * keeps its own variant: its pair tail carries the jaccard VALUE the
+    * cluster consumers drop. */
+  val LshCcCtes: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY doc_id, i),
+      |bandhash AS (SELECT doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bandhash x JOIN bandhash y
+      |            ON x.band = y.band AND x.bh = y.bh
+      |              AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cands c
+      |          JOIN sh a ON a.doc_id = c.doc_a
+      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+      |          GROUP BY c.doc_a, c.doc_b),
+      |dup AS (SELECT doc_a, doc_b FROM inter p
+      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |        UNION SELECT doc_b, doc_a FROM dup),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
+      |             FROM reach GROUP BY a)""".stripMargin
+
   /** d13: the EXACT Jaccard ≥ 0.5 pair set — d04's answer to the row —
     * computed sub-quadratically via prefix filtering (the AllPairs /
     * PPJoin candidate bound; Bayardo et al. WWW'07, Xiao et al.
@@ -392,42 +438,7 @@ object Dedup {
     * docs. */
   val d14CanonicalDocs: Q = Q(
     "d14_canonical_docs",
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
-      |hs AS (SELECT doc_id,
-      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
-      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
-      |       FROM sh),
-      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
-      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
-      |         GROUP BY doc_id, i),
-      |bandhash AS (SELECT doc_id, i // 4 AS band,
-      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
-      |             FROM mins GROUP BY doc_id, i // 4),
-      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |          FROM bandhash x JOIN bandhash y
-      |            ON x.band = y.band AND x.bh = y.bh
-      |              AND x.doc_id < y.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-      |          FROM cands c
-      |          JOIN sh a ON a.doc_id = c.doc_a
-      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
-      |          GROUP BY c.doc_a, c.doc_b),
-      |dup AS (SELECT doc_a, doc_b FROM inter p
-      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
-      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
-      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
-      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
-      |        UNION SELECT doc_b, doc_a FROM dup),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
-      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
-      |             FROM reach GROUP BY a),
+    s"""$LshCcCtes,
       |f AS (SELECT doc_id,
       |        len(string_split(text, ' ')) AS n_tokens,
       |        len(list_filter(string_split(text, ' '),
@@ -645,44 +656,9 @@ object Dedup {
     * CTEs into d06's recursive-CC SQL, so cluster assignments match
     * DuckDB bit-for-bit REGARDLESS of LSH recall (both engines see
     * the same candidate set). */
-  val d06bDupClustersLsh: Q = Q(
+val d06bDupClustersLsh: Q = Q(
     "d06b_dup_clusters_lsh",
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
-      |hs AS (SELECT doc_id,
-      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
-      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
-      |       FROM sh),
-      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
-      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
-      |         GROUP BY doc_id, i),
-      |bandhash AS (SELECT doc_id, i // 4 AS band,
-      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
-      |             FROM mins GROUP BY doc_id, i // 4),
-      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |          FROM bandhash x JOIN bandhash y
-      |            ON x.band = y.band AND x.bh = y.bh
-      |              AND x.doc_id < y.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-      |          FROM cands c
-      |          JOIN sh a ON a.doc_id = c.doc_a
-      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
-      |          GROUP BY c.doc_a, c.doc_b),
-      |dup AS (SELECT doc_a, doc_b FROM inter p
-      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
-      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
-      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
-      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
-      |        UNION SELECT doc_b, doc_a FROM dup),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
-      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
-      .stripMargin) { (s, d) =>
+    s"$LshCcCtes\nSELECT doc_id, cluster_id FROM clusters") { (s, d) =>
     import s.implicits._
     connectedComponentsStars(
       minhashPairs(s, d, numHashes = 64, bands = 16)

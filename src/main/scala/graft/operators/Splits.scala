@@ -608,42 +608,7 @@ object Splits {
     * and a map-side md5. */
   val p11LeakfreeSplit: Q = Q(
     "p11_leakfree_split",
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
-      |hs AS (SELECT doc_id,
-      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
-      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
-      |       FROM sh),
-      |mins AS (SELECT doc_id, i, min((lo + i * hi) % 2147483647) AS mh
-      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
-      |         GROUP BY doc_id, i),
-      |bandhash AS (SELECT doc_id, i // 4 AS band,
-      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
-      |             FROM mins GROUP BY doc_id, i // 4),
-      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |          FROM bandhash x JOIN bandhash y
-      |            ON x.band = y.band AND x.bh = y.bh
-      |              AND x.doc_id < y.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-      |          FROM cands c
-      |          JOIN sh a ON a.doc_id = c.doc_a
-      |          JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
-      |          GROUP BY c.doc_a, c.doc_b),
-      |dup AS (SELECT doc_a, doc_b FROM inter p
-      |        JOIN sizes s1 ON p.doc_a = s1.doc_id
-      |        JOIN sizes s2 ON p.doc_b = s2.doc_id
-      |        WHERE 2 * inter >= (s1.n + s2.n - inter)),
-      |sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
-      |        UNION SELECT doc_b, doc_a FROM dup),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM sym UNION SELECT a, a FROM sym
-      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
-      |             FROM reach GROUP BY a),
+    s"""${Dedup.LshCcCtes},
       |reps AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
       |         FROM documents d LEFT JOIN clusters c
       |           ON d.doc_id = c.doc_id)

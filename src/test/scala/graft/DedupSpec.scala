@@ -404,6 +404,33 @@ class DedupSpec extends AnyFunSuite {
           if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
     val inline = rows(None)
     val stored = rows(Some(dest))
+    // and the REGISTERED query's -D entry point stays covered (the
+    // driver has no other channel into stored-index mode — a property
+    // rename must fail here, not silently fall back to inline mode);
+    // the suites run sequentially in the forked test JVM, so this
+    // short set/clear window cannot race another d12 invocation
+    System.setProperty("graft.d12.indexDir", dest)
+    val viaEntryPoint =
+      try SparkEntry.queries("d12_incremental_neardup")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      finally System.clearProperty("graft.d12.indexDir")
+    assert(viaEntryPoint == stored,
+      "the -Dgraft.d12.indexDir entry point did not engage the stored index")
+    // equality alone can't prove ENGAGEMENT (stored == inline by the
+    // main assertion) — a bogus dir must make the registered query
+    // FAIL; a property-name typo would silently run inline and pass
+    System.setProperty("graft.d12.indexDir", s"$dest-definitely-missing")
+    try {
+      val failed =
+        try {
+          SparkEntry.queries("d12_incremental_neardup")(spark, sf).collect()
+          false
+        } catch { case _: Exception => true }
+      assert(failed, "-Dgraft.d12.indexDir pointing at a missing dir " +
+        "did not fail — the registered query ignored the switch")
+    } finally System.clearProperty("graft.d12.indexDir")
     assert(inline.nonEmpty)
     assert(stored == inline,
       s"stored-index run diverges: extra=${(stored -- inline).take(5)}, " +
