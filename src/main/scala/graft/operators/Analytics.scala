@@ -214,7 +214,139 @@ object Analytics {
         count(lit(1)).as("n"))
   }
 
+  /** q35b: MERGEABLE QUANTILE-DIGEST ROLLUP — q12b's sketch-rollup
+    * story for percentiles: per-MONTH digests (the 9 exact deciles of
+    * each month, picked DISCRETELY at rank ceil(j·cnt/10) — actual
+    * elements, no interpolation, so both engines select bit-identical
+    * values) are merged per YEAR by weighted rank over the digest
+    * points alone: each decile point carries its month's count as
+    * weight, a RANGE-framed cumulative sum (ties share a frame, so the
+    * pick is order-independent) finds the smallest value at or past
+    * the target mass. The query emits the merged estimate NEXT TO the
+    * exact year percentile and a rank-error verdict (estimate's true
+    * rank within n/9 + 9·months of the target — the digest's
+    * analytical bound), so the rollup self-audits.
+    *
+    * Why it matters at 100 TB: the digest table is 9 rows per
+    * (group, month) — ~0.001% of the fact table — and answering a
+    * percentile over ANY date range touches only digest rows; the raw
+    * scan happens once at digest-build time. percentile_approx (q35a)
+    * answers one pre-chosen query per scan; a stored digest answers
+    * every range after the scan. Exactness trade is measured inline
+    * (est vs exact columns) and the whole chain — deciles, weights,
+    * merge — is hash-oracled, unusual for an approximate structure.
+    *
+    * One shuffle per window partition key (month, then year); the
+    * merge works on 9·months rows per year — broadcast-size. */
+  val q35bQuantileRollup: Q = Q(
+    "q35b_quantile_rollup",
+    """WITH base AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mon,
+      |         CAST(date_part('year', o_orderdate) AS INT) AS yr,
+      |         o_totalprice AS v
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT yr, mon, v,
+      |    row_number() OVER (PARTITION BY mon ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY mon) AS cnt
+      |  FROM base),
+      |digest AS (
+      |  SELECT yr, mon, cnt, v
+      |  FROM ranked, LATERAL (SELECT unnest(range(1, 10)) AS j) jj
+      |  WHERE rn = CAST(ceil(j * cnt / 10.0) AS BIGINT)),
+      |merged AS (
+      |  SELECT yr, v,
+      |    sum(cnt) OVER (PARTITION BY yr ORDER BY v
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(cnt) OVER (PARTITION BY yr) AS totw
+      |  FROM digest),
+      |est AS (
+      |  SELECT yr,
+      |    min(CASE WHEN 10 * cumw >= 5 * totw THEN v END) AS est_p50,
+      |    min(CASE WHEN 10 * cumw >= 9 * totw THEN v END) AS est_p90
+      |  FROM merged GROUP BY yr),
+      |yranked AS (
+      |  SELECT yr, v,
+      |    row_number() OVER (PARTITION BY yr ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY yr) AS n
+      |  FROM base),
+      |exact AS (
+      |  SELECT yr,
+      |    min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END)
+      |      AS exact_p50,
+      |    min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END)
+      |      AS exact_p90,
+      |    max(n) AS n
+      |  FROM yranked GROUP BY yr),
+      |months AS (SELECT yr, CAST(count(DISTINCT mon) AS BIGINT) AS nm
+      |           FROM base GROUP BY yr),
+      |rk AS (
+      |  SELECT b.yr,
+      |    CAST(sum(CASE WHEN b.v <= e.est_p50 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r50,
+      |    CAST(sum(CASE WHEN b.v <= e.est_p90 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r90
+      |  FROM base b JOIN est e USING (yr) GROUP BY b.yr)
+      |SELECT r.yr, e.est_p50, x.exact_p50, e.est_p90, x.exact_p90,
+      |  (abs(r.r50 - CAST(ceil(0.5 * x.n) AS BIGINT)) * 9
+      |     <= x.n + 9 * m.nm) AS p50_rank_ok,
+      |  (abs(r.r90 - CAST(ceil(0.9 * x.n) AS BIGINT)) * 9
+      |     <= x.n + 9 * m.nm) AS p90_rank_ok
+      |FROM rk r
+      |JOIN est e ON r.yr = e.yr
+      |JOIN exact x ON r.yr = x.yr
+      |JOIN months m ON r.yr = m.yr""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, d).select(
+      date_trunc("month", $"o_orderdate").as("mon"),
+      year($"o_orderdate").as("yr"),
+      $"o_totalprice".as("v"))
+    val wm = Window.partitionBy($"mon")
+    val ranked = base
+      .withColumn("rn", row_number().over(wm.orderBy($"v")))
+      .withColumn("cnt", count(lit(1)).over(wm))
+    val digest = ranked
+      .select($"yr", $"cnt", $"v", $"rn",
+        explode(sequence(lit(1), lit(9))).as("j"))
+      .filter($"rn" === ceil($"j" * $"cnt" / 10.0).cast("long"))
+      .select($"yr", $"cnt", $"v")
+    val wyCum = Window.partitionBy($"yr").orderBy($"v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wyAll = Window.partitionBy($"yr")
+    val est = digest
+      .withColumn("cumw", sum($"cnt").over(wyCum))
+      .withColumn("totw", sum($"cnt").over(wyAll))
+      .groupBy($"yr")
+      .agg(min(when(lit(10) * $"cumw" >= lit(5) * $"totw", $"v"))
+          .as("est_p50"),
+        min(when(lit(10) * $"cumw" >= lit(9) * $"totw", $"v"))
+          .as("est_p90"))
+    val wy = Window.partitionBy($"yr")
+    val exact = base
+      .withColumn("rn", row_number().over(wy.orderBy($"v")))
+      .withColumn("n", count(lit(1)).over(wy))
+      .groupBy($"yr")
+      .agg(min(when($"rn" === ceil(lit(0.5) * $"n").cast("long"), $"v"))
+          .as("exact_p50"),
+        min(when($"rn" === ceil(lit(0.9) * $"n").cast("long"), $"v"))
+          .as("exact_p90"),
+        max($"n").as("n"))
+    val months = base.groupBy($"yr")
+      .agg(countDistinct($"mon").as("nm"))
+    val rk = base.join(est, "yr")
+      .groupBy($"yr")
+      .agg(sum(when($"v" <= $"est_p50", 1L).otherwise(0L)).as("r50"),
+        sum(when($"v" <= $"est_p90", 1L).otherwise(0L)).as("r90"))
+    rk.join(est, "yr").join(exact, "yr").join(months, "yr")
+      .select($"yr", $"est_p50", $"exact_p50", $"est_p90", $"exact_p90",
+        (abs($"r50" - ceil(lit(0.5) * $"n").cast("long")) * 9
+          <= $"n" + lit(9) * $"nm").as("p50_rank_ok"),
+        (abs($"r90" - ceil(lit(0.9) * $"n").cast("long")) * 9
+          <= $"n" + lit(9) * $"nm").as("p90_rank_ok"))
+  }
+
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
     q37Collect, q38MinMax, q12aApproxDistinct, q12bSketchRollup,
-    q64ArgMinMax)
+    q64ArgMinMax, q35bQuantileRollup)
 }
