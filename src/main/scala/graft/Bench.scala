@@ -90,7 +90,8 @@ object Bench {
     "st15_neardup_gate", "w06_band_index", "w07_ann_index",
     "s07b_knn_ivfpq", "d13_prefix_jaccard", "st16_ann_serve",
     "p11_leakfree_split", "w08_scd2_history", "m04_shared_frames",
-    "d14_canonical_docs", "st17_scd2_cdc", "q35b_quantile_rollup")
+    "d14_canonical_docs", "st17_scd2_cdc", "q35b_quantile_rollup",
+    "s08_range_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
