@@ -444,7 +444,68 @@ object WriterQueries {
     s.read.parquet(s"$dest/v2")
   }
 
+  /** w09: INCREMENTAL table optimize — the `OPTIMIZE ... WHERE` shape
+    * w03's whole-directory CONCATENATE doesn't cover: a lang-partitioned
+    * table where a deterministic subset of partitions is written
+    * fragmented (16-way shards — the daily-append pattern) and the rest
+    * healthy (one file); [[Writers.optimizePartitions]] rewrites ONLY
+    * the fragmented partitions and the query VERIFIES both halves of
+    * the contract — fragmented partitions end compacted, healthy
+    * partitions keep their exact file list (never read, never
+    * rewritten). Per-lang content totals prove the rewrite lost
+    * nothing; the maintenance verdicts ride the oracle (true on both
+    * sides, q17a pattern — a broken swap or a touched healthy
+    * partition flips Spark's boolean and hash-mismatches).
+    *
+    * 100 TB: the point of incrementality — maintenance cost scales
+    * with the FRAGMENTED fraction, not the table; healthy partitions
+    * cost one directory listing. */
+  val w09IncrementalOptimize: Q = Q(
+    "w09_incremental_optimize",
+    """WITH f AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |        substr(md5(lang), 1, 1) < '8' AS fragmented
+      |      FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, sum_chars, fragmented,
+      |  true AS maintenance_ok
+      |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val root = tmp(d, "opt_table")
+    Writers.rmrf(new java.io.File(root))
+    val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
+    val frag = substring(md5($"lang"), 1, 1) < "8"
+    // fragmented half: 16-way sharded append; healthy half: one file
+    docs.filter(frag).repartition(16)
+      .write.partitionBy("lang").parquet(root)
+    docs.filter(!frag).coalesce(1)
+      .write.mode("append").partitionBy("lang").parquet(root)
+    def filesOf(dir: java.io.File): Set[String] =
+      Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    def partDirs() = Option(new java.io.File(root).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    val before = partDirs().map(p => p.getName -> filesOf(p)).toMap
+    val compacted =
+      Writers.optimizePartitions(s, root, threshold = 4).toSet
+    val after = partDirs().map(p => p.getName -> filesOf(p)).toMap
+    val status = before.keys.toSeq.sorted.map { pn =>
+      val wasFrag = before(pn).size > 4
+      val ok =
+        if (wasFrag) compacted(pn) && after(pn).size == 1
+        else !compacted(pn) && after(pn) == before(pn)
+      (pn.stripPrefix("lang="), wasFrag, ok)
+    }.toDF("lang", "fragmented", "maintenance_ok")
+    s.read.parquet(root)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("sum_chars"))
+      .join(status, "lang")
+      .select($"lang", $"n_docs", $"sum_chars", $"fragmented",
+        $"maintenance_ok")
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
     w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
-    w08Scd2History)
+    w08Scd2History, w09IncrementalOptimize)
 }

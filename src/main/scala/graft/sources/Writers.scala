@@ -68,6 +68,38 @@ object Writers {
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(dest)
 
+  /** INCREMENTAL optimize over a partitioned table root (w09, the
+    * `OPTIMIZE ... WHERE` shape of modern table formats): list each
+    * `key=value` partition directory's file count and rewrite ONLY the
+    * directories over `threshold` files into one file each — healthy
+    * partitions are never read, never rewritten, their files never
+    * touched (the caller asserts file-list identity). Returns the
+    * compacted partition dir names. Listing is driver-side METADATA
+    * work (same class as compact's directory read); at 100 TB the
+    * per-partition rewrite is one bounded task each, and partitions
+    * below threshold cost one `listFiles` — which is exactly why the
+    * job is incremental instead of a full-table rewrite. */
+  def optimizePartitions(spark: SparkSession, root: String,
+      threshold: Int): Seq[String] = {
+    val dirs = Option(new java.io.File(root).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .sortBy(_.getName)
+    dirs.toSeq.flatMap { dir =>
+      val parts = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      if (parts.length > threshold) {
+        val tmpd = new java.io.File(dir.getParentFile, dir.getName + "._opt")
+        rmrf(tmpd)
+        spark.read.parquet(dir.toString).coalesce(1)
+          .write.parquet(tmpd.toString)
+        rmrf(dir)
+        tmpd.renameTo(dir)
+        Some(dir.getName)
+      } else None
+    }
+  }
+
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would
     * otherwise broadcast, hiding the property under test); at 100 TB
