@@ -293,11 +293,21 @@ object WriterQueries {
       .select($"vec_id", $"embedding",
         Similarity.norm($"embedding").as("nrm"))
     // WRITE: centroids + cell-partitioned inverted lists (projected
-    // to (vec_id, c_id) here — the stored lists stay ~1% of corpus)
+    // to (vec_id, c_id) here — the stored lists stay ~1% of corpus).
+    // The lists land in TWO legs — initial write then an APPEND of the
+    // second half — so the d12/w06 admission cycle (assign a new batch
+    // against the FROZEN centroids, append its rows) is exercised, not
+    // just promised: a row lost or duplicated by the append breaks the
+    // stored==inline equality below.
     cents.write.parquet(s"$dest/centroids")
-    Writers.writePartitioned(
-      Similarity.ivfAssignment(emb, cents).select($"vec_id", $"c_id"),
-      "c_id", s"$dest/lists")
+    val assigned = Similarity.ivfAssignment(emb, cents)
+      .select($"vec_id", $"c_id")
+    assigned.filter($"vec_id" % 2 === 0)
+      .sortWithinPartitions("c_id")
+      .write.partitionBy("c_id").parquet(s"$dest/lists")
+    assigned.filter($"vec_id" % 2 === 1)
+      .sortWithinPartitions("c_id")
+      .write.mode("append").partitionBy("c_id").parquet(s"$dest/lists")
     // SERVE: probe the stored index (centroids and lists from parquet)
     val storedCents = s.read.parquet(s"$dest/centroids")
       .select($"c_id", $"c_vec", $"c_nrm")

@@ -79,6 +79,21 @@ class Sf1PlanSpec extends AnyFunSuite {
       s"no coalesced shuffle read in q05's final plan:\n$plan")
   }
 
+  test("d13 at sf1: prefix self-join reuses one exchange, no cartesian") {
+    val plan = finalPlan("d13_prefix_jaccard")
+    // the prefix-row frame feeds BOTH sides of the candidate
+    // self-join — the plan must reuse its exchange, not recompute the
+    // df-ordered windows twice (the whole prefix construction is the
+    // operator's constant cost; paying it per join side would double it
+    // at any scale)
+    assert(plan.contains("ReusedExchange"),
+      s"d13's prefix self-join recomputes its input at sf1:\n$plan")
+    // and nothing in the sub-quadratic plan degrades to an all-pairs
+    // product (the trap the prefix filter exists to avoid)
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in d13's sf1 plan:\n$plan")
+  }
+
   test("q45 at sf1: the filtered orders side stays broadcast") {
     val plan = finalPlan("q45_profit")
     // q45's orders side arrives filtered; the post-filter size keeps
