@@ -91,7 +91,8 @@ object Bench {
     "s07b_knn_ivfpq", "d13_prefix_jaccard", "st16_ann_serve",
     "p11_leakfree_split", "w08_scd2_history", "m04_shared_frames",
     "d14_canonical_docs", "st17_scd2_cdc", "q35b_quantile_rollup",
-    "s08_range_search", "w09_incremental_optimize")
+    "s08_range_search", "w09_incremental_optimize",
+    "d15_containment_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

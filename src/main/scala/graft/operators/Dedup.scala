@@ -360,10 +360,11 @@ object Dedup {
     * doc_id), a prefix-only index self-join, then d03's verification
     * join shape — no stage touches all pairs, no driver state. */
   /** The (doc_id, g, n) PREFIX rows of each document's rare-first-
-    * ordered shingle set — the τ=0.5 AllPairs prefix ⌊n/2⌋+1. Exposed
-    * so ScaleStressSpec measures the candidate-join work Σ_g c_g² on
+    * ordered shingle set — the AllPairs prefix n − ⌈τ·n⌉ + 1 (⌊n/2⌋+1
+    * at d13's τ=0.5; ⌊n/5⌋+1 at d15's containment τ=0.8). Exposed so
+    * ScaleStressSpec measures the candidate-join work Σ_g c_g² on
     * exactly the rows the production join sees. */
-  def prefixRows(docs: DataFrame): DataFrame = {
+  def prefixRows(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sh = docs
@@ -375,7 +376,7 @@ object Dedup {
     sh.join(dfTab, "g")
       .withColumn("r", row_number().over(byDoc))
       .withColumn("n", count(lit(1)).over(whole))
-      .filter($"r" <= $"n" - ceil($"n" * 0.5) + 1)
+      .filter($"r" <= $"n" - ceil($"n" * tau) + 1)
       .select($"doc_id", $"g", $"n")
   }
 
@@ -415,6 +416,67 @@ object Dedup {
   val d13PrefixJaccard: Q = Q(
     "d13_prefix_jaccard", d04NgramJaccard.oracle.get) { (s, d) =>
     prefixJaccardPairs(s, d)
+  }
+
+  /** d15: EXACT CONTAINMENT join — the asymmetric dedup signal the
+    * whole Jaccard family is BLIND to by design: a short document
+    * embedded verbatim in a long one (quotation, aggregation-page
+    * inclusion, chat-log requoting) has high |A∩B|/|A| but LOW
+    * Jaccard, and d04/d13's max≤2·min size filter excludes the pair
+    * outright. d15 reports ordered pairs where ≥ 80% of doc_a's
+    * shingle set lies inside doc_b's (docs with < 5 shingles dropped —
+    * at τ=0.8 a two-shingle doc is "contained" on one collision).
+    *
+    * Sub-quadratic by the one-sided prefix bound: |A∩B| ≥ ⌈0.8·|A|⌉
+    * forces A's smallest common shingle into A's rare-first prefix of
+    * length |A| − ⌈0.8·|A|⌉ + 1 = ⌊|A|/5⌋+1 (B is unconstrained, so
+    * only A is prefix-restricted — candidates are A-prefix rows
+    * against the full inverted index, NOT prefix×prefix). The answer
+    * is EXACT (no false negatives, verification is the full set
+    * intersection) and the DedupSpec property test brute-forces the
+    * claim on randomized corpora. At corpus scale the full-index side
+    * takes d04's documented stop-shingle df cap; the prefix side is
+    * already the rarest fifth of each doc.
+    *
+    * Threshold in exact integers: 5·inter ≥ 4·na ⟺ containment ≥ 0.8
+    * — no float jitter at the boundary. */
+  val d15ContainmentJoin: Q = Q(
+    "d15_containment_join",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, s1.n AS na,
+      |  round(CAST(inter AS DOUBLE) / s1.n, 6) AS containment
+      |FROM inter p
+      |JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |WHERE s1.n >= 5 AND 5 * inter >= 4 * s1.n""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // A-side: τ=0.8 prefix (the rarest fifth), small docs dropped early
+    val pref = prefixRows(docs, tau = 0.8).filter($"n" >= 5)
+    // B-side: the FULL inverted index — containment puts no bound on B
+    val shAll = docs
+      .select($"doc_id".as("doc_b"),
+        explode(shingles(toks($"text"))).as("gb"))
+    val cands = pref.as("x")
+      .join(shAll, $"x.g" === $"gb" && $"x.doc_id" =!= $"doc_b")
+      .select($"x.doc_id".as("doc_a"), $"doc_b")
+      .distinct()
+    val sets = docs.select($"doc_id", shingles(toks($"text")).as("sh"))
+    cands
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        size($"sh_a").cast("long").as("na"))
+      .filter($"na" >= 5 && lit(5) * $"inter" >= lit(4) * $"na")
+      .select($"doc_a", $"doc_b", $"inter", $"na",
+        round($"inter" / $"na", 6).as("containment"))
   }
 
   /** d14: CANONICAL-DOC selection — the survivorship POLICY layer over
@@ -1423,5 +1485,6 @@ val d06bDupClustersLsh: Q = Q(
     d04NgramJaccard, d05Simhash, d06DupClusters, d06bDupClustersLsh,
     d07SemanticDedup, d08IncrementalDedup, d09LineDedup,
     d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans,
-    d12IncrementalNearDup, d13PrefixJaccard, d14CanonicalDocs)
+    d12IncrementalNearDup, d13PrefixJaccard, d14CanonicalDocs,
+    d15ContainmentJoin)
 }

@@ -186,6 +186,77 @@ class DedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: d15's one-sided prefix bound finds every containment," +
+      " including Jaccard-blind embeddings") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // The fixture's near-dups are all SYMMETRIC (d15's sf0.01 answer
+    // is exactly d04's pairs, both directions), so the operator's
+    // distinctive case — a short doc embedded in a much longer one,
+    // invisible to Jaccard's size filter — must be manufactured:
+    // every random corpus gets 'quoting' docs built as (some doc's
+    // tokens ++ fresh padding), then d15 must equal a driver-side
+    // brute force over ALL ordered pairs.
+    val words = Vector("a", "b", "c", "d", "e", "f", "g")
+    val genDoc = for {
+      len <- Gen.choose(5, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(words))
+    } yield ws
+    val genCorpus = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, genDoc)
+      quotes <- Gen.listOfN(n / 2 + 1, for {
+        src <- Gen.choose(0, n - 1)
+        padLen <- Gen.choose(8, 20)
+        pad <- Gen.listOfN(padLen, Gen.oneOf(words))
+      } yield docs(src) ++ pad)
+    } yield (docs ++ quotes).map(_.mkString(" "))
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.split(" ").toSeq
+      if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    }
+    val prop = Prop.forAllNoShrink(genCorpus) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // inline d15 over an arbitrary frame (same stages as the
+      // registered query, which is fixture-bound)
+      val pref = operators.Dedup.prefixRows(docs, tau = 0.8)
+        .filter($"n" >= 5)
+      val shAll = docs.select($"doc_id".as("doc_b"),
+        F.explode(operators.Dedup.shingles(
+          operators.Dedup.toks($"text"))).as("gb"))
+      val sets = docs.select($"doc_id",
+        operators.Dedup.shingles(operators.Dedup.toks($"text")).as("sh"))
+      val got = pref.as("x")
+        .join(shAll, $"x.g" === $"gb" && $"x.doc_id" =!= $"doc_b")
+        .select($"x.doc_id".as("doc_a"), $"doc_b").distinct()
+        .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          F.size(F.array_intersect($"sh_a", $"sh_b")).cast("long")
+            .as("inter"),
+          F.size($"sh_a").cast("long").as("na"))
+        .filter($"na" >= 5 && F.lit(5) * $"inter" >= F.lit(4) * $"na")
+        .select($"doc_a", $"doc_b", $"inter", $"na").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val sets2 = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t) }
+      val want = (for {
+        (a, sa) <- sets2; (b, sb) <- sets2
+        if a != b && sa.size >= 5
+        inter = (sa & sb).size.toLong
+        if 5 * inter >= 4 * sa.size
+      } yield (a, b, inter, sa.size.toLong)).toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("frequency-capped jaccard pairs are a subset of the uncapped pairs") {
     val capped = operators.Dedup.ngramJaccardPairs(spark, sf, maxDocFreq = 20)
       .select("doc_a", "doc_b").collect()
