@@ -224,8 +224,9 @@ object Analytics {
     * pick is order-independent) finds the smallest value at or past
     * the target mass. The query emits the merged estimate NEXT TO the
     * exact year percentile and a rank-error verdict (estimate's true
-    * rank within n/9 + 9·months of the target — the digest's
-    * analytical bound), so the rollup self-audits.
+    * rank within n/9 + months of the target: each month's digest
+    * misplaces at most cnt/9 mass per threshold, summing to n/9,
+    * plus one rounding slot per month), so the rollup self-audits.
     *
     * Why it matters at 100 TB: the digest table is 9 rows per
     * (group, month) — ~0.001% of the fact table — and answering a

@@ -440,23 +440,13 @@ object Dedup {
     *
     * Threshold in exact integers: 5·inter ≥ 4·na ⟺ containment ≥ 0.8
     * — no float jitter at the boundary. */
-  val d15ContainmentJoin: Q = Q(
-    "d15_containment_join",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |            count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, inter, s1.n AS na,
-      |  round(CAST(inter AS DOUBLE) / s1.n, 6) AS containment
-      |FROM inter p
-      |JOIN sizes s1 ON p.doc_a = s1.doc_id
-      |WHERE s1.n >= 5 AND 5 * inter >= 4 * s1.n""".stripMargin) { (s, d) =>
+  /** d15 over an arbitrary (doc_id, text) frame — the prefixJaccardPairsOf
+    * pattern: DedupSpec's property test brute-forces THIS function on
+    * randomized corpora, so the shipped candidate/verification stages
+    * are what gets certified, not an inline copy that could drift. */
+  def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d)
     // A-side: τ=0.8 prefix (the rarest fifth), small docs dropped early
     val pref = prefixRows(docs, tau = 0.8).filter($"n" >= 5)
     // B-side: the FULL inverted index — containment puts no bound on B
@@ -477,6 +467,24 @@ object Dedup {
       .filter($"na" >= 5 && lit(5) * $"inter" >= lit(4) * $"na")
       .select($"doc_a", $"doc_b", $"inter", $"na",
         round($"inter" / $"na", 6).as("containment"))
+  }
+
+  val d15ContainmentJoin: Q = Q(
+    "d15_containment_join",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, s1.n AS na,
+      |  round(CAST(inter AS DOUBLE) / s1.n, 6) AS containment
+      |FROM inter p
+      |JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |WHERE s1.n >= 5 AND 5 * inter >= 4 * s1.n""".stripMargin) { (s, d) =>
+    containmentPairsOf(Tables.documents(s, d))
   }
 
   /** d14: CANONICAL-DOC selection — the survivorship POLICY layer over

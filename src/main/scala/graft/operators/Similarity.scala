@@ -345,20 +345,31 @@ object Similarity {
     * rows — so a streaming serve gate (st16) can probe the stored index
     * with each micro-batch's queries and land on the batch answer
     * row-for-row. */
-  def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
-      assigned: DataFrame, nprobe: Int): DataFrame = {
+  /** Each query's `nprobe` nearest cells — (q_id, q_vec, q_nrm, c_id)
+    * rows off the broadcast centroid join; the ONE probe construction
+    * shared by the top-k (ivfProbeQueries) and range (ivfRangeQueries)
+    * forms, so tie-breaking and the broadcast hint can never drift
+    * between them. */
+  private def probeRows(qs: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val s = qs.sparkSession
     import s.implicits._
     val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"c_id")
-    val probes = qs.join(broadcast(centroids))
+    qs.join(broadcast(centroids))
       .select($"q_id", $"q_vec", $"q_nrm", $"c_id",
         (dot($"q_vec", $"c_vec") / ($"q_nrm" * $"c_nrm")).as("c_sim"))
       .withColumn("crk", row_number().over(wProbe))
       .filter($"crk" <= nprobe)
       .select($"q_id", $"q_vec", $"q_nrm", $"c_id")
+  }
+
+  def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
+      assigned: DataFrame, nprobe: Int): DataFrame = {
+    val s = qs.sparkSession
+    import s.implicits._
     // candidates = vectors in probed buckets; exact re-rank
     val wRank = Window.partitionBy($"q_id").orderBy($"sim0".desc, $"vec_id")
-    probes.join(assigned, "c_id")
+    probeRows(qs, centroids, nprobe).join(assigned, "c_id")
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id",
         (dot($"q_vec", $"embedding") / ($"q_nrm" * $"nrm")).as("sim0"))
@@ -953,14 +964,7 @@ object Similarity {
       assigned: DataFrame, nprobe: Int, tau: Double): DataFrame = {
     val s = qs.sparkSession
     import s.implicits._
-    val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"c_id")
-    val probes = qs.join(broadcast(centroids))
-      .select($"q_id", $"q_vec", $"q_nrm", $"c_id",
-        (dot($"q_vec", $"c_vec") / ($"q_nrm" * $"c_nrm")).as("c_sim"))
-      .withColumn("crk", row_number().over(wProbe))
-      .filter($"crk" <= nprobe)
-      .select($"q_id", $"q_vec", $"q_nrm", $"c_id")
-    probes.join(assigned, "c_id")
+    probeRows(qs, centroids, nprobe).join(assigned, "c_id")
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id",
         round(dot($"q_vec", $"embedding") / ($"q_nrm" * $"nrm"), 6)

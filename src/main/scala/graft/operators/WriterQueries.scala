@@ -300,8 +300,11 @@ object WriterQueries {
     // just promised: a row lost or duplicated by the append breaks the
     // stored==inline equality below.
     cents.write.parquet(s"$dest/centroids")
+    // materialized once: both write legs consume it, and recomputing
+    // the corpus-wide assign join + window per leg would double the
+    // index build's dominant cost (the lloyd() precedent)
     val assigned = Similarity.ivfAssignment(emb, cents)
-      .select($"vec_id", $"c_id")
+      .select($"vec_id", $"c_id").localCheckpoint()
     assigned.filter($"vec_id" % 2 === 0)
       .sortWithinPartitions("c_id")
       .write.partitionBy("c_id").parquet(s"$dest/lists")
@@ -500,11 +503,20 @@ object WriterQueries {
       Writers.optimizePartitions(s, root, threshold = 4).toSet
     val after = partDirs().map(p => p.getName -> filesOf(p)).toMap
     val status = before.keys.toSeq.sorted.map { pn =>
-      val wasFrag = before(pn).size > 4
+      val lang = pn.stripPrefix("lang=")
+      // `fragmented` must come from the SAME md5 predicate the write
+      // side (and the oracle) uses — deriving it from the physical
+      // file count would couple oracle parity to shuffle layout (a
+      // tiny lang could land under the threshold despite being on the
+      // fragmented side; round-10 review)
+      val wasFrag = java.security.MessageDigest.getInstance("MD5")
+        .digest(lang.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .charAt(0) < '8'
       val ok =
-        if (wasFrag) compacted(pn) && after(pn).size == 1
+        if (wasFrag && before(pn).size > 4)
+          compacted(pn) && after(pn).size == 1
         else !compacted(pn) && after(pn) == before(pn)
-      (pn.stripPrefix("lang="), wasFrag, ok)
+      (lang, wasFrag, ok)
     }.toDF("lang", "fragmented", "maintenance_ok")
     s.read.parquet(root)
       .groupBy($"lang")

@@ -94,7 +94,12 @@ object Writers {
         spark.read.parquet(dir.toString).coalesce(1)
           .write.parquet(tmpd.toString)
         rmrf(dir)
-        tmpd.renameTo(dir)
+        // the original is already gone: a silently failed rename would
+        // strand the data in the ._opt dir AND partition-discover it
+        // under a bogus key on the next read — fail loudly instead
+        require(tmpd.renameTo(dir),
+          s"optimizePartitions: rename $tmpd -> $dir failed after the " +
+            "original was removed; compacted data is in the ._opt dir")
         Some(dir.getName)
       } else None
     }

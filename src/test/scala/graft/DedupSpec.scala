@@ -189,7 +189,6 @@ class DedupSpec extends AnyFunSuite {
   test("property: d15's one-sided prefix bound finds every containment," +
       " including Jaccard-blind embeddings") {
     import spark.implicits._
-    import org.apache.spark.sql.{functions => F}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // The fixture's near-dups are all SYMMETRIC (d15's sf0.01 answer
     // is exactly d04's pairs, both directions), so the operator's
@@ -220,25 +219,9 @@ class DedupSpec extends AnyFunSuite {
     val prop = Prop.forAllNoShrink(genCorpus) { texts =>
       val docs = texts.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      // inline d15 over an arbitrary frame (same stages as the
-      // registered query, which is fixture-bound)
-      val pref = operators.Dedup.prefixRows(docs, tau = 0.8)
-        .filter($"n" >= 5)
-      val shAll = docs.select($"doc_id".as("doc_b"),
-        F.explode(operators.Dedup.shingles(
-          operators.Dedup.toks($"text"))).as("gb"))
-      val sets = docs.select($"doc_id",
-        operators.Dedup.shingles(operators.Dedup.toks($"text")).as("sh"))
-      val got = pref.as("x")
-        .join(shAll, $"x.g" === $"gb" && $"x.doc_id" =!= $"doc_b")
-        .select($"x.doc_id".as("doc_a"), $"doc_b").distinct()
-        .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          F.size(F.array_intersect($"sh_a", $"sh_b")).cast("long")
-            .as("inter"),
-          F.size($"sh_a").cast("long").as("na"))
-        .filter($"na" >= 5 && F.lit(5) * $"inter" >= F.lit(4) * $"na")
+      // the SHIPPED stages via the shared frame-based entry point —
+      // certifying the registered operator, not an inline copy
+      val got = operators.Dedup.containmentPairsOf(docs)
         .select($"doc_a", $"doc_b", $"inter", $"na").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet

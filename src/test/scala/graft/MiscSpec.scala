@@ -42,7 +42,7 @@ class MiscSpec extends AnyFunSuite {
     // the verdict booleans ride the hash oracle, but hash parity alone
     // can't catch a bound REGRESSION — DuckDB would agree on a false
     // verdict too. Pin truth here: the merged-digest estimate's rank
-    // error stays inside the analytical n/9 + 9*months bound, and the
+    // error stays inside the analytical n/9 + months bound, and the
     // estimates bracket sanely (p50 < p90, both within the year's
     // value range witnessed by the exact columns)
     val rows = SparkEntry.queries("q35b_quantile_rollup")(spark, sf)
