@@ -293,6 +293,27 @@ class PlanSpec extends AnyFunSuite {
       s"window should consume the aggregate (appear above it):\n$p")
   }
 
+  test("s08: range search broadcasts the centroid table, no cartesian," +
+      " no top-k heap") {
+    val p = plan("s08_range_search")
+    // the probe side is a k-row table — anything but a broadcast join
+    // would shuffle the corpus against it, and a cartesian would mean
+    // the radius filter degraded to all-pairs
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"s08's centroid probe lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s08:\n$p")
+    // the PROBE's crk<=nprobe selection rightly plans a group-limit
+    // heap (same as the top-k forms), but unlike them there must be NO
+    // rank window over the CANDIDATE similarity — output size is
+    // demand-driven by the radius; the top-k forms' plans carry a
+    // `sim0 DESC` window spec, this one must not
+    assert(p.contains("WindowGroupLimit"),
+      s"s08's probe selection lost its group-limit heap:\n$p")
+    assert(!p.contains("sim0"),
+      s"s08 grew a candidate rank window (sim0):\n$p")
+  }
+
   test("w04: merge-upsert plans exactly one join keyed on the merge key") {
     val p = plan("w04_merge_upsert")
     assert(!p.contains("CartesianProduct"), s"cartesian in merge plan:\n$p")
