@@ -726,7 +726,7 @@ object Dedup {
     * CTEs into d06's recursive-CC SQL, so cluster assignments match
     * DuckDB bit-for-bit REGARDLESS of LSH recall (both engines see
     * the same candidate set). */
-val d06bDupClustersLsh: Q = Q(
+  val d06bDupClustersLsh: Q = Q(
     "d06b_dup_clusters_lsh",
     s"$LshCcCtes\nSELECT doc_id, cluster_id FROM clusters") { (s, d) =>
     import s.implicits._

@@ -627,20 +627,15 @@ object StreamingQueries {
     val cents = emb.filter($"vec_id" % 100 === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
-    cents.write.parquet(s"$idx/centroids")
-    graft.sources.Writers.writePartitioned(
-      Similarity.ivfAssignment(emb, cents).select($"vec_id", $"c_id"),
-      "c_id", s"$idx/lists")
+    graft.sources.Writers.writeIvfIndex(cents,
+      Similarity.ivfAssignment(emb, cents), idx)
     // SERVE side statics, all read BACK from the stored index: the
     // centroid table and the corpus re-attached to its stored cell
     // assignment (materialized once — per-batch work is then only the
     // batch's probes)
-    val storedCents = s.read.parquet(s"$idx/centroids")
-      .select($"c_id", $"c_vec", $"c_nrm").localCheckpoint()
-    val assigned = emb
-      .join(s.read.parquet(s"$idx/lists").select($"vec_id", $"c_id"),
-        "vec_id")
-      .localCheckpoint()
+    val (rawCents, rawLists) = graft.sources.Writers.readIvfIndex(s, idx)
+    val storedCents = rawCents.localCheckpoint()
+    val assigned = emb.join(rawLists, "vec_id").localCheckpoint()
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id", $"embedding")
     val q = s.readStream

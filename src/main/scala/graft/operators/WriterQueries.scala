@@ -299,23 +299,16 @@ object WriterQueries {
     // against the FROZEN centroids, append its rows) is exercised, not
     // just promised: a row lost or duplicated by the append breaks the
     // stored==inline equality below.
-    cents.write.parquet(s"$dest/centroids")
     // materialized once: both write legs consume it, and recomputing
     // the corpus-wide assign join + window per leg would double the
     // index build's dominant cost (the lloyd() precedent)
     val assigned = Similarity.ivfAssignment(emb, cents)
       .select($"vec_id", $"c_id").localCheckpoint()
-    assigned.filter($"vec_id" % 2 === 0)
-      .sortWithinPartitions("c_id")
-      .write.partitionBy("c_id").parquet(s"$dest/lists")
-    assigned.filter($"vec_id" % 2 === 1)
-      .sortWithinPartitions("c_id")
-      .write.mode("append").partitionBy("c_id").parquet(s"$dest/lists")
+    Writers.writeIvfIndex(cents,
+      assigned.filter($"vec_id" % 2 === 0), dest)
+    Writers.appendIvfLists(assigned.filter($"vec_id" % 2 === 1), dest)
     // SERVE: probe the stored index (centroids and lists from parquet)
-    val storedCents = s.read.parquet(s"$dest/centroids")
-      .select($"c_id", $"c_vec", $"c_nrm")
-    val storedLists = s.read.parquet(s"$dest/lists")
-      .select($"vec_id", $"c_id")
+    val (storedCents, storedLists) = Writers.readIvfIndex(s, dest)
     val stored = Similarity.ivfProbe(emb, storedCents,
       emb.join(storedLists, "vec_id"), nprobe = 4)
     val inline = Similarity.ivfTopK(s, d, cents, nprobe = 4)

@@ -105,6 +105,35 @@ object Writers {
     }
   }
 
+  /** The persisted IVF-ANN index layout — `dest/centroids` holds the
+    * k-row (c_id, c_vec, c_nrm) coarse-quantizer table, `dest/lists`
+    * the (vec_id, c_id) inverted lists, CELL-partitioned (partition
+    * pruning on c_id at probe time) and sorted within partitions. The
+    * ONE write path shared by every producer (w07's trained index,
+    * st16's serving index) so the two layouts cannot drift — the
+    * round-10 review found st16 re-implementing this dance inline. */
+  def writeIvfIndex(centroids: DataFrame, lists: DataFrame,
+      dest: String): Unit = {
+    centroids.write.parquet(s"$dest/centroids")
+    appendIvfLists(lists, dest, SaveMode.ErrorIfExists)
+  }
+
+  /** The ingest-admission leg: land a batch's (vec_id, c_id) rows in
+    * the stored lists — frozen centroids, nothing already stored is
+    * touched or re-bucketed (append adds files to the cell dirs). */
+  def appendIvfLists(lists: DataFrame, dest: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    lists.select("vec_id", "c_id")
+      .sortWithinPartitions("c_id")
+      .write.mode(mode).partitionBy("c_id").parquet(s"$dest/lists")
+
+  /** Read the stored index back: (centroids, lists) in the probe-side
+    * shapes ([[writeIvfIndex]]'s layout contract, one reader for it). */
+  def readIvfIndex(spark: SparkSession, dest: String)
+      : (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dest/centroids").select("c_id", "c_vec", "c_nrm"),
+    spark.read.parquet(s"$dest/lists").select("vec_id", "c_id"))
+
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would
     * otherwise broadcast, hiding the property under test); at 100 TB
