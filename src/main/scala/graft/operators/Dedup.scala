@@ -434,25 +434,48 @@ object Dedup {
     * against the full inverted index, NOT prefix×prefix). The answer
     * is EXACT (no false negatives, verification is the full set
     * intersection) and the DedupSpec property test brute-forces the
-    * claim on randomized corpora. At corpus scale the full-index side
-    * takes d04's documented stop-shingle df cap; the prefix side is
-    * already the rarest fifth of each doc.
+    * claim on randomized corpora. The full-index side takes d04's
+    * stop-shingle df cap ([[D15Cap]], candidate side ONLY — see
+    * there); the prefix side is already the rarest fifth of each doc.
     *
     * Threshold in exact integers: 5·inter ≥ 4·na ⟺ containment ≥ 0.8
     * — no float jitter at the boundary. */
+  /** The stop-shingle document-frequency cap on d15's B-side inverted
+    * index (d04's `maxDocFreq` skew guard, D05Cap's shared-constant
+    * discipline): a shingle in more than this many docs is dropped
+    * from CANDIDATE GENERATION — its posting list would contribute
+    * df·prefCount join pairs dominated by boilerplate. Verification
+    * still intersects the FULL shingle sets, so every emitted pair's
+    * (inter, na, containment) is exact; capping can only MISS a pair,
+    * and only when ALL of doc_a's rare-first prefix shingles are
+    * corpus-wide stop-shingles. Measured at the 10× stress fixture:
+    * agreement vs the uncapped answer and the extra work reduction are
+    * ScaleStressSpec's d15_capped_agreement /
+    * d15_capped_work_reduction rows. */
+  val D15Cap: Long = 256L
+
   /** d15 over an arbitrary (doc_id, text) frame — the prefixJaccardPairsOf
     * pattern: DedupSpec's property test brute-forces THIS function on
     * randomized corpora, so the shipped candidate/verification stages
     * are what gets certified, not an inline copy that could drift. */
-  def containmentPairsOf(docs: DataFrame): DataFrame = {
+  def containmentPairsOf(docs: DataFrame,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // A-side: τ=0.8 prefix (the rarest fifth), small docs dropped early
     val pref = prefixRows(docs, tau = 0.8).filter($"n" >= 5)
-    // B-side: the FULL inverted index — containment puts no bound on B
-    val shAll = docs
+    // B-side inverted index — containment puts no bound on B, so the
+    // index is full EXCEPT the df cap's stop-shingles (d04's device)
+    val shRaw = docs
       .select($"doc_id".as("doc_b"),
         explode(shingles(toks($"text"))).as("gb"))
+    val shAll =
+      if (maxDocFreq == Long.MaxValue) shRaw
+      else {
+        val rare = shRaw.groupBy($"gb").agg(count(lit(1)).as("dfb"))
+          .filter($"dfb" <= maxDocFreq).select($"gb")
+        shRaw.join(rare, "gb")
+      }
     val cands = pref.as("x")
       .join(shAll, $"x.g" === $"gb" && $"x.doc_id" =!= $"doc_b")
       .select($"x.doc_id".as("doc_a"), $"doc_b")
@@ -484,7 +507,7 @@ object Dedup {
       |FROM inter p
       |JOIN sizes s1 ON p.doc_a = s1.doc_id
       |WHERE s1.n >= 5 AND 5 * inter >= 4 * s1.n""".stripMargin) { (s, d) =>
-    containmentPairsOf(Tables.documents(s, d))
+    containmentPairsOf(Tables.documents(s, d), D15Cap)
   }
 
   /** d14: CANONICAL-DOC selection — the survivorship POLICY layer over

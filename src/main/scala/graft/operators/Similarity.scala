@@ -1038,7 +1038,61 @@ object Similarity {
       nprobe = 2, tau = 0.35)
   }
 
+  /** s08b: range search on the TRAINED index — the production form of
+    * s08, the same one-argument swap s04→s04b makes for top-k:
+    * [[trainedCentroids]]' Lloyd-trained fixed-k coarse layer fed
+    * through the SAME [[ivfRangeQueries]] machinery (nprobe=4, τ=0.35).
+    * Training fixes the cell count at k, so the probed fraction
+    * (nprobe/k = 1/4) — and with it radius recall — holds as the
+    * corpus scales: 0.77 at the 10× stress fixture vs the sampled
+    * form's 0.19 (ScaleStressSpec's s08_trained_range_recall row).
+    *
+    * Lloyd is not DuckDB-expressible, so the oracle pins the bounds
+    * verdict (s04b's pattern), each bound computed INSIDE the query:
+    * no_false_pairs — every emitted pair is in the brute radius truth
+    * (range results can only MISS: sims are exact re-ranked cosine);
+    * recall_ok — probed hits ≥ half the brute truth (the 10× floor;
+    * base fixtures measure well above it).
+    *
+    * 100 TB: plan shape is s08's — broadcast k-row centroid table,
+    * per-query probe rows, candidates only from probed cells; the
+    * brute-truth cross join exists only for the verdict and is NOT
+    * part of the served query ([[ivfRangeQueries]] is). */
+  val s08bRangeSearchTrained: Q = Q(
+    "s08b_range_search_trained",
+    """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+      |  AS BIGINT) AS n_queries,
+      |  true AS no_false_pairs, true AS recall_ok""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"nrm".as("q_nrm"))
+    val cents = trainedCentroids(s, d)
+    val probed = ivfRangeQueries(qs, cents, ivfAssignment(emb, cents),
+      nprobe = 4, tau = 0.35)
+    // brute radius truth (declared ground-truth cross join, s01's class)
+    val truth = qs.crossJoin(emb).filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        round(dot($"q_vec", $"embedding") / ($"q_nrm" * $"nrm"), 6)
+          .as("sim"))
+      .filter($"sim" >= 0.35)
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val np = probed.agg(count(lit(1)).as("n_probed"))
+    val hits = probed.join(truth.select($"q_id", $"vec_id"),
+        Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nq.crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .crossJoin(broadcast(hits))
+      .select($"n_queries",
+        ($"n_hits" === $"n_probed").as("no_false_pairs"),
+        ($"n_hits" >= $"n_truth" * 0.5).as("recall_ok"))
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
     s04bKnnIvfTrained,
-    s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch)
+    s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch,
+    s08bRangeSearchTrained)
 }

@@ -30,8 +30,8 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r10.json"
-  private val PrevArtifactFile = "SCALE_r09.json"
+  private val ArtifactFile = "SCALE_r11.json"
+  private val PrevArtifactFile = "SCALE_r10.json"
 
   /** The COMPLETE set of metric names any test in this suite can
     * `record()` — the artifact's tamper-evidence (round-8 verdict
@@ -53,10 +53,13 @@ class ScaleStressSpec extends AnyFunSuite
     "m03b_media_topk_recall", "m03b_uncapped_bucket_recall",
     "m03b_probe_2x4_recall", "m03b_probe_4x2_recall",
     "m03b_probe_4x2_cand_ratio",
+    "m03b_multiprobe_recall", "m03b_multiprobe_cand_ratio",
     "d05_capped_pair_recall", "d05_close_pair_recall",
     "d13_answer_agreement", "d13_join_work_reduction",
     "s08_range_recall", "s08_trained_range_recall",
-    "d15_answer_agreement", "d15_join_work_reduction")
+    "d15_answer_agreement", "d15_join_work_reduction",
+    "d15_capped_agreement", "d15_capped_work_reduction",
+    "st17_touched_bucket_fraction")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -346,8 +349,12 @@ class ScaleStressSpec extends AnyFunSuite
       df.select($"doc_a", $"doc_b", $"inter", $"na").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
-    val got = rows(SparkEntry.queries("d15_containment_join")(spark, dir))
+    // the EXACTNESS claim belongs to the uncapped one-sided prefix
+    // bound (the mathematical statement DedupSpec property-tests);
+    // the registered query layers D15Cap's stop-shingle guard on top
+    // and pays a measured price below
     val docs = sources.Tables.documents(spark, dir)
+    val got = rows(operators.Dedup.containmentPairsOf(docs))
     val sh = docs.select($"doc_id",
       explode(operators.Dedup.shingles(operators.Dedup.toks($"text")))
         .as("g"))
@@ -386,6 +393,43 @@ class ScaleStressSpec extends AnyFunSuite
     record("d15_join_work_reduction", reduction, 0.9)
     assert(reduction >= 0.9,
       f"one-sided prefix prunes too little at 10x: $reduction%.4f")
+    // The REGISTERED d15 additionally caps the B-side index at D15Cap
+    // (stop-shingle removal, candidate side only — emitted values stay
+    // exact; capping can only MISS). Its price at this fixture is
+    // adversarial BY DESIGN: the inflation's high-copy docs are ~90%
+    // shared marker tokens, so whole rare-first prefixes sit above the
+    // cap — the degenerate all-boilerplate regime the scaladoc calls
+    // out (real corpora hand those docs to d01/d03; a containment
+    // sweep is not their detector). Record the trade: agreement vs the
+    // uncapped answer, and the extra candidate work removed on top of
+    // the one-sided prefix (Σ_g prefCount_g·df_g over stop shingles).
+    val capped =
+      rows(SparkEntry.queries("d15_containment_join")(spark, dir))
+    val cagree =
+      (capped & got).size.toDouble / math.max(1, (capped | got).size)
+    info(f"d15 capped-vs-uncapped agreement at 10x: $cagree%.4f " +
+      f"(${capped.size} of ${got.size} rows; misses are marker-only" +
+      " high-copy docs)")
+    assert(capped.subsetOf(got),
+      s"df cap INVENTED pairs: ${(capped -- got).take(5)}")
+    val cappedWork = operators.Dedup.prefixRows(docs, tau = 0.8)
+      .filter($"n" >= 5)
+      .groupBy($"g").agg(fcount(flit(1)).as("pc"))
+      .join(dfTab.filter($"df" <= operators.Dedup.D15Cap), "g")
+      .agg(sum($"pc" * $"df").cast("double").as("w"))
+      .collect()(0).getDouble(0)
+    val capReduction = 1.0 - cappedWork / prefWork
+    info(f"d15 df-cap extra work reduction at 10x: $capReduction%.4f " +
+      f"($cappedWork%.0f of $prefWork%.0f prefix-join generations)")
+    // measured 0.8467 agreement / 0.068 extra reduction: at THIS
+    // fixture the prefix side already dodges most stop shingles, so
+    // the cap buys little and costs the marker-only docs — the floors
+    // record that honestly (the cap's real payoff is corpora where
+    // boilerplate df reaches millions and uncapped posting lists are
+    // the difference between feasible and not)
+    record("d15_capped_agreement", cagree, 0.5)
+    record("d15_capped_work_reduction", capReduction, 0.05)
+    assert(cagree >= 0.5, f"df cap costs too much here: $cagree%.4f")
   }
 
   test("10x corpus: winnowed span fingerprints (d11) find clear near-dup pairs") {
