@@ -485,12 +485,15 @@ object WriterQueries {
       .write.partitionBy("lang").parquet(root)
     docs.filter(!frag).coalesce(1)
       .write.mode("append").partitionBy("lang").parquet(root)
-    def filesOf(dir: java.io.File): Set[String] =
-      Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
-    def partDirs() = Option(new java.io.File(root).listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    // the file-list identity check drives the SAME FileSystem API the
+    // maintenance op itself uses (never java.io.File)
+    val (fs, rootPath) = Writers.fsOf(s, root)
+    def filesOf(dir: org.apache.hadoop.fs.Path): Set[String] =
+      fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    def partDirs() = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("lang="))
+      .map(_.getPath)
     val before = partDirs().map(p => p.getName -> filesOf(p)).toMap
     val compacted =
       Writers.optimizePartitions(s, root, threshold = 4).toSet

@@ -68,6 +68,17 @@ object Writers {
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(dest)
 
+  /** The Hadoop filesystem owning `path` — every maintenance op's
+    * listing/rename/delete goes through this, NOT `java.io.File`, so
+    * the same code runs against `file:`, HDFS, or an object-store
+    * connector (rename atomicity then being the CONNECTOR's documented
+    * contract rather than a silent local-FS assumption). */
+  def fsOf(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** INCREMENTAL optimize over a partitioned table root (w09, the
     * `OPTIMIZE ... WHERE` shape of modern table formats): list each
     * `key=value` partition directory's file count and rewrite ONLY the
@@ -75,29 +86,35 @@ object Writers {
     * partitions are never read, never rewritten, their files never
     * touched (the caller asserts file-list identity). Returns the
     * compacted partition dir names. Listing is driver-side METADATA
-    * work (same class as compact's directory read); at 100 TB the
-    * per-partition rewrite is one bounded task each, and partitions
-    * below threshold cost one `listFiles` — which is exactly why the
-    * job is incremental instead of a full-table rewrite. */
+    * work (same class as compact's directory read) through the Hadoop
+    * [[FileSystem]] API — `root` may carry any scheme (`file:`, HDFS,
+    * object store); at 100 TB the per-partition rewrite is one bounded
+    * task each, and partitions below threshold cost one `listStatus` —
+    * which is exactly why the job is incremental instead of a
+    * full-table rewrite. */
   def optimizePartitions(spark: SparkSession, root: String,
       threshold: Int): Seq[String] = {
-    val dirs = Option(new java.io.File(root).listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.contains("="))
-      .sortBy(_.getName)
-    dirs.toSeq.flatMap { dir =>
-      val parts = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(".parquet"))
+    val (fs, rootPath) = fsOf(spark, root)
+    val dirs =
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath)
+       else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .sortBy(_.getPath.getName)
+    dirs.toSeq.flatMap { st =>
+      val dir = st.getPath
+      val parts = fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
       if (parts.length > threshold) {
-        val tmpd = new java.io.File(dir.getParentFile, dir.getName + "._opt")
-        rmrf(tmpd)
+        val tmpd = new org.apache.hadoop.fs.Path(
+          dir.getParent, dir.getName + "._opt")
+        fs.delete(tmpd, true)
         spark.read.parquet(dir.toString).coalesce(1)
           .write.parquet(tmpd.toString)
-        rmrf(dir)
+        fs.delete(dir, true)
         // the original is already gone: a silently failed rename would
         // strand the data in the ._opt dir AND partition-discover it
         // under a bogus key on the next read — fail loudly instead
-        require(tmpd.renameTo(dir),
+        require(fs.rename(tmpd, dir),
           s"optimizePartitions: rename $tmpd -> $dir failed after the " +
             "original was removed; compacted data is in the ._opt dir")
         Some(dir.getName)

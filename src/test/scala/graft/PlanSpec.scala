@@ -230,6 +230,40 @@ class PlanSpec extends AnyFunSuite {
       sources.Tables.orders(spark, sf).count())
   }
 
+  test("optimizePartitions runs against an explicit file: scheme URI" +
+      " through the Hadoop FileSystem API") {
+    import spark.implicits._
+    // the maintenance op must accept scheme-qualified roots — its
+    // listing/rename goes through FileSystem, not java.io.File, so the
+    // same code binds to HDFS/object-store connectors at scale
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_fsopt").toString
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+    docs.filter($"lang" === "en").repartition(6)
+      .write.mode("overwrite").partitionBy("lang").parquet(root)
+    docs.filter($"lang" =!= "en").coalesce(1)
+      .write.mode("append").partitionBy("lang").parquet(root)
+    val (fs, rootPath) = sources.Writers.fsOf(spark, root)
+    def files(lang: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(rootPath, s"lang=$lang"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val healthyBefore = fs.listStatus(rootPath)
+      .map(_.getPath.getName).filter(_.startsWith("lang="))
+      .filterNot(_ == "lang=en")
+      .map(d => d -> files(d.stripPrefix("lang="))).toMap
+    val compacted =
+      sources.Writers.optimizePartitions(spark, root, threshold = 4)
+    assert(compacted == Seq("lang=en"),
+      s"expected only the fragmented partition compacted: $compacted")
+    assert(files("en").size == 1, "fragmented partition not compacted")
+    healthyBefore.foreach { case (d, before) =>
+      assert(files(d.stripPrefix("lang=")) == before,
+        s"healthy partition $d was touched") }
+    assert(spark.read.parquet(root).count() == docs.count(),
+      "optimize changed the row count")
+  }
+
   test("partitioned write produces partition directories") {
     val dest = java.nio.file.Files.createTempDirectory("graft_part").toString
     sources.Writers.writePartitioned(
