@@ -708,10 +708,10 @@ object StreamingQueries {
     val orders = Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate",
         $"o_orderstatus", $"o_totalprice")
-    // stored v0: the pre-cutoff history
-    WriterQueries.scd2History(
-      WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff)))
-      .write.parquet(s"$dim/v0")
+    // stored v0: the pre-cutoff history, bucket-partitioned
+    WriterQueries.scd2WriteVersion(WriterQueries.scd2History(
+      WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff))),
+      dim, 0L)
     val q = s.readStream
       .schema(StructType(Seq(StructField("o_orderkey", LongType),
         StructField("o_custkey", LongType),
@@ -722,11 +722,10 @@ object StreamingQueries {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        val bs = b.sparkSession
-        val stored = bs.read.parquet(s"$dim/v$id")
-        WriterQueries.scd2Apply(stored,
-          WriterQueries.scd2History(WriterQueries.scd2Changes(b)))
-          .write.mode("overwrite").parquet(s"$dim/v${id + 1}")
+        // merge reads ONLY the buckets holding batch keys and writes
+        // only those into v{id+1}; untouched buckets are never read,
+        // never rewritten (scd2State resolves them from older versions)
+        WriterQueries.scd2MergeStep(dim, id, b); ()
       }
       .start()
     try {
@@ -739,20 +738,11 @@ object StreamingQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // read the LATEST version: a restarted source may coalesce several
-    // pending chunks into one batch, so the chain's length is the
-    // number of BATCHES, not the number of chunks written
-    val latest = new java.io.File(dim).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-      .map(_.drop(1).toInt).max
-    s.read.schema(StructType(Seq(
-        StructField("cust_key", LongType),
-        StructField("valid_from", TimestampType),
-        StructField("valid_to", TimestampType),
-        StructField("is_current", BooleanType),
-        StructField("status", StringType),
-        StructField("price", DoubleType))))
-      .parquet(s"$dim/v$latest")
+    // resolve the LATEST state across version dirs: a restarted source
+    // may coalesce several pending chunks into one batch, so the
+    // chain's length is the number of BATCHES, not chunks written
+    WriterQueries.scd2State(s, dim,
+      WriterQueries.scd2LatestVersion(s, dim))
   }
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,

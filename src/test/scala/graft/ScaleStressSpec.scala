@@ -59,7 +59,7 @@ class ScaleStressSpec extends AnyFunSuite
     "s08_range_recall", "s08_trained_range_recall",
     "d15_answer_agreement", "d15_join_work_reduction",
     "d15_capped_agreement", "d15_capped_work_reduction",
-    "st17_touched_bucket_fraction")
+    "st17_touched_bucket_fraction", "st17_rewrite_savings")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -529,6 +529,58 @@ class ScaleStressSpec extends AnyFunSuite
     record("d11b_flagged_doc_recall", docRecall, 0.70)
     assert(recall >= 0.70, f"span-position recall collapsed: $recall%.4f")
     assert(docRecall >= 0.70, f"flagged-doc recall collapsed: $docRecall%.4f")
+  }
+
+  test("10x orders: st17's bucketed CDC merge step rewrites only the" +
+      " touched buckets' rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod => fpmod, lit => flit}
+    // 10x the oracle fixture (sf0.1 orders) and a SPARSE change batch —
+    // the realistic CDC regime the registered st17's full-table chunks
+    // can't exhibit: ~1/4999 of customers change, so the merge step
+    // must read and rewrite only their buckets' rows, not the
+    // dimension.
+    val dir01 = "/root/testdata/sf0.1"
+    val dimDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stress_scd2"
+    sources.Writers.rmrf(new java.io.File(dimDir))
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, dir01)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    val wq = operators.WriterQueries
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dimDir, 0L)
+    val total = wq.scd2State(spark, dimDir, 0L).count()
+    val batch = orders.filter($"o_orderdate" >= cutoff &&
+      fpmod($"o_custkey", flit(4999L)) === 7L)
+    assert(batch.count() > 0, "sparse CDC batch came up empty")
+    val touched = wq.scd2MergeStep(dimDir, 0L, batch)
+    val storedRead =
+      wq.scd2State(spark, dimDir, 0L, Some(touched.toSet)).count()
+    val fraction = storedRead.toDouble / total
+    val savings = 1.0 - fraction
+    info(f"st17 touched buckets: ${touched.size}/${wq.Scd2Buckets}; " +
+      f"stored rows read+rewritten: $storedRead/$total " +
+      f"(fraction $fraction%.4f)")
+    // correctness of the bound: the bucket-resolved post-merge state
+    // must equal the UNBOUNDED merge over the full stored dimension
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cust_key", $"valid_from", $"valid_to", $"is_current",
+        $"status", $"price").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), r.getBoolean(3), r.getString(4),
+          r.getDouble(5))).toSet
+    val got = rowSet(wq.scd2State(spark, dimDir, 1L))
+    val want = rowSet(wq.scd2Apply(wq.scd2State(spark, dimDir, 0L),
+      wq.scd2History(wq.scd2Changes(batch))))
+    assert(got == want,
+      s"bucketed merge diverges from the full merge: " +
+        s"extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
+    record("st17_touched_bucket_fraction", fraction, 0.0)
+    record("st17_rewrite_savings", savings, 0.8)
+    assert(savings >= 0.8,
+      f"per-batch rewrite not bounded: fraction $fraction%.4f")
   }
 
   test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {

@@ -783,10 +783,11 @@ class StreamingSpec extends AnyFunSuite {
     val orders = sources.Tables.orders(spark, sf)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate",
         $"o_orderstatus", $"o_totalprice")
-    operators.WriterQueries.scd2History(
-      operators.WriterQueries.scd2Changes(
-        orders.filter($"o_orderdate" < cutoff)))
-      .write.parquet(s"$dim/v0")
+    operators.WriterQueries.scd2WriteVersion(
+      operators.WriterQueries.scd2History(
+        operators.WriterQueries.scd2Changes(
+          orders.filter($"o_orderdate" < cutoff))),
+      dim, 0L)
     val srcSchema = StructType(Seq(StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType),
       StructField("o_orderdate", TimestampType),
@@ -798,12 +799,7 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
-          val bs = b.sparkSession
-          val stored = bs.read.parquet(s"$dim/v$id")
-          operators.WriterQueries.scd2Apply(stored,
-            operators.WriterQueries.scd2History(
-              operators.WriterQueries.scd2Changes(b)))
-            .write.mode("overwrite").parquet(s"$dim/v${id + 1}")
+          operators.WriterQueries.scd2MergeStep(dim, id, b); ()
         }
         .start()
 
@@ -837,12 +833,13 @@ class StreamingSpec extends AnyFunSuite {
       StructField("price", DoubleType)))
     // the restarted source coalesces the two chunks delivered while
     // down into ONE batch — the chain's final version is the max on
-    // disk (v2 here), and the content must still equal the rebuild
-    val latest = new java.io.File(dim).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-      .map(_.drop(1).toInt).max
-    val got = rowSet(
-      spark.read.schema(outSchema).parquet(s"$dim/v$latest"))
+    // disk (v2 here), and the bucket-resolved state must still equal
+    // the rebuild
+    val latest = operators.WriterQueries.scd2LatestVersion(spark, dim)
+    assert(latest == 2L,
+      s"expected the two pending chunks coalesced into one batch: v$latest")
+    val got = rowSet(operators.WriterQueries.scd2State(spark, dim, latest)
+      .select(outSchema.fieldNames.map(col): _*))
     val want = rowSet(
       SparkEntry.queries("w08_scd2_history")(spark, sf)
         .select($"cust_key", $"valid_from", $"valid_to", $"is_current",
