@@ -270,14 +270,54 @@ object Multimodal {
       .select($"doc_id", $"neighbor_id").distinct()
   }
 
-  /** m03b's candidate + exact-cosine + top-3 stages over a banded
-    * signature frame. */
-  def mediaTopKFromSigs(banded: org.apache.spark.sql.DataFrame,
-      cap: Int = 256): org.apache.spark.sql.DataFrame = {
+  /** MULTI-PROBE variant of [[mediaCandidates]]: each doc ALSO probes
+    * the one-bit-flip neighbors of each band signature (query-side
+    * expansion only — the stored side keeps one row per (doc, band)),
+    * the standard cheap-recall lever when bucket boundaries split true
+    * neighbors. A flipped probe lands in the neighbor bucket under the
+    * SAME salting discipline (its md5 cell against THAT bucket's
+    * size), so fat-bucket pair work stays bounded by N·cap and the
+    * flip multiplies candidate cost by at most 1+bandBits. Probe rows
+    * whose flipped signature matches no stored bucket are dropped by
+    * the size join. Measured head-to-head against the single-probe
+    * shape at 10× (ScaleStressSpec m03b_multiprobe_* rows): recall
+    * 0.38 at 2.15× candidates vs single-probe 2×4's 0.26 and 4×2's
+    * 0.32 at 1.63× — the highest ceiling of the three at the same
+    * ~0.10-recall-per-candidate-unit rate. The registered m03b keeps
+    * the cheapest shape (single-probe 2×4); this is the measured
+    * turn-it-up knob when a corpus needs the recall. */
+  def mediaCandidatesMultiProbe(banded: org.apache.spark.sql.DataFrame,
+      cap: Int = 256, bandBits: Int = 4): org.apache.spark.sql.DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    val sizes = banded.groupBy($"band", $"sig")
+      .agg(count(lit(1)).as("n"))
+    def withCell(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(sizes), Seq("band", "sig"))
+      .withColumn("cell",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % ceil($"n" / cap.toDouble).cast("long"))
+    val stored = withCell(banded)
+      .select($"doc_id".as("neighbor_id"), $"band", $"sig", $"cell")
+    val probes = withCell(banded.select($"doc_id", $"band",
+      explode(array($"sig" +:
+        (0 until bandBits).map(b => $"sig".bitwiseXOR(lit(1L << b))): _*))
+        .as("sig")))
+      .select($"doc_id", $"band", $"sig", $"cell")
+    probes.join(stored, Seq("band", "sig", "cell"))
+      .filter($"doc_id" =!= $"neighbor_id")
+      .select($"doc_id", $"neighbor_id").distinct()
+  }
+
+  /** m03b's exact-cosine + top-3 stages over an explicit candidate
+    * frame — split from [[mediaTopKFromSigs]] so the multi-probe
+    * experiment reranks through the exact same shipped stages. */
+  def mediaTopKOverCandidates(banded: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val cands = mediaCandidates(banded, cap)
     val vecs = banded.select($"doc_id", $"f", $"nrm")
       .dropDuplicates("doc_id")
     val dot = column(graft.functions.DoubleVecDot(
@@ -294,6 +334,12 @@ object Multimodal {
       .filter($"rn" <= 3)
       .select($"doc_id", $"neighbor_id", $"sim")
   }
+
+  /** m03b's candidate + exact-cosine + top-3 stages over a banded
+    * signature frame. */
+  def mediaTopKFromSigs(banded: org.apache.spark.sql.DataFrame,
+      cap: Int = 256): org.apache.spark.sql.DataFrame =
+    mediaTopKOverCandidates(banded, mediaCandidates(banded, cap))
 
   /** m03's per-partition "codec" feature extraction (the
     * decodePipeline contract) — the ONE copy the all-pairs ground

@@ -797,6 +797,22 @@ class ScaleStressSpec extends AnyFunSuite
     record("m03b_probe_2x4_recall", r24, 0.15)
     record("m03b_probe_4x2_recall", r42, 0.0)
     record("m03b_probe_4x2_cand_ratio", candRatio, 0.0)
+    // round-10 advice #6: the cheaper lever at the SHIPPED 2x4 shape —
+    // multi-probe (also query each band's one-bit-flip neighbor cells)
+    // — measured through the same rerank stages
+    val banded24 = operators.Multimodal
+      .mediaFeatSigsCfg(spark, dir, 2, 4).localCheckpoint()
+    val mpCands = operators.Multimodal
+      .mediaCandidatesMultiProbe(banded24).localCheckpoint()
+    val cMp = mpCands.count()
+    val rMp = (knnSetM(operators.Multimodal
+      .mediaTopKOverCandidates(banded24, mpCands)) & exact).size
+      .toDouble / exact.size
+    val mpRatio = cMp.toDouble / math.max(1L, c24)
+    info(f"m03b multi-probe at 2x4: recall $rMp%.4f " +
+      f"($cMp cands, ${mpRatio}%.2fx cost vs single-probe)")
+    record("m03b_multiprobe_recall", rMp, 0.0)
+    record("m03b_multiprobe_cand_ratio", mpRatio, 0.0)
     // the shipped config must not be strictly dominated: if 4x2 both
     // recalls MORE and costs LESS, the production shape is wrong and
     // this assertion forces the flip
