@@ -76,5 +76,70 @@ object RangeJoin {
         Exact.dsum($"l_extendedprice").as("shipped_value"))
   }
 
-  val all: Seq[Q] = Seq(r01RangeJoin)
+  /** Interval×interval OVERLAP join — r01's point-in-interval device
+    * generalized to two interval sides: explode BOTH sides into
+    * fixed-width bins, equi-join on the bin id, apply the exact
+    * overlap predicate, and emit each pair ONLY in the first bin the
+    * two intervals share (`_bin = greatest(lo_bin_a, lo_bin_b)` — a
+    * qualifying pair matches in exactly one bin, so no distinct, no
+    * extra shuffle). Bins are integer epoch seconds; second-truncation
+    * is safe for candidate coverage because `x ≤ y ⟹ floor(x) ≤
+    * floor(y)` keeps every overlapping pair sharing a bin, and the
+    * exact predicate runs on the untruncated timestamps. */
+  def binnedOverlap(a: DataFrame, b: DataFrame,
+      aLo: Column, aHi: Column, bLo: Column, bHi: Column,
+      binWidth: Long): DataFrame = {
+    def binsOf(lo: Column, hi: Column) =
+      sequence(floor(unix_timestamp(lo) / binWidth),
+        floor(unix_timestamp(hi) / binWidth))
+    val ab = a.withColumn("_abin0", floor(unix_timestamp(aLo) / binWidth))
+      .withColumn("_bin", explode(binsOf(aLo, aHi)))
+    val bb = b.withColumn("_bbin0", floor(unix_timestamp(bLo) / binWidth))
+      .withColumn("_bin", explode(binsOf(bLo, bHi)))
+    ab.join(bb, Seq("_bin"))
+      .filter(aLo <= bHi && bLo <= aHi &&
+        col("_bin") === greatest(col("_abin0"), col("_bbin0")))
+      .drop("_bin", "_abin0", "_bbin0")
+  }
+
+  /** r02: session-concurrency audit — for each HIGH-VALUE session
+    * (q76's sessions, exact-decimal sess_value > 240), how many OTHER
+    * users' sessions overlap it in time and how many distinct users
+    * they belong to. A genuine interval×interval join with no equi
+    * key: the naive plan is a nested loop over all session pairs; the
+    * binned plan's candidate work is Σ_bin |hv_bin|·|sess_bin| with
+    * hour bins sized to the session-length scale. The session stage is
+    * q76's shared [[Windows.SessionCtes]]/[[Windows.sessionFrame]]
+    * VERBATIM, so the whole composition is differential-tested.
+    *
+    * 100 TB: both explodes add ~1-2 rows per session (hour bins vs
+    * minute-scale sessions); the join shuffles on the bin id; density,
+    * not the algorithm, bounds the output (r01's lesson) — here the
+    * high-value filter keeps the probe side ~1% of sessions. */
+  val r02IntervalJoin: Q = Q(
+    "r02_interval_join",
+    s"""WITH ${Windows.SessionCtes},
+      |hv AS (SELECT * FROM sessions WHERE sess_value > 240)
+      |SELECT a.user_id, a.sess_id, count(*) AS n_concurrent,
+      |  count(DISTINCT b.user_id) AS n_users
+      |FROM hv a JOIN sessions b
+      |  ON b.user_id <> a.user_id
+      | AND b.sess_start <= a.sess_end AND a.sess_start <= b.sess_end
+      |GROUP BY a.user_id, a.sess_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sess = Windows.sessionFrame(s, d)
+    val hv = sess.filter($"sess_value" > 240)
+      .select($"user_id", $"sess_id",
+        $"sess_start".as("a_lo"), $"sess_end".as("a_hi"))
+    val other = sess.select($"user_id".as("b_user"),
+      $"sess_start".as("b_lo"), $"sess_end".as("b_hi"))
+    binnedOverlap(hv, other, $"a_lo", $"a_hi", $"b_lo", $"b_hi",
+      binWidth = 3600L)
+      .filter($"b_user" =!= $"user_id")
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_concurrent"),
+        countDistinct($"b_user").as("n_users"))
+  }
+
+  val all: Seq[Q] = Seq(r01RangeJoin, r02IntervalJoin)
 }

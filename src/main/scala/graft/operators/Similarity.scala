@@ -248,9 +248,17 @@ object Similarity {
     * force (s01) is quadratic. Recall measured vs s01 in SimilaritySpec.
     * Fully deterministic (sampled centroids, tie-broken windows), so it
     * carries a complete DuckDB oracle mirroring every stage. */
-  val s04KnnIvf: Q = Q(
-    "s04_knn_ivf",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+  /** s04's complete oracle pipeline as a CTE block (no leading WITH —
+    * consumers prepend their own, or splice it after another block):
+    * deterministic sampled centroids, corpus assignment, nprobe=2
+    * probe, exact re-rank, ending in `topk` = the per-query top-5.
+    * Shared VERBATIM by s04 and s09 (the D05Cap/LshCcCtes discipline:
+    * one string object, so the driver itself proves the composition
+    * rides the hash-verified stage). Declared ABOVE its consumers —
+    * object-init order makes a later-declared val interpolate as
+    * "null". */
+  val IvfTopkCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |    AS nrm FROM embeddings),
       |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
@@ -281,8 +289,13 @@ object Similarity {
       |      ORDER BY list_dot_product(p.q_vec, a.vec) / (p.q_nrm * a.nrm)
       |        DESC, a.vec_id) AS rk
       |  FROM probes p JOIN assigned a USING (c_id)
-      |  WHERE p.q_id <> a.vec_id)
-      |SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin) {
+      |  WHERE p.q_id <> a.vec_id),
+      |topk AS (SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= 5)"""
+      .stripMargin
+
+  val s04KnnIvf: Q = Q(
+    "s04_knn_ivf",
+    s"WITH $IvfTopkCtes\nSELECT q_id, vec_id, sim, rk FROM topk") {
     (s, d) =>
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -1091,8 +1104,77 @@ object Similarity {
         ($"n_hits" >= $"n_truth" * 0.5).as("recall_ok"))
   }
 
+  /** s09: DEDUP-AWARE retrieval — ANN top-k diversified by near-dup
+    * cluster, the retrieval form a training-data pipeline actually
+    * serves: a query's own near-duplicates are not "results" (they are
+    * the same item), and a cluster of near-identical corpus docs
+    * should contribute its BEST match once, not crowd out the k slots.
+    * Every embedding belongs to a document (vec_id = doc_id in the
+    * fixtures), so the diversity signal is d06b's LSH near-dup
+    * clusters: drop neighbors sharing the query's cluster, keep the
+    * top-scoring member per remaining cluster, re-rank to top-3.
+    *
+    * Pure composition of hash-verified stages — s04's IVF top-5
+    * ([[IvfTopkCtes]], shared string object) ∘ d06b's clusters
+    * ([[Dedup.LshCcCtes]]) ∘ one dedup window — so the whole policy is
+    * differential-tested end to end.
+    *
+    * 100 TB: adds two LEFT joins against the cluster table (covers
+    * only docs with a near-dup — a small corpus fraction, broadcast
+    * class) and one window per query over ≤ k rows on top of s04's
+    * audited probe plan. */
+  val s09DiverseKnn: Q = Q(
+    "s09_diverse_knn",
+    s"""${Dedup.LshCcCtes},
+      |$IvfTopkCtes,
+      |tk AS (SELECT t.q_id, t.vec_id, t.sim,
+      |         coalesce(cq.cluster_id, t.q_id) AS q_cluster,
+      |         coalesce(cn.cluster_id, t.vec_id) AS n_cluster
+      |       FROM topk t
+      |       LEFT JOIN clusters cq ON cq.doc_id = t.q_id
+      |       LEFT JOIN clusters cn ON cn.doc_id = t.vec_id),
+      |pick AS (SELECT q_id, vec_id, sim,
+      |           row_number() OVER (PARTITION BY q_id, n_cluster
+      |             ORDER BY sim DESC, vec_id) AS crk
+      |         FROM tk WHERE n_cluster <> q_cluster)
+      |SELECT q_id, vec_id, sim, rk FROM (
+      |  SELECT q_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, vec_id) AS rk
+      |  FROM pick WHERE crk = 1)
+      |WHERE rk <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val centroids = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val topk = ivfTopK(s, d, centroids, nprobe = 2)
+      .select($"q_id", $"vec_id", $"sim")
+    val clusters = graft.operators.Dedup.d06bDupClustersLsh.build(s, d)
+    val cq = clusters
+      .select($"doc_id".as("q_id"), $"cluster_id".as("q_cl"))
+    val cn = clusters
+      .select($"doc_id".as("vec_id"), $"cluster_id".as("n_cl"))
+    val wCl = Window.partitionBy($"q_id", $"n_cluster")
+      .orderBy($"sim".desc, $"vec_id")
+    val wQ = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    topk
+      .join(broadcast(cq), Seq("q_id"), "left")
+      .join(broadcast(cn), Seq("vec_id"), "left")
+      .select($"q_id", $"vec_id", $"sim",
+        coalesce($"q_cl", $"q_id").as("q_cluster"),
+        coalesce($"n_cl", $"vec_id").as("n_cluster"))
+      .filter($"n_cluster" =!= $"q_cluster")
+      .withColumn("crk", row_number().over(wCl))
+      .filter($"crk" === 1)
+      .withColumn("rk", row_number().over(wQ))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"vec_id", $"sim", $"rk")
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
     s04bKnnIvfTrained,
     s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch,
-    s08bRangeSearchTrained)
+    s08bRangeSearchTrained, s09DiverseKnn)
 }

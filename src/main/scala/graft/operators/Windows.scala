@@ -195,9 +195,13 @@ object Windows {
     * buffer-everything window (running frame is incremental). Order is
     * pinned by (ts, event_id) so tied timestamps don't flap the
     * session numbering between runs or engines. */
-  lazy val q76Sessionize: Q = Q(
-    "q76_sessionize",
-    """WITH flagged AS (
+  /** q76's sessionization as a shared CTE block (no leading WITH),
+    * ending in `sessions` = one row per (user_id, sess_id) with
+    * n_events, sess_start/sess_end and the exact-decimal sess_value.
+    * One string object shared by q76 and r02's interval-overlap join
+    * (the LshCcCtes discipline); declared above its consumers. */
+  val SessionCtes: String =
+    """flagged AS (
       |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
@@ -208,11 +212,18 @@ object Windows {
       |  SELECT user_id, ts, value,
       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                   ROWS UNBOUNDED PRECEDING) AS sess_id
-      |  FROM flagged)
-      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
-      |  count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
-      |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, d) =>
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |    count(*) AS n_events, min(ts) AS sess_start,
+      |    max(ts) AS sess_end,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
+      |  FROM sess GROUP BY user_id, sess_id)""".stripMargin
+
+  /** The Spark twin of [[SessionCtes]] — the one session frame q76
+    * registers and r02 joins over. */
+  def sessionFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,6 +236,15 @@ object Windows {
       .groupBy($"user_id", $"sess_id")
       .agg(count(lit(1)).as("n_events"), min($"ts").as("sess_start"),
         max($"ts").as("sess_end"), Exact.dsum($"value").as("sess_value"))
+  }
+
+  lazy val q76Sessionize: Q = Q(
+    "q76_sessionize",
+    s"""WITH $SessionCtes
+      |SELECT user_id, sess_id, n_events, sess_start, sess_end,
+      |  sess_value
+      |FROM sessions""".stripMargin) { (s, d) =>
+    sessionFrame(s, d)
   }
 
   /** q77: IGNORE NULLS window navigation (the reference's

@@ -620,7 +620,48 @@ object WriterQueries {
         $"maintenance_ok")
   }
 
+  /** w10: TIME TRAVEL over the versioned dimension — the table-format
+    * read every SCD2 maintenance story owes its consumers: after later
+    * merges land, "the dimension AS OF version k" must still be
+    * readable and exact. The chain is built with the same bucketed
+    * machinery st17 serves ([[scd2WriteVersion]]/[[scd2MergeStep]]:
+    * v0 = pre-cutoff history, v1/v2 = two chronological change
+    * batches), then the query reads [[scd2State]] AT v1 while v2
+    * exists on disk. Version-as-of resolution is exactly the replay
+    * path a crashed batch uses, so this also oracle-pins that path.
+    * Oracle: w08's rebuild SQL VERBATIM restricted to the v1 horizon
+    * (one shared string object plus the date bound) — the time-travel
+    * read must equal the from-scratch build over only the data v1 had
+    * seen.
+    *
+    * 100 TB: the as-of read costs one directory listing plus the
+    * resolved buckets' files — no version is ever rewritten to serve
+    * history (the copy-on-write bound st17's measurement established). */
+  val w10Scd2TimeTravel: Q = Q(
+    "w10_scd2_timetravel", {
+      val o = w08Scd2History.oracle.get
+      val marker = "FROM orders"
+      require(o.contains(marker) && o.indexOf(marker) == o.lastIndexOf(marker),
+        "w08 oracle no longer has exactly one orders scan — revisit w10")
+      o.replace(marker, "FROM orders WHERE o_orderdate < '1997-07-01'")
+    }) { (s, d) =>
+    import s.implicits._
+    val dest = tmp(d, "scd2_tt")
+    Writers.rmrf(new java.io.File(dest))
+    val cutoff = "1997-01-01"; val horizon = "1997-07-01"
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    scd2WriteVersion(scd2History(
+      scd2Changes(orders.filter($"o_orderdate" < cutoff))), dest, 0L)
+    scd2MergeStep(dest, 0L, orders.filter(
+      $"o_orderdate" >= cutoff && $"o_orderdate" < horizon))
+    scd2MergeStep(dest, 1L, orders.filter($"o_orderdate" >= horizon))
+    // the time-travel read: state AS OF v1, with v2 present on disk
+    scd2State(s, dest, 1L)
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
     w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
-    w08Scd2History, w09IncrementalOptimize)
+    w08Scd2History, w09IncrementalOptimize, w10Scd2TimeTravel)
 }

@@ -112,6 +112,42 @@ class AuditSpec extends AnyFunSuite {
     assert(straddling > 0, "no key straddles the cutoff — merge vacuous")
   }
 
+  test("w10: version-as-of reads resolve every horizon of the chain," +
+      " not just the latest") {
+    import spark.implicits._
+    // the registered w10 oracle pins AS-OF v1; here the OTHER horizons:
+    // as-of v0 must equal the pre-cutoff build even though v1/v2 exist,
+    // and as-of latest must equal w08's full rebuild — i.e. version
+    // resolution never leaks later buckets backwards or loses carried
+    // buckets forwards
+    val wq = operators.WriterQueries
+    val dim = java.nio.file.Files
+      .createTempDirectory("graft_w10_asof").toString
+    val cutoff = "1997-01-01"; val horizon = "1997-07-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dim, 0L)
+    wq.scd2MergeStep(dim, 0L, orders.filter(
+      $"o_orderdate" >= cutoff && $"o_orderdate" < horizon))
+    wq.scd2MergeStep(dim, 1L, orders.filter($"o_orderdate" >= horizon))
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3), r.getString(4),
+        r.getDouble(5))).toSet
+    val cols = wq.Scd2Schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    assert(rowSet(wq.scd2State(spark, dim, 0L).select(cols: _*)) ==
+      rowSet(wq.scd2History(wq.scd2Changes(
+        orders.filter($"o_orderdate" < cutoff))).select(cols: _*)),
+      "as-of v0 diverges from the pre-cutoff build")
+    assert(wq.scd2LatestVersion(spark, dim) == 2L)
+    assert(rowSet(wq.scd2State(spark, dim, 2L).select(cols: _*)) ==
+      rowSet(SparkEntry.queries("w08_scd2_history")(spark, sf)
+        .select(cols: _*)),
+      "as-of latest diverges from the from-scratch rebuild")
+  }
+
   test("dq05: leakage table equals the manual d03-pairs x p01-split join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -301,6 +301,53 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("r02: interval-overlap join plans as an equi join on the bin id," +
+      " not a nested loop") {
+    // the whole point of the binning device: a bare overlap predicate
+    // would plan BroadcastNestedLoopJoin (O(|A|*|B|) comparisons); the
+    // exploded bin key must turn it into an ordinary equi join
+    val p = plan("r02_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"r02's overlap join degraded to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi join on the bin id:\n$p")
+  }
+
+  test("s09: diverse retrieval broadcasts the cluster table and adds no" +
+      " cartesian over s04's probe plan") {
+    val p = plan("s09_diverse_knn")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s09:\n$p")
+    // the near-dup cluster table covers only clustered docs — joining
+    // it any other way than broadcast would shuffle the probe output
+    assert(p.contains("BroadcastHashJoin"),
+      s"s09's cluster joins lost their broadcast:\n$p")
+  }
+
+  test("binnedOverlap: pairs spanning many shared bins emit exactly once" +
+      " and match the naive overlap join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // intervals engineered to share MANY bins (hours-long overlaps at
+    // a 1h bin width) — the first-shared-bin device must still emit
+    // each qualifying pair exactly once, equal to the naive join
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val a = Seq((1L, t(0, 0), t(5, 30)), (2L, t(3, 15), t(4, 0)),
+      (3L, t(10, 0), t(10, 5))).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, t(2, 0), t(9, 0)), (20L, t(5, 0), t(5, 10)),
+      (30L, t(23, 0), t(23, 30))).toDF("b_id", "b_lo", "b_hi")
+    val got = operators.RangeJoin.binnedOverlap(a, b,
+        $"a_lo", $"a_hi", $"b_lo", $"b_hi", binWidth = 3600L)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length,
+      s"binnedOverlap duplicated pairs: ${got.toSeq}")
+    assert(got.toSet == want.toSet,
+      s"binnedOverlap != naive overlap: got ${got.toSeq}, want ${want.toSeq}")
+    assert(want.toSet == Set((1L, 10L), (1L, 20L), (2L, 10L)))
+  }
+
   test("p04: chunking is map-only (no exchange in the plan)") {
     val p = plan("p04_chunk_docs")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")

@@ -191,4 +191,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("c_id"),
       s"cell filter not pushed to partition pruning:\n$scan")
   }
+
+  test("s09: diverse retrieval is s04's top-5 with the cluster policy" +
+      " applied exactly") {
+    import spark.implicits._
+    // the oracle proves the whole composition against DuckDB; these
+    // pin the POLICY semantics a consumer relies on, recomputed from
+    // the shipped stages' own outputs
+    val d = "/root/testdata/sf0.01"
+    val diverse = SparkEntry.queries("s09_diverse_knn")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(diverse.nonEmpty)
+    val clusterOf = SparkEntry.queries("d06b_dup_clusters_lsh")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val topk = SparkEntry.queries("s04_knn_ivf")(spark, d)
+      .select($"q_id", $"vec_id", $"sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def cl(id: Long) = clusterOf.getOrElse(id, id)
+    // (a) nothing in the query's own near-dup cluster; (b) at most one
+    // result per cluster; (c) every result came from s04's top-5
+    diverse.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.forall(r => cl(r._2) != cl(q)),
+        s"query $q returned its own near-dup")
+      val cls = rows.map(r => cl(r._2))
+      assert(cls.length == cls.distinct.length,
+        s"query $q returned two members of one cluster")
+      assert(rows.length <= 3 && rows.map(_._4).sorted.sameElements(
+        1 to rows.length), s"query $q rk not a dense 1..n prefix")
+    }
+    val topkSet = topk.map(t => (t._1, t._2)).toSet
+    assert(diverse.forall(r => topkSet((r._1, r._2))),
+      "s09 invented a neighbor s04's top-5 does not contain")
+    // (d) per surviving cluster, s09 kept the BEST-sim candidate
+    val bestPerCluster = topk.groupBy(t => (t._1, cl(t._2)))
+      .map { case (k, ts) => k -> ts.map(t => (t._3, -t._2)).max }
+    diverse.foreach { case (q, v, sim, _) =>
+      val best = bestPerCluster((q, cl(v)))
+      assert(best == ((sim, -v)),
+        s"query $q kept a non-best member of cluster ${cl(v)}")
+    }
+  }
 }
