@@ -446,12 +446,22 @@ object Dedup {
     * from CANDIDATE GENERATION — its posting list would contribute
     * df·prefCount join pairs dominated by boilerplate. Verification
     * still intersects the FULL shingle sets, so every emitted pair's
-    * (inter, na, containment) is exact; capping can only MISS a pair,
-    * and only when ALL of doc_a's rare-first prefix shingles are
-    * corpus-wide stop-shingles. Measured at the 10× stress fixture:
-    * agreement vs the uncapped answer and the extra work reduction are
-    * ScaleStressSpec's d15_capped_agreement /
-    * d15_capped_work_reduction rows. */
+    * (inter, na, containment) is exact; capping can only MISS a pair.
+    *
+    * The miss condition is EXACT and SQL-expressible: a qualifying
+    * pair is found ⟺ the two docs share at least one sub-cap shingle.
+    * (⟸: if a shared sub-cap shingle g is in A's rare-first prefix,
+    * its capped index row joins directly; if g sits OUTSIDE the
+    * prefix, every prefix shingle is rarer than g — so the shared
+    * prefix shingle the AllPairs bound guarantees is itself sub-cap
+    * and survives the cap. ⟹: the capped index only holds sub-cap
+    * shingles.) d15's oracle encodes this characterization (the
+    * `rare` CTE with this constant interpolated — D05Cap's
+    * discipline), so the capped query is hash-exact BY CONTRACT at
+    * any fixture; what a corpus loses vs the raw τ-containment truth
+    * — pairs whose entire overlap is boilerplate — is measured at the
+    * 10× stress fixture (ScaleStressSpec's d15_capped_agreement /
+    * d15_capped_work_reduction rows). */
   val D15Cap: Long = 256L
 
   /** d15 over an arbitrary (doc_id, text) frame — the prefixJaccardPairsOf
@@ -494,18 +504,24 @@ object Dedup {
 
   val d15ContainmentJoin: Q = Q(
     "d15_containment_join",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
       |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |dfs AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      |rare AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |         JOIN dfs d ON d.g = a.g
+      |         WHERE d.df <= $D15Cap),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |            count(*) AS inter
       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
       |          GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, inter, s1.n AS na,
+      |SELECT p.doc_a, p.doc_b, inter, s1.n AS na,
       |  round(CAST(inter AS DOUBLE) / s1.n, 6) AS containment
       |FROM inter p
       |JOIN sizes s1 ON p.doc_a = s1.doc_id
+      |JOIN rare r ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b
       |WHERE s1.n >= 5 AND 5 * inter >= 4 * s1.n""".stripMargin) { (s, d) =>
     containmentPairsOf(Tables.documents(s, d), D15Cap)
   }

@@ -253,16 +253,35 @@ object Multimodal {
     * fixture's buckets are all under the cap). Factored out so the
     * ScaleStressSpec band-shape experiment measures candidate cost on
     * the REAL pipeline, not a reimplementation. */
+  /** The ONE fat-bucket salting formula ([[mediaCandidates]]'s cap
+    * contract): rows joined to their (band, sig) bucket size, each doc
+    * assigned its md5 sub-cell of ceil(n/cap) cells. Shared by the
+    * single- and multi-probe candidate generators so the salting
+    * cannot drift between the shipped path and the experiment that
+    * measures it. */
+  private def withSaltCell(rows: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame, cap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.join(broadcast(sizes), Seq("band", "sig"))
+      .withColumn("cell",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % ceil($"n" / cap.toDouble).cast("long"))
+  }
+
+  private def bucketSizes(banded: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    banded.groupBy($"band", $"sig").agg(count(lit(1)).as("n"))
+  }
+
   def mediaCandidates(banded: org.apache.spark.sql.DataFrame,
       cap: Int = 256): org.apache.spark.sql.DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
-    val sizes = banded.groupBy($"band", $"sig")
-      .agg(count(lit(1)).as("n"))
-    val salted = banded.join(broadcast(sizes), Seq("band", "sig"))
-      .withColumn("cell",
-        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % ceil($"n" / cap.toDouble).cast("long"))
+    val salted = withSaltCell(banded, bucketSizes(banded), cap)
     salted.select($"doc_id", $"band", $"sig", $"cell")
       .join(salted.select($"doc_id".as("neighbor_id"), $"band", $"sig",
         $"cell"), Seq("band", "sig", "cell"))
@@ -290,19 +309,13 @@ object Multimodal {
       cap: Int = 256, bandBits: Int = 4): org.apache.spark.sql.DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
-    val sizes = banded.groupBy($"band", $"sig")
-      .agg(count(lit(1)).as("n"))
-    def withCell(df: org.apache.spark.sql.DataFrame) = df
-      .join(broadcast(sizes), Seq("band", "sig"))
-      .withColumn("cell",
-        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % ceil($"n" / cap.toDouble).cast("long"))
-    val stored = withCell(banded)
+    val sizes = bucketSizes(banded)
+    val stored = withSaltCell(banded, sizes, cap)
       .select($"doc_id".as("neighbor_id"), $"band", $"sig", $"cell")
-    val probes = withCell(banded.select($"doc_id", $"band",
+    val probes = withSaltCell(banded.select($"doc_id", $"band",
       explode(array($"sig" +:
         (0 until bandBits).map(b => $"sig".bitwiseXOR(lit(1L << b))): _*))
-        .as("sig")))
+        .as("sig")), sizes, cap)
       .select($"doc_id", $"band", $"sig", $"cell")
     probes.join(stored, Seq("band", "sig", "cell"))
       .filter($"doc_id" =!= $"neighbor_id")

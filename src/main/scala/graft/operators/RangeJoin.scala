@@ -92,9 +92,14 @@ object RangeJoin {
     def binsOf(lo: Column, hi: Column) =
       sequence(floor(unix_timestamp(lo) / binWidth),
         floor(unix_timestamp(hi) / binWidth))
-    val ab = a.withColumn("_abin0", floor(unix_timestamp(aLo) / binWidth))
+    // PRECONDITION lo <= hi, enforced by dropping violations: a
+    // descending range would throw inside sequence() and abort the
+    // job; an interval with hi < lo is corrupt input, not an interval
+    val ab = a.filter(aLo <= aHi)
+      .withColumn("_abin0", floor(unix_timestamp(aLo) / binWidth))
       .withColumn("_bin", explode(binsOf(aLo, aHi)))
-    val bb = b.withColumn("_bbin0", floor(unix_timestamp(bLo) / binWidth))
+    val bb = b.filter(bLo <= bHi)
+      .withColumn("_bbin0", floor(unix_timestamp(bLo) / binWidth))
       .withColumn("_bin", explode(binsOf(bLo, bHi)))
     ab.join(bb, Seq("_bin"))
       .filter(aLo <= bHi && bLo <= aHi &&

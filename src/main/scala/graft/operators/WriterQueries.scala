@@ -507,7 +507,11 @@ object WriterQueries {
   def scd2MergeStep(dimDir: String, id: Long,
       batch: org.apache.spark.sql.DataFrame): Seq[Int] = {
     val s = batch.sparkSession
-    val hist = scd2History(scd2Changes(batch))
+    // materialized once: the touched-bucket collect, scd2Apply's
+    // first-change aggregate, and the union each consume it — without
+    // this the batch source is re-read and re-windowed three times per
+    // micro-batch (the lloyd()/w07 precedent)
+    val hist = scd2History(scd2Changes(batch)).localCheckpoint()
     val touched = hist.select(scd2Bucket.as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val stored = scd2State(s, dimDir, id, Some(touched.toSet))

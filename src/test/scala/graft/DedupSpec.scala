@@ -233,7 +233,22 @@ class DedupSpec extends AnyFunSuite {
         inter = (sa & sb).size.toLong
         if 5 * inter >= 4 * sa.size
       } yield (a, b, inter, sa.size.toLong)).toSet
-      got == want
+      // the REGISTERED (capped) form against the brute-forced iff
+      // characterization its oracle encodes: a qualifying pair is
+      // found ⟺ the docs share at least one sub-cap shingle. A tiny
+      // cap (3) makes the condition bind hard on these 2-19 doc
+      // corpora, certifying both directions of D15Cap's scaladoc claim
+      val gotCapped = operators.Dedup.containmentPairsOf(docs, 3L)
+        .select($"doc_a", $"doc_b", $"inter", $"na").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val df = sets2.flatMap(_._2).groupBy(identity)
+        .map { case (g, os) => g -> os.size }
+      val wantCapped = want.filter { case (a, b, _, _) =>
+        val (sa, sb) = (sets2(a.toInt)._2, sets2(b.toInt)._2)
+        (sa & sb).exists(g => df(g) <= 3)
+      }
+      got == want && gotCapped == wantCapped
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)

@@ -831,13 +831,13 @@ class StreamingSpec extends AnyFunSuite {
       StructField("is_current", BooleanType),
       StructField("status", StringType),
       StructField("price", DoubleType)))
-    // the restarted source coalesces the two chunks delivered while
-    // down into ONE batch — the chain's final version is the max on
-    // disk (v2 here), and the bucket-resolved state must still equal
-    // the rebuild
+    // the restarted source MAY coalesce the two chunks delivered while
+    // down into one batch — batching is the engine's choice, so the
+    // contract is only that the chain advanced and the bucket-resolved
+    // FINAL state equals the rebuild, whatever the batch count
     val latest = operators.WriterQueries.scd2LatestVersion(spark, dim)
-    assert(latest == 2L,
-      s"expected the two pending chunks coalesced into one batch: v$latest")
+    assert(latest >= 2L && latest <= 3L,
+      s"restart chain length out of range: v$latest")
     val got = rowSet(operators.WriterQueries.scd2State(spark, dim, latest)
       .select(outSchema.fieldNames.map(col): _*))
     val want = rowSet(
