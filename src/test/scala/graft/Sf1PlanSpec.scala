@@ -94,6 +94,19 @@ class Sf1PlanSpec extends AnyFunSuite {
       s"cartesian in d13's sf1 plan:\n$plan")
   }
 
+  test("r02 at sf1: the interval-overlap join stays an equi join on" +
+      " the bin id, no nested loop") {
+    // the claim that matters AT SCALE: with 10x sessions the planner
+    // must still join on the exploded bin key — a regression to
+    // BroadcastNestedLoopJoin would be O(|hv|*|sessions|) comparisons
+    val p = finalPlan("r02_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"r02 degraded to a nested loop at sf1:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi join on the bin id:\n$p")
+  }
+
   test("q45 at sf1: the filtered orders side stays broadcast") {
     val plan = finalPlan("q45_profit")
     // q45's orders side arrives filtered; the post-filter size keeps
