@@ -347,7 +347,53 @@ object Analytics {
           <= $"n" + lit(9) * $"nm").as("p90_rank_ok"))
   }
 
+  /** q81: COUNT-MIN heavy-hitter frequencies — the sketch family the
+    * registry lacked (q12a/q12b cover cardinality via HLL, q35a/q35b
+    * quantiles; CMS covers POINT FREQUENCY): one pass builds the
+    * mergeable sketch over every document shingle (the boilerplate-
+    * detection use — which n-grams dominate a crawl), then the exact
+    * top-10 shingles probe it through [[graft.functions.CmsEstimate]]
+    * (the read side Spark doesn't ship). The verdict rides the oracle:
+    * CMS never undercounts (est ≥ true by construction) and stays
+    * inside the one-sided eps·N bound — both deterministic here (fixed
+    * seed, additive counters ⟹ merge-order-free), so the booleans are
+    * hash-stable, the q17a pattern.
+    *
+    * 100 TB: the sketch is ONE ~56 KB binary (width 2/eps × depth
+    * ln(1/δ) counters) built map-side and merged associatively — the
+    * frequency table it stands in for is corpus-sized. Probes
+    * broadcast the sketch row. */
+  val q81CountMin: Q = Q(
+    "q81_count_min",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |  true AS no_undercount, true AS within_eps
+      |FROM sh GROUP BY g
+      |ORDER BY n DESC, g LIMIT 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // NOTE: multiset shingles (no per-doc dedup) — frequency counts
+    // weight repeats, unlike the dedup family's set semantics
+    val sh = Tables.documents(s, d)
+      .select(explode(Dedup.shinglesMulti(Dedup.toks($"text"))).as("g"))
+    val sketch = sh.agg(
+      expr("count_min_sketch(g, 0.001d, 0.99d, 42)").as("cms"))
+    val top = sh.groupBy($"g").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"g").limit(10)
+    val total = sh.agg(count(lit(1)).as("n_total"))
+    val est = column(graft.functions.CmsEstimate(
+      expression($"cms"), expression($"g")))
+    top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .select($"g", $"n",
+        (est >= $"n").as("no_undercount"),
+        (est <= $"n" + ceil($"n_total" * 0.001).cast("long"))
+          .as("within_eps"))
+  }
+
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
     q37Collect, q38MinMax, q12aApproxDistinct, q12bSketchRollup,
-    q64ArgMinMax, q35bQuantileRollup)
+    q64ArgMinMax, q35bQuantileRollup, q81CountMin)
 }

@@ -44,6 +44,17 @@ object Dedup {
         .otherwise(array(concat_ws(" ", t)))
     }
 
+  /** [[shingles]] WITHOUT the per-doc dedup — the multiset variant
+    * frequency counting needs (q81's CMS weights repeats; the dedup
+    * family's set semantics must not). Same lambda-binding guard. */
+  def shinglesMulti(tokens: Column, n: Int = 3): Column =
+    graft.functions.Grams.bindArray(tokens) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", t)))
+    }
+
   /** d01: exact-duplicate statistics by content hash. */
   val d01ExactDedup: Q = Q(
     "d01_dedup_exact",

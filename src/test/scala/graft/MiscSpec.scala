@@ -135,4 +135,37 @@ class MiscSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(r0.getString(3) == expect)
   }
+
+  test("q81: the CMS bound holds over the top-100 probes, not just the" +
+      " registered top-10") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // same sketch parameters as the registered query, wider probe set:
+    // CMS must never undercount anywhere, and the eps*N overcount bound
+    // must hold across all 100 heavy hitters (the registered verdict
+    // samples only the top 10)
+    val sh = sources.Tables.documents(spark, sf)
+      .select(explode(operators.Dedup.shinglesMulti(
+        operators.Dedup.toks($"text"))).as("g"))
+    val sketch = sh.agg(
+      expr("count_min_sketch(g, 0.001d, 0.99d, 42)").as("cms"))
+    val nTotal = sh.count()
+    val est = column(graft.functions.CmsEstimate(
+      expression($"cms"), expression($"g")))
+    val probes = sh.groupBy($"g").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"g").limit(100)
+      .crossJoin(broadcast(sketch))
+      .select($"g", $"n", est.as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(probes.length == 100)
+    probes.foreach { case (g, n, e) =>
+      assert(e >= n, s"CMS undercounted '$g': $e < $n") }
+    val bound = math.ceil(nTotal * 0.001).toLong
+    val worst = probes.map { case (_, n, e) => e - n }.max
+    info(s"q81 worst CMS overcount across top-100: $worst (bound $bound," +
+      s" N=$nTotal)")
+    assert(worst <= bound,
+      s"CMS overcount $worst exceeds eps*N bound $bound")
+  }
 }
