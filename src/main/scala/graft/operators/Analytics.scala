@@ -363,24 +363,31 @@ object Analytics {
     * ln(1/δ) counters) built map-side and merged associatively — the
     * frequency table it stands in for is corpus-sized. Probes
     * broadcast the sketch row. */
-  val q81CountMin: Q = Q(
-    "q81_count_min",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-      |              FROM documents),
-      |sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)
-      |SELECT g, CAST(count(*) AS BIGINT) AS n,
-      |  true AS no_undercount, true AS within_eps
-      |FROM sh GROUP BY g
-      |ORDER BY n DESC, g LIMIT 10""".stripMargin) { (s, d) =>
+  /** The one count_min_sketch aggregate call (parameters are the
+    * operator's identity — eps 0.001, confidence 0.99, seed 42 — so
+    * q81 and its streaming twin st18 must share them as one
+    * expression string). */
+  val CmsAgg: String = "count_min_sketch(g, 0.001d, 0.99d, 42)"
+
+  /** q81's multiset shingle stream — NOT the dedup family's set
+    * semantics: frequency counting weights repeats. */
+  def cmsShingles(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(Dedup.shinglesMulti(Dedup.toks($"text"))).as("g"))
+  }
+
+  /** q81's probe/verdict stage over an EXPLICIT 1-row sketch frame
+    * (column `cms`, binary) — shared verbatim by q81 (inline build)
+    * and st18 (sketch streamed in across micro-batches), so the
+    * serving read is one code path. */
+  def cmsVerdict(s: SparkSession, d: String,
+      sketch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    // NOTE: multiset shingles (no per-doc dedup) — frequency counts
-    // weight repeats, unlike the dedup family's set semantics
-    val sh = Tables.documents(s, d)
-      .select(explode(Dedup.shinglesMulti(Dedup.toks($"text"))).as("g"))
-    val sketch = sh.agg(
-      expr("count_min_sketch(g, 0.001d, 0.99d, 42)").as("cms"))
+    val sh = cmsShingles(s, d)
     val top = sh.groupBy($"g").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"g").limit(10)
     val total = sh.agg(count(lit(1)).as("n_total"))
@@ -391,6 +398,19 @@ object Analytics {
         (est >= $"n").as("no_undercount"),
         (est <= $"n" + ceil($"n_total" * 0.001).cast("long"))
           .as("within_eps"))
+  }
+
+  val q81CountMin: Q = Q(
+    "q81_count_min",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |  true AS no_undercount, true AS within_eps
+      |FROM sh GROUP BY g
+      |ORDER BY n DESC, g LIMIT 10""".stripMargin) { (s, d) =>
+    cmsVerdict(s, d, cmsShingles(s, d).agg(expr(CmsAgg).as("cms")))
   }
 
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,

@@ -745,9 +745,104 @@ object StreamingQueries {
       WriterQueries.scd2LatestVersion(s, dim))
   }
 
+  /** Serialize/deserialize the versioned CMS state ([[st18CmsMonitor]]
+    * and its restart spec share the cycle). */
+  def readCms(s: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(
+        s.read.parquet(path).collect()(0).getAs[Array[Byte]]("cms")))
+
+  def writeCms(s: org.apache.spark.sql.SparkSession,
+      cms: org.apache.spark.util.sketch.CountMinSketch,
+      path: String): Unit = {
+    import s.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    Seq(bos.toByteArray).toDF("cms")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** One st18 merge step: fold micro-batch `b`'s shingle sketch into
+    * the version-`id` stored sketch, writing version id+1 — the same
+    * batch-id-keyed exactly-once device as st17 (a replayed batch
+    * re-reads ITS version and recomputes v{id+1} deterministically;
+    * counters are additive so the fold order across partitions is
+    * free). The merged state is ~56 KB regardless of corpus size. */
+  def cmsMergeStep(state: String, id: Long,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    val bs = b.sparkSession
+    import bs.implicits._
+    val batchRow = b
+      .select(explode(Dedup.shinglesMulti(Dedup.toks($"text"))).as("g"))
+      .agg(expr(Analytics.CmsAgg).as("cms")).collect()(0)
+    val merged = readCms(bs, s"$state/v$id")
+    if (!batchRow.isNullAt(0))
+      merged.mergeInPlace(
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(batchRow.getAs[Array[Byte]]("cms"))))
+    writeCms(bs, merged, s"$state/v${id + 1}")
+  }
+
+  /** st18: STREAMING heavy-hitter monitoring — q81's Count-Min sketch
+    * maintained as CDC-style state: document chunks arrive as a
+    * stream, each micro-batch's partial sketch (the same
+    * [[Analytics.CmsAgg]] aggregate, so parameters cannot drift) is
+    * MERGED into the batch-id-versioned stored sketch — CMS counters
+    * are additive, so the streamed final sketch is bit-for-bit the
+    * one-shot build regardless of chunking (StreamingSpec asserts
+    * estimate equality over the top-100 and byte equality of the
+    * state). Serving is [[Analytics.cmsVerdict]] verbatim against the
+    * streamed state, and the oracle is q81's SQL string — the shared
+    * object, so the driver proves the streaming delivery reproduces
+    * the batch answer.
+    *
+    * 100 TB: per batch, one map-side partial-sketch aggregate over the
+    * BATCH plus a ~56 KB state read/merge/write — state size is
+    * corpus-independent (the whole point of the sketch); the exact
+    * top-10 probe is the serving read, not per-batch work. */
+  val st18CmsMonitor: Q = Q(
+    "st18_cms_monitor", Analytics.q81CountMin.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st18_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    rmrf(new java.io.File(base))
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val state = s"$base/sketch"
+    new java.io.File(src).mkdirs()
+    // v0: the empty sketch at the operator's parameters (eps 0.001,
+    // confidence 0.99, seed 42 — must match CmsAgg or mergeInPlace
+    // rejects the fold)
+    writeCms(s, org.apache.spark.util.sketch.CountMinSketch
+      .create(0.001, 0.99, 42), s"$state/v0")
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        cmsMergeStep(state, id, b)
+      }
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        docs.filter(pmod($"doc_id", lit(3)) === k)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val latest = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    Analytics.cmsVerdict(s, d, s.read.parquet(s"$state/v$latest"))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
-    st17Scd2Cdc)
+    st17Scd2Cdc, st18CmsMonitor)
 }

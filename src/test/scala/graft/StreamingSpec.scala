@@ -761,6 +761,61 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st18: the streamed CMS state equals the one-shot batch sketch" +
+      " byte-for-byte, through a kill-and-restart") {
+    // CMS counters are additive and the hash family is seed-fixed, so
+    // chunking must not change the final state AT ALL — the strongest
+    // possible parity claim (byte equality), plus the restart case:
+    // kill after chunk 1, deliver chunks 2-3 while down, restart — the
+    // version-keyed merge must land on the same bytes.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_st18rs").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val state = s"$base/sketch"
+    new java.io.File(src).mkdirs()
+    operators.StreamingQueries.writeCms(spark,
+      org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42),
+      s"$state/v0")
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    def startQuery() =
+      spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          operators.StreamingQueries.cmsMergeStep(state, id, b)
+        }
+        .start()
+    val q1 = startQuery()
+    try {
+      docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    docs.filter(pmod($"doc_id", lit(3)) === 1)
+      .write.mode("append").parquet(src)
+    docs.filter(pmod($"doc_id", lit(3)) === 2)
+      .write.mode("append").parquet(src)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val latest = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    val streamed = spark.read.parquet(s"$state/v$latest")
+      .collect()(0).getAs[Array[Byte]]("cms")
+    val oneShot = operators.Analytics.cmsShingles(spark, sf)
+      .agg(expr(operators.Analytics.CmsAgg).as("cms")).collect()(0)
+      .getAs[Array[Byte]]("cms")
+    assert(java.util.Arrays.equals(streamed, oneShot),
+      "streamed CMS state diverges from the one-shot batch sketch")
+  }
+
   test("st17: checkpointed restart resumes the CDC->SCD2 merge chain" +
       " exactly-once") {
     // The gate's cross-batch state lives in the VERSIONED dimension
