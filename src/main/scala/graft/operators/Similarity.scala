@@ -321,23 +321,28 @@ object Similarity {
     ivfProbe(emb, centroids, ivfAssignment(emb, centroids), nprobe)
   }
 
-  /** Nearest-centroid assignment of the corpus, WIDE — (vec_id,
-    * embedding, nrm, c_id) straight out of the argmax window, one
-    * broadcast map-side pass, no re-join (the inline s04/s04b path
-    * feeds this directly to [[ivfProbe]]). w07 projects it down to
-    * (vec_id, c_id) only at index-WRITE time — the persisted lists
-    * stay ~1% of corpus bytes, and the serve path re-attaches vectors
-    * by vec_id from the corpus table. */
+  /** Nearest-centroid assignment of the corpus, WIDE — every column of
+    * `emb` plus `c_id` straight out of the argmax window, one broadcast
+    * map-side pass, no re-join (the inline s04/s04b path feeds this
+    * directly to [[ivfProbe]]). Extra `emb` columns ride along
+    * untouched — that is the filtered-search index design (s10): a
+    * posting row CARRIES its filterable attributes, so a metadata
+    * predicate applies during the candidate scan instead of joining a
+    * corpus-sized attribute table back in at probe time. w07 projects
+    * the result down to (vec_id, c_id) only at index-WRITE time — the
+    * persisted lists stay ~1% of corpus bytes, and the serve path
+    * re-attaches vectors by vec_id from the corpus table. */
   def ivfAssignment(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    val keep = emb.columns.toSeq.map(col)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id")
     emb.join(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"nrm", $"c_id",
-        (dot($"embedding", $"c_vec") / ($"nrm" * $"c_nrm")).as("c_sim"))
+      .select(keep ++ Seq($"c_id",
+        (dot($"embedding", $"c_vec") / ($"nrm" * $"c_nrm")).as("c_sim")): _*)
       .withColumn("crk", row_number().over(wAssign))
       .filter($"crk" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"c_id")
+      .select(keep :+ $"c_id": _*)
   }
 
   /** Probe + exact re-rank against an assigned corpus: `assigned`
@@ -367,13 +372,14 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val s = qs.sparkSession
     import s.implicits._
+    val keep = qs.columns.toSeq.map(col)
     val wProbe = Window.partitionBy($"q_id").orderBy($"c_sim".desc, $"c_id")
     qs.join(broadcast(centroids))
-      .select($"q_id", $"q_vec", $"q_nrm", $"c_id",
-        (dot($"q_vec", $"c_vec") / ($"q_nrm" * $"c_nrm")).as("c_sim"))
+      .select(keep ++ Seq($"c_id",
+        (dot($"q_vec", $"c_vec") / ($"q_nrm" * $"c_nrm")).as("c_sim")): _*)
       .withColumn("crk", row_number().over(wProbe))
       .filter($"crk" <= nprobe)
-      .select($"q_id", $"q_vec", $"q_nrm", $"c_id")
+      .select(keep :+ $"c_id": _*)
   }
 
   def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
@@ -1173,8 +1179,227 @@ object Similarity {
       .select($"q_id", $"vec_id", $"sim", $"rk")
   }
 
+  /** s04's IVF chain with the `label` attribute threaded through the
+    * index and the equality predicate applied INSIDE the candidate
+    * scan — the oracle twin of [[s10FilteredKnn]]. Kept separate from
+    * [[IvfTopkCtes]] on purpose: the filtered index row is WIDER
+    * (posting rows carry their filterable metadata), which is the
+    * design point s10 exists to pin. */
+  val IvfFilteredCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |    AS nrm, label FROM embeddings),
+      |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
+      |        FROM e WHERE vec_id % 100 = 7),
+      |assigned AS (
+      |  SELECT vec_id, vec, nrm, label, c_id FROM (
+      |    SELECT e.vec_id, e.vec, e.nrm, e.label, cen.c_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.vec, cen.c_vec) /
+      |          (e.nrm * cen.c_nrm) DESC, cen.c_id) AS crk
+      |    FROM e CROSS JOIN cen)
+      |  WHERE crk = 1),
+      |q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm,
+      |        label AS q_label
+      |      FROM e WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  SELECT q_id, q_vec, q_nrm, q_label, c_id FROM (
+      |    SELECT q.q_id, q.q_vec, q.q_nrm, q.q_label, cen.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_dot_product(q.q_vec, cen.c_vec) /
+      |          (q.q_nrm * cen.c_nrm) DESC, cen.c_id) AS crk
+      |    FROM q CROSS JOIN cen)
+      |  WHERE crk <= 4),
+      |franked AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    round(list_dot_product(p.q_vec, a.vec) / (p.q_nrm * a.nrm), 6)
+      |      AS sim,
+      |    row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY list_dot_product(p.q_vec, a.vec) / (p.q_nrm * a.nrm)
+      |        DESC, a.vec_id) AS rk
+      |  FROM probes p JOIN assigned a USING (c_id)
+      |  WHERE p.q_id <> a.vec_id AND a.label = p.q_label),
+      |ftopk AS (SELECT q_id, vec_id, sim, rk FROM franked WHERE rk <= 3)"""
+      .stripMargin
+
+  /** s10: metadata-FILTERED ANN — each query's top-3 among corpus
+    * vectors sharing the query's `label`, the "vector search with a
+    * WHERE clause" every production retrieval stack serves (category-
+    * scoped search, per-tenant search, license-filtered training-data
+    * retrieval). The predicate applies IN the candidate scan
+    * (pre-filtering): posting rows carry their label out of
+    * [[ivfAssignment]], so the rank window heap only ever sees
+    * matching rows. The naive alternative — post-filtering a top-k
+    * computed blind to the predicate — silently under-fills k and
+    * loses recall as the filter gets selective; ScaleStressSpec
+    * measures that gap at 10× (s10_prefilter_recall vs
+    * s10_postfilter_recall). nprobe is widened to 4 (vs s04's 2)
+    * because a 1-in-10 label filter thins every probed cell ~10×.
+    *
+    * 100 TB: identical shuffle shape to s04's audited probe plan —
+    * broadcast centroid joins, one exchange on c_id, per-query
+    * WindowGroupLimit heaps — plus one integer comparison per
+    * candidate; the attribute column adds 4 bytes/row to the index. */
+  val s10FilteredKnn: Q = Q(
+    "s10_filtered_knn",
+    s"WITH $IvfFilteredCtes\nSELECT q_id, vec_id, sim, rk FROM ftopk") {
+    (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"),
+        $"label")
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"nrm".as("q_nrm"), $"label".as("q_label"))
+    filteredTopK(qs, cents, ivfAssignment(emb, cents), nprobe = 4, k = 3)
+  }
+
+  /** The filtered probe shared by s10 and its ScaleStressSpec recall
+    * harness: `assigned` must carry `label` (from [[ivfAssignment]]
+    * over an emb frame that kept it), `qs` must carry `q_label`. */
+  def filteredTopK(qs: DataFrame, centroids: DataFrame,
+      assigned: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val s = qs.sparkSession
+    import s.implicits._
+    val wRank = Window.partitionBy($"q_id").orderBy($"sim0".desc, $"vec_id")
+    probeRows(qs, centroids, nprobe).join(assigned, "c_id")
+      .filter($"q_id" =!= $"vec_id" && $"label" === $"q_label")
+      .select($"q_id", $"vec_id",
+        (dot($"q_vec", $"embedding") / ($"q_nrm" * $"nrm")).as("sim0"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= k)
+      .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
+  }
+
+  /** Document-frequency cap for s11's lexical leg — a shingle occurring
+    * in more than this many documents carries ~no retrieval signal
+    * (it is a stopword at shingle granularity) and is dropped from the
+    * inverted index BY DEFINITION, in the Spark plan and the oracle SQL
+    * alike (the D05Cap single-source-of-truth pattern). This is also
+    * the scale bound: posting-list join work is Σ_g df_q(g)·df(g) ≤
+    * cap · Σ_g df_q(g) — linear in query-side postings at any corpus
+    * size. ScaleStressSpec prices the cap at 10× (agreement vs the
+    * uncapped ranking + work reduction). */
+  val S11LexDfCap = 50
+
+  /** The capped lexical retrieval CTE chain (through `lex5`) — shares
+    * d04's tokenization text so the shingle definition cannot drift
+    * from the dedup family's. */
+  val LexTopkCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |dfs AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      |shc AS (SELECT s.doc_id, s.g FROM sh s JOIN dfs USING (g)
+      |        WHERE df <= $S11LexDfCap),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+      |qsh AS (SELECT doc_id AS q_id, g FROM shc WHERE doc_id % 50 = 0),
+      |inter AS (SELECT q.q_id, s.doc_id, count(*) AS inter
+      |          FROM qsh q JOIN shc s USING (g)
+      |          WHERE s.doc_id <> q.q_id GROUP BY q.q_id, s.doc_id),
+      |lex AS (SELECT i.q_id, i.doc_id,
+      |          row_number() OVER (PARTITION BY i.q_id
+      |            ORDER BY CAST(i.inter AS DOUBLE) / (sq.n + sc.n - i.inter)
+      |              DESC, i.doc_id) AS lrk
+      |        FROM inter i
+      |        JOIN sizes sq ON i.q_id = sq.doc_id
+      |        JOIN sizes sc ON i.doc_id = sc.doc_id),
+      |lex5 AS (SELECT q_id, doc_id, lrk FROM lex WHERE lrk <= 5)"""
+      .stripMargin
+
+  /** The lexical leg of s11, shared with its spec/scale harnesses:
+    * per query doc (doc_id % 50 = 0), the top-`k` corpus docs by exact
+    * Jaccard over rare 3-shingles — shingles with document frequency
+    * above [[S11LexDfCap]] are dropped from the inverted index (and
+    * from the per-doc set sizes, so the measure stays consistent).
+    * Returns (q_id, doc_id, lrk). */
+  def lexTopK(docs: DataFrame, cap: Int = S11LexDfCap,
+      k: Int = 5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs.select($"doc_id",
+      explode(Dedup.shingles(Dedup.toks($"text"))).as("g"))
+    val dfs = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= cap)
+    val shc = sh.join(dfs.select($"g"), "g")
+    val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val qsh = shc.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("q_id"), $"g")
+    val wLex = Window.partitionBy($"q_id").orderBy($"jac".desc, $"doc_id")
+    qsh.join(shc, "g")
+      .filter($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("q_id"), $"n".as("nq")), "q_id")
+      .join(sizes.select($"doc_id", $"n".as("nc")), "doc_id")
+      .select($"q_id", $"doc_id",
+        ($"inter".cast("double") / ($"nq" + $"nc" - $"inter")).as("jac"))
+      .withColumn("lrk", row_number().over(wLex))
+      .filter($"lrk" <= k)
+      .select($"q_id", $"doc_id", $"lrk")
+  }
+
+  /** s11: HYBRID retrieval — the lexical top-5 (exact Jaccard over
+    * rare 3-shingles off a df-capped inverted index) and the vector
+    * top-5 (s04's IVF probe, [[IvfTopkCtes]] shared string object)
+    * fused by reciprocal-rank fusion, rrf = Σ 1/(60+rank), top-3 per
+    * query. This is the retrieval shape production search actually
+    * ships (keyword + vector, RRF k₀=60 per Cormack/Clarke/Buettcher
+    * SIGIR'09): lexical catches exact phrasing the embedding smooths
+    * over, vector catches paraphrase the lexicon misses, and RRF needs
+    * no score calibration between the two scales.
+    *
+    * Pure composition of verified stages: the vector leg IS s04's
+    * audited probe plan; the lexical leg rides d04's tokenization
+    * (oracle text shared) behind [[S11LexDfCap]]; fusion is one full
+    * outer join on (q_id, id) + one per-query window over ≤10 rows.
+    *
+    * 100 TB: lexical join work ≤ cap · query postings (see
+    * [[S11LexDfCap]]); both legs shuffle on their natural keys; the
+    * fuse join's inputs are top-5 lists — k rows per query, broadcast
+    * class if the query set is small, plain shuffle join otherwise. */
+  val s11HybridRrf: Q = Q(
+    "s11_hybrid_rrf",
+    s"""WITH $LexTopkCtes,
+      |$IvfTopkCtes,
+      |vec5 AS (SELECT q_id, vec_id AS doc_id, rk AS vrk FROM topk),
+      |fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+      |            coalesce(l.doc_id, v.doc_id) AS id,
+      |            coalesce(1.0 / (60 + l.lrk), 0) +
+      |            coalesce(1.0 / (60 + v.vrk), 0) AS rrf0
+      |          FROM lex5 l FULL JOIN vec5 v
+      |            ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+      |SELECT q_id, id, rrf, rk FROM (
+      |  SELECT q_id, id, round(rrf0, 6) AS rrf,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf0 DESC, id) AS rk
+      |  FROM fused)
+      |WHERE rk <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val lex5 = lexTopK(Tables.documents(s, d))
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val vec5 = ivfTopK(s, d, cents, nprobe = 2)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+    val wFuse = Window.partitionBy($"q_id").orderBy($"rrf0".desc, $"id")
+    // USING-join full outer: Spark emits the key columns pre-coalesced
+    lex5.join(vec5, Seq("q_id", "doc_id"), "full_outer")
+      .select($"q_id", $"doc_id".as("id"),
+        (coalesce(lit(1.0) / (lit(60) + $"lrk"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"vrk"), lit(0.0))).as("rrf0"))
+      .withColumn("rk", row_number().over(wFuse))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"id", round($"rrf0", 6).as("rrf"), $"rk")
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
     s04bKnnIvfTrained,
     s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch,
-    s08bRangeSearchTrained, s09DiverseKnn)
+    s08bRangeSearchTrained, s09DiverseKnn, s10FilteredKnn, s11HybridRrf)
 }

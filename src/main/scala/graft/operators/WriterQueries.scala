@@ -485,6 +485,13 @@ object WriterQueries {
   def scd2State(s: org.apache.spark.sql.SparkSession, dimDir: String, maxV: Long,
       buckets: Option[Set[Int]] = None)
       : org.apache.spark.sql.DataFrame = {
+    // below-retention reads FAIL LOUDLY (the table-format "version not
+    // found" contract) instead of resolving to a silently-empty frame —
+    // scd2Vacuum stamps the horizon when it expires versions
+    scd2VacuumHorizon(s, dimDir).filter(maxV < _).foreach { h =>
+      throw new IllegalStateException(
+        s"version $maxV of $dimDir was expired by vacuum (horizon $h)")
+    }
     val byBucket = scd2BucketVersions(s, dimDir, maxV)
     val wanted = buckets.fold(byBucket)(bs => byBucket.view
       .filterKeys(bs).toMap)
@@ -494,6 +501,61 @@ object WriterQueries {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Scd2Schema)
     else s.read.schema(Scd2Schema).parquet(paths: _*)
+  }
+
+  /** The vacuum horizon stamped by [[scd2Vacuum]], if any. */
+  def scd2VacuumHorizon(s: org.apache.spark.sql.SparkSession,
+      dimDir: String): Option[Long] = {
+    val (fs, root) = Writers.fsOf(s, dimDir)
+    val marker = new org.apache.hadoop.fs.Path(root, "_vacuum_horizon")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** VACUUM the versioned dimension: expire every version below
+    * `keepFrom` while keeping all reads ≥ `keepFrom` bit-identical.
+    * Steps: (1) materialize the COMPLETE state as of `keepFrom` into a
+    * staging dir (the write is the action, so the old layout is read
+    * before anything moves); (2) swap it in as the new v`keepFrom`
+    * base dir (loud-fail renames, w09's contract); (3) delete the
+    * older version dirs; (4) stamp `_vacuum_horizon` so below-horizon
+    * reads throw instead of resolving silently empty. All listing /
+    * rename / delete drives the Hadoop FileSystem API.
+    *
+    * 100 TB: compaction cost is one full read+write of the RETAINED
+    * state (the same bill Delta/Iceberg checkpoint-or-rewrite pays),
+    * after which history reads stop fanning across every version dir
+    * ever written; expiry itself is metadata-only. Returns the expired
+    * version ids. */
+  def scd2Vacuum(s: org.apache.spark.sql.SparkSession, dimDir: String,
+      keepFrom: Long): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = Writers.fsOf(s, dimDir)
+    val staging = new Path(root, s".vacuum_stage_v$keepFrom")
+    scd2State(s, dimDir, keepFrom)
+      .withColumn("bucket", scd2Bucket)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    val vDir = new Path(root, s"v$keepFrom")
+    val old = new Path(root, s".vacuum_old_v$keepFrom")
+    if (fs.exists(vDir) && !fs.rename(vDir, old))
+      throw new IllegalStateException(s"vacuum: could not stage out $vDir")
+    if (!fs.rename(staging, vDir))
+      throw new IllegalStateException(s"vacuum: could not install $vDir")
+    fs.delete(old, true)
+    val expired = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .filter(_ < keepFrom).sorted.toSeq
+    expired.foreach(v => fs.delete(new Path(root, s"v$v"), true))
+    val out = fs.create(new Path(root, "_vacuum_horizon"), true)
+    try out.write(keepFrom.toString.getBytes("UTF-8")) finally out.close()
+    expired
   }
 
   /** One CDC merge step against the bucketed versioned dimension:
@@ -665,7 +727,67 @@ object WriterQueries {
     scd2State(s, dest, 1L)
   }
 
+  /** w11: VERSION VACUUM — the retention half of the table-format
+    * maintenance story (Delta VACUUM / Iceberg expire_snapshots) that
+    * w10's time travel presupposes someone eventually runs: build the
+    * same 3-version chain (v0 pre-cutoff base, v1/v2 chronological
+    * merges), then expire below v1 via [[scd2Vacuum]] — v1 is first
+    * compacted into a COMPLETE base (every bucket materialized at the
+    * v1 horizon), v0 is deleted, and the horizon is stamped so a
+    * below-retention read throws instead of silently resolving empty.
+    *
+    * The query returns the post-vacuum LATEST state with a verdict
+    * column asserting the whole contract: v0 physically gone, the
+    * as-of-v1 read bit-identical to its pre-vacuum snapshot, the
+    * latest read bit-identical too, and the expired-version read
+    * failing loudly. Oracle: w08's rebuild SQL VERBATIM (shared string
+    * object) plus the verdict — vacuum must not move a single row of
+    * the served state (q17a verdict pattern: any breach flips the
+    * boolean on every row and hash-mismatches).
+    *
+    * 100 TB: see [[scd2Vacuum]] — one read+write of the retained
+    * state, metadata-only expiry, and every post-vacuum history read
+    * fans over at most (versions ≥ horizon) dirs. */
+  val w11VersionVacuum: Q = Q(
+    "w11_version_vacuum", {
+      val o = w08Scd2History.oracle.get
+      s"""SELECT cust_key, valid_from, valid_to, is_current, status,
+         |  price, true AS vacuum_ok FROM (
+         |$o)""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val dest = tmp(d, "scd2_vac")
+    Writers.rmrf(new java.io.File(dest))
+    val cutoff = "1997-01-01"; val horizon = "1997-07-01"
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    scd2WriteVersion(scd2History(
+      scd2Changes(orders.filter($"o_orderdate" < cutoff))), dest, 0L)
+    scd2MergeStep(dest, 0L, orders.filter(
+      $"o_orderdate" >= cutoff && $"o_orderdate" < horizon))
+    scd2MergeStep(dest, 1L, orders.filter($"o_orderdate" >= horizon))
+    val preV1 = scd2State(s, dest, 1L).localCheckpoint()
+    val preLatest = scd2State(s, dest, 2L).localCheckpoint()
+    val expired = scd2Vacuum(s, dest, keepFrom = 1L)
+    val (fs, root) = Writers.fsOf(s, dest)
+    val v0Gone = expired == Seq(0L) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(root, "v0"))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val asOfOk = same(scd2State(s, dest, 1L), preV1)
+    val latestOk = same(scd2State(s, dest, 2L), preLatest)
+    val expiredThrows =
+      try { scd2State(s, dest, 0L); false }
+      catch { case _: IllegalStateException => true }
+    scd2State(s, dest, 2L)
+      .withColumn("vacuum_ok",
+        lit(v0Gone && asOfOk && latestOk && expiredThrows))
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
     w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
-    w08Scd2History, w09IncrementalOptimize, w10Scd2TimeTravel)
+    w08Scd2History, w09IncrementalOptimize, w10Scd2TimeTravel,
+    w11VersionVacuum)
 }

@@ -148,6 +148,53 @@ class AuditSpec extends AnyFunSuite {
       "as-of latest diverges from the from-scratch rebuild")
   }
 
+  test("w11: vacuum expires below-horizon versions without moving a" +
+      " served row") {
+    import spark.implicits._
+    val wq = operators.WriterQueries
+    val dim = java.nio.file.Files
+      .createTempDirectory("graft_w11_vac").toString
+    val cutoff = "1997-01-01"; val horizon = "1997-07-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dim, 0L)
+    wq.scd2MergeStep(dim, 0L, orders.filter(
+      $"o_orderdate" >= cutoff && $"o_orderdate" < horizon))
+    wq.scd2MergeStep(dim, 1L, orders.filter($"o_orderdate" >= horizon))
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3), r.getString(4),
+        r.getDouble(5))).toSet
+    val cols = wq.Scd2Schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    val preV1 = rowSet(wq.scd2State(spark, dim, 1L).select(cols: _*))
+    val preV2 = rowSet(wq.scd2State(spark, dim, 2L).select(cols: _*))
+    assert(wq.scd2Vacuum(spark, dim, keepFrom = 1L) == Seq(0L))
+    // served state is untouched at every retained horizon
+    assert(rowSet(wq.scd2State(spark, dim, 1L).select(cols: _*)) == preV1,
+      "vacuum moved rows at the retention horizon")
+    assert(rowSet(wq.scd2State(spark, dim, 2L).select(cols: _*)) == preV2,
+      "vacuum moved rows at the latest horizon")
+    assert(wq.scd2LatestVersion(spark, dim) == 2L)
+    // the expired horizon fails loudly, not silently-empty
+    intercept[IllegalStateException](wq.scd2State(spark, dim, 0L))
+    // and v1 is now a COMPLETE base: it alone covers every bucket the
+    // v2 read resolves below v2 (no dangling reference to deleted v0)
+    val (fs, root) = sources.Writers.fsOf(spark, dim)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v0")))
+    val v1Buckets = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "v1"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+    val v2Buckets = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "v2"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+    val needed = preV2.map(r => s"bucket=${(r._1 % wq.Scd2Buckets +
+      wq.Scd2Buckets) % wq.Scd2Buckets}")
+    assert(needed.subsetOf(v1Buckets ++ v2Buckets),
+      "post-vacuum chain no longer covers every served bucket")
+  }
+
   test("dq05: leakage table equals the manual d03-pairs x p01-split join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -59,7 +59,9 @@ class ScaleStressSpec extends AnyFunSuite
     "s08_range_recall", "s08_trained_range_recall",
     "d15_answer_agreement", "d15_join_work_reduction",
     "d15_capped_agreement", "d15_capped_work_reduction",
-    "st17_touched_bucket_fraction", "st17_rewrite_savings")
+    "st17_touched_bucket_fraction", "st17_rewrite_savings",
+    "s10_prefilter_recall", "s10_postfilter_recall",
+    "s11_lex_cap_agreement", "s11_lex_cap_work_reduction")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -335,6 +337,86 @@ class ScaleStressSpec extends AnyFunSuite
       f"trained range recall collapsed: $recallT%.4f")
     assert(recallT > recall,
       "trained coarse layer did not beat the sampled one at 10x")
+  }
+
+  test("10x corpus: s10's pre-filtered probe holds label recall where" +
+      " post-filtering under-fills") {
+    import spark.implicits._
+    // brute label-restricted truth (declared ground-truth cross join,
+    // s01's class): per query, exact top-3 among SAME-LABEL vectors
+    val emb = sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"), $"label")
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"nrm".as("qn"), $"label".as("q_label"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val truth = qs.crossJoin(emb)
+      .filter($"q_id" =!= $"vec_id" && $"label" === $"q_label")
+      .select($"q_id", $"vec_id",
+        (operators.Similarity.dot($"qv", $"embedding") /
+          ($"qn" * $"nrm")).as("sim"))
+      .withColumn("rk", row_number().over(wT))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 100, s"label truth too thin: ${truth.size}")
+    val pre = knnSet(SparkEntry.queries("s10_filtered_knn")(spark, dir))
+    val preRecall = (pre & truth).size.toDouble / truth.size
+    info(f"s10 pre-filter recall at 10x: $preRecall%.4f " +
+      f"(${(pre & truth).size}/${truth.size})")
+    // post-filtering the blind top-5 (s04's plan, then WHERE label):
+    // with ~1-in-10 labels, most of the 5 slots are spent on
+    // wrong-label neighbors before the filter even looks
+    val labelOf = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val post = knnSet(SparkEntry.queries("s04_knn_ivf")(spark, dir))
+      .filter { case (q, v) => labelOf(v) == labelOf(q) }
+    val postRecall = (post & truth).size.toDouble / truth.size
+    info(f"s10 post-filter recall at 10x: $postRecall%.4f " +
+      f"(${(post & truth).size}/${truth.size})")
+    record("s10_prefilter_recall", preRecall, 0.25)
+    record("s10_postfilter_recall", postRecall, 0.0)
+    assert(preRecall >= 0.25, f"pre-filter recall collapsed: $preRecall%.4f")
+    assert(preRecall > 2 * postRecall,
+      f"pre-filtering ($preRecall%.4f) should dominate post-filtering " +
+        f"($postRecall%.4f) decisively at this selectivity")
+  }
+
+  test("10x corpus: s11's df cap trades bounded lexical agreement for" +
+      " bounded join work") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, dir)
+    def pairs(cap: Int) = operators.Similarity.lexTopK(docs, cap = cap)
+      .select($"q_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(operators.Similarity.S11LexDfCap)
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.size >= 100, s"lexical truth too thin: ${uncapped.size}")
+    val agree = (capped & uncapped).size.toDouble / uncapped.size
+    info(f"s11 capped-vs-uncapped lexical top-5 agreement at 10x: " +
+      f"$agree%.4f (${(capped & uncapped).size}/${uncapped.size})")
+    // join work = posting pairs actually fed to the intersection
+    // aggregate, the Σ_g df_q(g)·df(g) the cap exists to bound
+    val sh = docs.select($"doc_id",
+      explode(operators.Dedup.shingles(
+        operators.Dedup.toks($"text"))).as("g"))
+    val dfs = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+    def work(cap: Long): Long = {
+      val shc = sh.join(dfs.filter($"df" <= cap).select($"g"), "g")
+      shc.filter($"doc_id" % 50 === 0).select($"doc_id".as("q_id"), $"g")
+        .join(shc, "g").filter($"doc_id" =!= $"q_id").count()
+    }
+    val wCap = work(operators.Similarity.S11LexDfCap)
+    val wFull = work(Long.MaxValue)
+    val reduction = 1.0 - wCap.toDouble / wFull
+    info(f"s11 df-cap join-work reduction at 10x: $reduction%.4f " +
+      f"($wCap vs $wFull posting pairs)")
+    record("s11_lex_cap_agreement", agree, 0.5)
+    record("s11_lex_cap_work_reduction", reduction, 0.05)
+    assert(agree >= 0.5, f"cap destroyed the lexical ranking: $agree%.4f")
+    assert(reduction >= 0.05, f"cap bound no work: $reduction%.4f")
   }
 
   test("10x corpus: containment join (d15) equals the inverted-index truth" +

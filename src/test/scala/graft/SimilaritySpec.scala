@@ -232,4 +232,69 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $q kept a non-best member of cluster ${cl(v)}")
     }
   }
+
+  test("s10: filtered ANN returns only label-matching neighbors and" +
+      " beats post-filtering") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val labelOf = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = SparkEntry.queries("s10_filtered_knn")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(filtered.nonEmpty)
+    // (a) the predicate holds on every row; (b) rk is a dense 1..n<=3
+    filtered.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.forall(r => labelOf(r._2) == labelOf(q)),
+        s"query $q got a neighbor outside its label")
+      assert(rows.length <= 3 && rows.map(_._3).sorted.sameElements(
+        1 to rows.length), s"query $q rk not a dense 1..n prefix")
+    }
+    // (c) the design point: post-filtering s04's blind top-5 by the
+    // same predicate under-fills k — pre-filtering must strictly
+    // dominate the total result mass on this fixture (1-in-10 labels)
+    val postFiltered = SparkEntry.queries("s04_knn_ivf")(spark, d)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (q, v) => labelOf(v) == labelOf(q) }
+    assert(filtered.length > postFiltered.length,
+      s"pre-filter (${filtered.length}) did not beat post-filter " +
+        s"(${postFiltered.length})")
+  }
+
+  test("s11: hybrid RRF fuses exactly the two legs' top-5 lists") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val fused = SparkEntry.queries("s11_hybrid_rrf")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(fused.nonEmpty)
+    val lex = operators.Similarity.lexTopK(
+        sources.Tables.documents(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val vec = SparkEntry.queries("s04_knn_ivf")(spark, d)
+      .select($"q_id", $"vec_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // every fused row comes from a leg, and its rrf is EXACTLY the
+    // recomputed reciprocal-rank sum of its leg ranks
+    fused.foreach { case (q, id, rrf, _) =>
+      val l = lex.get((q, id)); val v = vec.get((q, id))
+      assert(l.isDefined || v.isDefined,
+        s"($q,$id) in neither leg's top-5")
+      val expect = l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        v.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6,
+        s"($q,$id) rrf $rrf != recomputed $expect")
+    }
+    // rk dense, and both legs actually contribute somewhere (the fusion
+    // is not vacuously one-legged on this fixture)
+    fused.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length),
+        s"query $q rk not dense")
+    }
+    assert(fused.exists(f => lex.contains((f._1, f._2)) &&
+      !vec.contains((f._1, f._2))), "no lexical-only contribution")
+    assert(fused.exists(f => vec.contains((f._1, f._2)) &&
+      !lex.contains((f._1, f._2))), "no vector-only contribution")
+  }
 }
