@@ -395,6 +395,35 @@ class PlanSpec extends AnyFunSuite {
       s"s08 grew a candidate rank window (sim0):\n$p")
   }
 
+  test("s10: filtered probe keeps s04's shape and applies the label" +
+      " predicate below the rank heap") {
+    val p = plan("s10_filtered_knn")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"s10's centroid probe lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s10:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"s10's rank selection lost its group-limit heap:\n$p")
+    // the design point, as Catalyst actually plans it: the label
+    // equality is folded INTO the candidate join's keys — candidates
+    // co-partition by (label, cell) and wrong-label postings never
+    // reach the heap. A post-filter regression would demote label out
+    // of the join keys into a Filter above the rank window.
+    assert(("""(SortMergeJoin|ShuffledHashJoin) """ +
+      """\[q_label#\d+, c_id#\d+L\], \[label#\d+, c_id#\d+L\]""").r
+      .findFirstIn(p).nonEmpty,
+      s"s10's label predicate left the candidate join keys:\n$p")
+  }
+
+  test("s11: hybrid fuse is a full-outer equi join of two bounded" +
+      " top-k lists, no cartesian") {
+    val p = plan("s11_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s11:\n$p")
+    assert(p.contains("FullOuter"), s"s11's RRF fuse lost full outer:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"s11's top-k selections lost their group-limit heaps:\n$p")
+  }
+
   test("w04: merge-upsert plans exactly one join keyed on the merge key") {
     val p = plan("w04_merge_upsert")
     assert(!p.contains("CartesianProduct"), s"cartesian in merge plan:\n$p")
