@@ -840,9 +840,82 @@ object StreamingQueries {
     Analytics.cmsVerdict(s, d, s.read.parquet(s"$state/v$latest"))
   }
 
+  /** st19: STREAMING FILTERED-ANN SERVING — st16's serve cycle with
+    * s10's metadata predicate: the stored IVF index's posting rows are
+    * re-attached to their vectors AND their label attribute, query
+    * embeddings arrive in three chunks carrying their own labels, and
+    * every micro-batch answers the label-scoped top-3 through
+    * [[Similarity.filteredTopK]] — the per-tenant / category-scoped
+    * serving shape a production retrieval endpoint runs. Stateless
+    * across batches (each answer depends only on the stored index), so
+    * exactly-once is the sink's per-batch overwrite; oracle is s10's
+    * SQL string object VERBATIM — any loss, duplication, or filter
+    * leak through the write→read→probe→sink cycle hash-mismatches.
+    *
+    * 100 TB: identical per-batch bill to st16 (broadcast centroids +
+    * the batch's probe rows) plus one integer comparison per
+    * candidate; the label rides the corpus re-attach join exactly as
+    * the vectors do, so the index files stay (vec_id, c_id). */
+  val st19FilteredServe: Q = Q(
+    "st19_filtered_serve", Similarity.s10FilteredKnn.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      FloatType, ArrayType, DoubleType, IntegerType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st19_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    rmrf(new java.io.File(base))
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    new java.io.File(src).mkdirs()
+    new java.io.File(dest).mkdirs()
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"), $"label")
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    graft.sources.Writers.writeIvfIndex(cents,
+      Similarity.ivfAssignment(emb, cents), idx)
+    val (rawCents, rawLists) = graft.sources.Writers.readIvfIndex(s, idx)
+    val storedCents = rawCents.localCheckpoint()
+    val assigned = emb.join(rawLists, "vec_id").localCheckpoint()
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding", $"label")
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bs = b.sparkSession
+        import bs.implicits._
+        val qs = b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+          Similarity.norm($"embedding").as("q_nrm"),
+          $"label".as("q_label"))
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          Similarity.filteredTopK(qs, storedCents, assigned,
+            nprobe = 4, k = 3), id, dest)
+      }
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        queries.filter(pmod($"vec_id", lit(150)) === k * 50)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.Streams.readSink(s, dest,
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("vec_id", LongType),
+        StructField("sim", DoubleType),
+        StructField("rk", IntegerType))))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
-    st17Scd2Cdc, st18CmsMonitor)
+    st17Scd2Cdc, st18CmsMonitor, st19FilteredServe)
 }

@@ -761,6 +761,93 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st19: checkpointed restart resumes the FILTERED serve gate" +
+      " exactly-once") {
+    // st16's delivery accounting plus the filter leak risk: a restart
+    // must not serve a wrong-label neighbor from a replayed batch.
+    // Kill after chunk 1, deliver chunks 2-3 down, restart, compare to
+    // the batch s10 answer with a duplicate check.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"), $"label")
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm")).localCheckpoint()
+    val assigned = operators.Similarity.ivfAssignment(emb, cents)
+      .localCheckpoint()
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    val chunks = queries.grouped(math.max(1, queries.size / 3)).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_fdest").toString
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+
+    def startQuery() =
+      spark.readStream.schema(srcSchema).parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val bs = b.sparkSession
+          import bs.implicits._
+          val qs = b.select($"vec_id".as("q_id"),
+            $"embedding".as("q_vec"),
+            operators.Similarity.norm($"embedding").as("q_nrm"),
+            $"label".as("q_label"))
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            operators.Similarity.filteredTopK(qs, cents, assigned,
+              nprobe = 4, k = 3), id, dest)
+        }
+        .start()
+
+    val q1 = startQuery()
+    try {
+      chunks.head.toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    chunks.drop(1).foreach(c =>
+      c.toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(srcDir))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = graft.streaming.Streams.readSink(spark, dest,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got.distinct.size == got.size,
+      s"restart re-emitted rows: ${got.diff(got.distinct).take(5)}")
+    val want = SparkEntry.queries("s10_filtered_knn")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"restarted filtered serve gate diverges from s10: " +
+        s"extra=${(got.toSet -- want).take(5)}, " +
+        s"missing=${(want -- got.toSet).take(5)}")
+  }
+
   test("st18: the streamed CMS state equals the one-shot batch sketch" +
       " byte-for-byte, through a kill-and-restart") {
     // CMS counters are additive and the hash family is seed-fixed, so
