@@ -499,8 +499,97 @@ object Multimodal {
         round($"n_shared" / least($"na", $"nb"), 6).as("overlap"))
   }
 
+  /** m05: ALIGNED shared-frame pairs — m04's dedup signal upgraded
+    * with TEMPORAL structure: for each shared-frame pair, the dominant
+    * frame-position offset (the delta most shared frames agree on, tie
+    * → smallest) and how much of the overlap rides it. A spliced or
+    * re-uploaded segment ALIGNS — its shared frames sit at one
+    * constant offset (aligned_frac → 1 at the splice delta) — while
+    * coincidental boilerplate frames scatter across deltas; that
+    * distinction is what lets a video-dedup pipeline cut at segment
+    * granularity instead of whole-asset.
+    *
+    * Positions are each signature's FIRST occurrence in its payload
+    * (min k), so the shared-frame SET is exactly m04's and
+    * n_aligned ≤ n_shared by construction.
+    *
+    * 100 TB: m04's df-capped posting lists bound pair work (≤ 32²/2
+    * per signature); on top ride one (pair, delta) aggregate and one
+    * per-pair window over ≤ n_shared rows — no new corpus-sized
+    * shuffle. */
+  val m05AlignedFrames: Q = Q(
+    "m05_aligned_frames",
+    """WITH media AS (SELECT doc_id, text FROM documents
+      |               WHERE doc_id % 2 = 0),
+      |nf AS (SELECT doc_id,
+      |         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+      |       FROM media),
+      |fpos AS (SELECT doc_id, fh, min(k) AS k FROM (
+      |           SELECT m.doc_id, kk.k,
+      |             md5(substr(m.text, CAST((kk.k - 1) * 64 + 1 AS INT),
+      |               64)) AS fh
+      |           FROM media m JOIN nf USING (doc_id),
+      |             LATERAL (SELECT unnest(range(1, nf.n_frames + 1)) AS k)
+      |               kk)
+      |         GROUP BY doc_id, fh),
+      |rare AS (SELECT fh FROM (
+      |           SELECT fh, count(*) AS nd FROM fpos GROUP BY fh)
+      |         WHERE nd >= 2 AND nd <= 32),
+      |ff AS (SELECT f.doc_id, f.fh, f.k FROM fpos f JOIN rare USING (fh)),
+      |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           a.k - b.k AS delta
+      |         FROM ff a JOIN ff b
+      |           ON a.fh = b.fh AND a.doc_id < b.doc_id),
+      |byd AS (SELECT doc_a, doc_b, delta,
+      |          CAST(count(*) AS BIGINT) AS n_at
+      |        FROM hits GROUP BY doc_a, doc_b, delta),
+      |tot AS (SELECT doc_a, doc_b, CAST(sum(n_at) AS BIGINT) AS n_shared
+      |        FROM byd GROUP BY doc_a, doc_b),
+      |best AS (SELECT doc_a, doc_b, delta, n_at,
+      |           row_number() OVER (PARTITION BY doc_a, doc_b
+      |             ORDER BY n_at DESC, delta) AS rk
+      |         FROM byd)
+      |SELECT t.doc_a, t.doc_b, t.n_shared, b.delta AS best_delta,
+      |  b.n_at AS n_aligned,
+      |  round(CAST(b.n_at AS DOUBLE) / t.n_shared, 6) AS aligned_frac
+      |FROM tot t JOIN best b
+      |  ON t.doc_a = b.doc_a AND t.doc_b = b.doc_b AND b.rk = 1
+      |WHERE t.n_shared >= 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text",
+        ceil(length($"text") / 64.0).cast("long").as("n_frames"))
+    val framesPos = media
+      .select($"doc_id",
+        explode(sequence(lit(1L), $"n_frames")).as("k"), $"text")
+      .select($"doc_id", $"k",
+        md5($"text".substr(($"k" - 1) * 64 + 1, lit(64))).as("fh"))
+      .groupBy($"doc_id", $"fh").agg(min($"k").as("k"))
+    val rare = framesPos.groupBy($"fh").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= 32).select($"fh")
+    val ff = framesPos.join(rare, "fh")
+    val byDelta = ff.as("a").join(ff.as("b"),
+        $"a.fh" === $"b.fh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        ($"a.k" - $"b.k").as("delta"))
+      .groupBy($"doc_a", $"doc_b", $"delta")
+      .agg(count(lit(1)).as("n_at"))
+    val tot = byDelta.groupBy($"doc_a", $"doc_b")
+      .agg(sum($"n_at").as("n_shared"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_a", $"doc_b").orderBy($"n_at".desc, $"delta")
+    byDelta.withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+      .join(tot, Seq("doc_a", "doc_b"))
+      .filter($"n_shared" >= 2)
+      .select($"doc_a", $"doc_b", $"n_shared",
+        $"delta".as("best_delta"), $"n_at".as("n_aligned"),
+        round($"n_at".cast("double") / $"n_shared", 6).as("aligned_frac"))
+  }
+
   val all: Seq[Q] = Seq(m01BinaryFrames, m02BatchDecode,
-    m03MediaSimilarity, m03bMediaSimilarityLsh, m04SharedFrames)
+    m03MediaSimilarity, m03bMediaSimilarityLsh, m04SharedFrames,
+    m05AlignedFrames)
 }
 
 /** STUB CODEC — stands in for image/audio decoding libraries that are

@@ -100,4 +100,56 @@ class MultimodalSpec extends AnyFunSuite {
       s"m04 diverges: extra=${(got -- want).take(5)}, " +
         s"missing=${(want -- got).take(5)}")
   }
+
+  test("m05: dominant-offset alignment matches an independent" +
+      " driver-side recomputation and m04's pair set") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val media = sources.Tables.documents(spark, d01)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // first-occurrence positions via String.grouped (different chunk
+    // machinery than the query's substr arithmetic, m04's pattern)
+    val pos: Map[Long, Map[String, Long]] = media.map { case (id, t) =>
+      id -> t.grouped(64).map(md5hex).zipWithIndex.toSeq
+        .groupBy(_._1).map { case (h, ks) => h -> (ks.map(_._2).min + 1L) }
+    }.toMap
+    val df = pos.values.flatMap(_.keys).toSeq.groupBy(identity)
+      .map { case (h, v) => h -> v.size }
+    val kept = pos.map { case (id, m) =>
+      id -> m.view.filterKeys(h => df(h) >= 2 && df(h) <= 32).toMap }
+    val ids = media.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      shared = (kept(a).keySet & kept(b).keySet).toSeq if shared.size >= 2
+    } yield {
+      val deltas = shared.map(h => kept(a)(h) - kept(b)(h))
+      val byDelta = deltas.groupBy(identity).view.mapValues(_.size)
+      val (bestDelta, nAligned) = byDelta.toSeq
+        .sortBy { case (dl, n) => (-n, dl) }.head
+      (a, b, shared.size.toLong, bestDelta, nAligned.toLong)
+    }).toSet
+    val got = SparkEntry.queries("m05_aligned_frames")(spark, d01)
+      .select($"doc_a", $"doc_b", $"n_shared", $"best_delta",
+        $"n_aligned").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(want.nonEmpty, "fixture has no aligned-frame pairs — vacuous")
+    assert(got == want,
+      s"m05 diverges: extra=${(got -- want).take(5)}, " +
+        s"missing=${(want -- got).take(5)}")
+    // structural invariants: pair set identical to m04's, and the
+    // aligned mass never exceeds the shared mass
+    val m04Pairs = SparkEntry.queries("m04_shared_frames")(spark, d01)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(g => (g._1, g._2)) == m04Pairs,
+      "m05's pair set drifted from m04's")
+    assert(got.forall(g => g._5 <= g._3), "n_aligned exceeds n_shared")
+  }
 }
