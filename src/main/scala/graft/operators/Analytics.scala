@@ -116,6 +116,61 @@ object Analytics {
           $"exact_flag" <= 0.1).as("rollup_ok"))
   }
 
+  /** q12c: CROSS-SOURCE OVERLAP estimation — the set-INTERSECTION
+    * companion to q12b's union rollup, and the curation question every
+    * multi-source corpus asks first: how much content mass do two
+    * sources share? Per source pair, the exact distinct-shingle
+    * intersection rides the oracle (hash-verified), while the
+    * sketch-side estimate — inclusion–exclusion over the stored
+    * per-source HLL sketches, est(A) + est(B) − est(A ∪ B) via
+    * `hll_union` — is bounds-checked in-query against it (q12a's
+    * verdict device; inclusion–exclusion error scales with the UNION
+    * size, so the bound is relative to the union, the honest HLL
+    * caveat).
+    *
+    * 100 TB: the product IS the sketch table — one fixed-size sketch
+    * per source built in one scan, every pairwise overlap then
+    * answered sketch-only without rescanning (the exact join here is
+    * the fixture-scale verdict harness, same role as q12a's exact
+    * countDistinct ride-along). */
+  val q12cOverlapSketch: Q = Q(
+    "q12c_overlap_sketch",
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_inter, true AS est_ok
+      |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |GROUP BY a.source, b.source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"source", explode(graft.operators.Dedup.shingles(
+        graft.operators.Dedup.toks($"text"))).as("g"))
+      .distinct()
+    val perSource = sh.groupBy($"source")
+      .agg(hll_sketch_agg($"g").as("sk"),
+        count(lit(1)).as("n_exact"))
+    val exactInter = sh.as("a").join(sh.as("b"),
+        $"a.g" === $"b.g" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pa = perSource.select($"source".as("source_a"),
+      $"sk".as("sk_a"), $"n_exact".as("na"))
+    val pb = perSource.select($"source".as("source_b"),
+      $"sk".as("sk_b"), $"n_exact".as("nb"))
+    exactInter
+      .join(broadcast(pa), "source_a").join(broadcast(pb), "source_b")
+      .select($"source_a", $"source_b", $"n_inter",
+        (hll_sketch_estimate($"sk_a") + hll_sketch_estimate($"sk_b") -
+          hll_sketch_estimate(hll_union($"sk_a", $"sk_b"))).as("est"),
+        hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).as("est_u"))
+      .select($"source_a", $"source_b", $"n_inter",
+        (abs($"est" - $"n_inter") <= greatest($"est_u" * 0.15, lit(8.0)))
+          .as("est_ok"))
+  }
+
   /** Correlation / covariance / stddev / variance + linear regression. */
   val q36Stats: Q = Q(
     "q36_stats",
@@ -415,5 +470,6 @@ object Analytics {
 
   val all: Seq[Q] = Seq(q35Percentiles, q35aApproxPercentile, q36Stats,
     q37Collect, q38MinMax, q12aApproxDistinct, q12bSketchRollup,
+    q12cOverlapSketch,
     q64ArgMinMax, q35bQuantileRollup, q81CountMin)
 }
