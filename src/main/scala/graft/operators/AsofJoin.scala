@@ -130,5 +130,83 @@ object AsofJoin {
         when(fresh, $"_carried.last_orderkey").as("last_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(a01EventOrderAsof, a02AsofTolerance)
+  /** a03: time-INTERPOLATED join — the sensor-fusion upgrade of a01's
+    * last-before semantics (pandas merge_asof answers "the last
+    * reading"; a telemetry/feature pipeline usually wants "the value
+    * AT this instant"): for each probe row, linearly interpolate the
+    * measurement series between its bracketing readings,
+    * v = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev),
+    * carrying v_prev flat past the last reading (kind = 'carry') and
+    * dropping probes before the first one.
+    *
+    * Both brackets come out of ONE shuffle: the union-carry sort of
+    * a01 gives prev via last(ignoreNulls) over unbounded-preceding,
+    * and next via first(ignoreNulls) over unbounded-following — the
+    * two frames share the (user, ts, side) sort, so Spark plans one
+    * exchange + one partition-local sort, a01's exact bill. At equal
+    * timestamps the reading sorts before the probe (side order), so
+    * an exact-hit probe interpolates with fraction 0 — bit-equal to
+    * the reading itself.
+    *
+    * Oracle: the same construction in DuckDB window SQL (IGNORE
+    * NULLS + named frames), epoch-microsecond arithmetic on both
+    * sides — `/` on integers is double division in both engines. */
+  val a03InterpolatedJoin: Q = Q(
+    "a03_interpolated_join",
+    """WITH m AS (SELECT user_id, ts, max(value) AS v
+      |           FROM events WHERE event_type = 'view'
+      |           GROUP BY user_id, ts),
+      |q AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |u AS (SELECT user_id, ts, 0 AS side, ts AS mts, v,
+      |        NULL::BIGINT AS event_id FROM m
+      |      UNION ALL
+      |      SELECT user_id, ts, 1 AS side, NULL, NULL, event_id FROM q),
+      |c AS (SELECT *,
+      |        last_value(mts IGNORE NULLS) OVER w_prev AS pts,
+      |        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+      |        first_value(mts IGNORE NULLS) OVER w_next AS nts,
+      |        first_value(v IGNORE NULLS) OVER w_next AS nv
+      |      FROM u
+      |      WINDOW
+      |        w_prev AS (PARTITION BY user_id ORDER BY ts, side
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |        w_next AS (PARTITION BY user_id ORDER BY ts, side
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |  round(CASE WHEN nts IS NULL OR nts = pts THEN pv
+      |        ELSE pv + (nv - pv) * (epoch_us(ts) - epoch_us(pts))
+      |               / (epoch_us(nts) - epoch_us(pts)) END, 6) AS v_interp,
+      |  CASE WHEN nts IS NULL THEN 'carry' ELSE 'interp' END AS kind
+      |FROM c WHERE side = 1 AND pts IS NOT NULL""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val m = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+    val probes = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val u = m.select($"user_id", $"ts", lit(0).as("side"),
+        $"ts".as("mts"), $"v", lit(null).cast("long").as("event_id"))
+      .unionByName(probes.select($"user_id", $"ts", lit(1).as("side"),
+        lit(null).cast("timestamp").as("mts"),
+        lit(null).cast("double").as("v"), $"event_id"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts".asc, $"side".asc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val frac = (unix_micros($"ts") - unix_micros($"pts")) /
+      (unix_micros($"nts") - unix_micros($"pts"))
+    u.withColumn("pts", last($"mts", ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("nts", first($"mts", ignoreNulls = true).over(wNext))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .filter($"side" === 1 && $"pts".isNotNull)
+      .select($"event_id", $"user_id",
+        round(when($"nts".isNull || $"nts" === $"pts", $"pv")
+          .otherwise($"pv" + ($"nv" - $"pv") * frac), 6).as("v_interp"),
+        when($"nts".isNull, lit("carry")).otherwise(lit("interp"))
+          .as("kind"))
+  }
+
+  val all: Seq[Q] = Seq(a01EventOrderAsof, a02AsofTolerance,
+    a03InterpolatedJoin)
 }

@@ -424,6 +424,25 @@ class PlanSpec extends AnyFunSuite {
       s"s11's top-k selections lost their group-limit heaps:\n$p")
   }
 
+  test("a03: both interpolation brackets ride a01's single union-carry" +
+      " shuffle") {
+    // prev (unbounded-preceding) and next (unbounded-following) share
+    // the (user, ts, side) sort — a second exchange would mean the
+    // frames stopped sharing their distribution and the operator lost
+    // the as-of family's one-shuffle bill
+    val p = plan("a03_interpolated_join")
+    // the reading-uniqueness pre-aggregate pays its own (user, ts)
+    // exchange (a01's right side does the same); the WINDOW stage must
+    // pay exactly one more, on user alone, shared by both frames
+    val winEx = """Exchange hashpartitioning\(user_id#\d+L, 32\)""".r
+      .findAllIn(p).size
+    val allEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(winEx == 1 && allEx == 2,
+      s"a03 expected 1 window + 1 pre-agg exchange, found " +
+        s"$winEx window / $allEx total:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in a03:\n$p")
+  }
+
   test("w04: merge-upsert plans exactly one join keyed on the merge key") {
     val p = plan("w04_merge_upsert")
     assert(!p.contains("CartesianProduct"), s"cartesian in merge plan:\n$p")
