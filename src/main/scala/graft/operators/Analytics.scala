@@ -150,16 +150,13 @@ object Analytics {
         graft.operators.Dedup.toks($"text"))).as("g"))
       .distinct()
     val perSource = sh.groupBy($"source")
-      .agg(hll_sketch_agg($"g").as("sk"),
-        count(lit(1)).as("n_exact"))
+      .agg(hll_sketch_agg($"g").as("sk"))
     val exactInter = sh.as("a").join(sh.as("b"),
         $"a.g" === $"b.g" && $"a.source" < $"b.source")
       .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val pa = perSource.select($"source".as("source_a"),
-      $"sk".as("sk_a"), $"n_exact".as("na"))
-    val pb = perSource.select($"source".as("source_b"),
-      $"sk".as("sk_b"), $"n_exact".as("nb"))
+    val pa = perSource.select($"source".as("source_a"), $"sk".as("sk_a"))
+    val pb = perSource.select($"source".as("source_b"), $"sk".as("sk_b"))
     exactInter
       .join(broadcast(pa), "source_a").join(broadcast(pb), "source_b")
       .select($"source_a", $"source_b", $"n_inter",

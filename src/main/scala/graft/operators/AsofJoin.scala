@@ -150,7 +150,12 @@ object AsofJoin {
     *
     * Oracle: the same construction in DuckDB window SQL (IGNORE
     * NULLS + named frames), epoch-microsecond arithmetic on both
-    * sides — `/` on integers is double division in both engines. */
+    * sides — `/` on integers is double division in both engines, and
+    * the fraction is PARENTHESIZED so both engines associate
+    * pv + (nv − pv)·(dt/dT) identically (left-associative
+    * ((nv−pv)·dt)/dT differs in the raw double on ~14% of fixture
+    * rows; rounding would usually mask it, but the hash gate must not
+    * depend on rounding luck). */
   val a03InterpolatedJoin: Q = Q(
     "a03_interpolated_join",
     """WITH m AS (SELECT user_id, ts, max(value) AS v
@@ -175,8 +180,8 @@ object AsofJoin {
       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT event_id, user_id,
       |  round(CASE WHEN nts IS NULL OR nts = pts THEN pv
-      |        ELSE pv + (nv - pv) * (epoch_us(ts) - epoch_us(pts))
-      |               / (epoch_us(nts) - epoch_us(pts)) END, 6) AS v_interp,
+      |        ELSE pv + (nv - pv) * ((epoch_us(ts) - epoch_us(pts))
+      |               / (epoch_us(nts) - epoch_us(pts))) END, 6) AS v_interp,
       |  CASE WHEN nts IS NULL THEN 'carry' ELSE 'interp' END AS kind
       |FROM c WHERE side = 1 AND pts IS NOT NULL""".stripMargin) { (s, d) =>
     import s.implicits._

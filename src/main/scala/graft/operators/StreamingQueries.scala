@@ -607,21 +607,34 @@ object StreamingQueries {
     * 100 TB: serving reads the k-row centroid table (broadcast) and
     * only probed cells' lists; per-batch shuffle is the BATCH's probe
     * rows, never the corpus. */
-  val st16AnnServe: Q = Q(
-    "st16_ann_serve", Similarity.s04KnnIvf.oracle.get) { (s, d) =>
+  /** The write-once / stream-queries / probe-per-batch ANN serve cycle
+    * shared by st16 and st19 (the round-11 review: st19 must not
+    * re-copy the harness st16 already stopped re-copying when
+    * writeIvfIndex was extracted). Writes the sampled-centroid IVF
+    * index, re-attaches the stored lists to EVERY column of `emb`
+    * (vectors for the re-rank; any attribute columns for a filtered
+    * probe), streams the query projection in three chunks, and runs
+    * `probe(qs, storedCents, assigned)` per micro-batch into the
+    * retry-idempotent sink. Statics are localCheckpointed once —
+    * per-batch work is only the batch's probes. */
+  private def annServeCycle(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String, emb: org.apache.spark.sql.DataFrame,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      mkQs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      probe: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
-      FloatType, ArrayType, DoubleType, IntegerType}
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st16_" +
+      DoubleType, IntegerType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
     rmrf(new java.io.File(base))
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"; val idx = s"$base/index"
     new java.io.File(src).mkdirs()
     new java.io.File(dest).mkdirs()
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding",
-        Similarity.norm($"embedding").as("nrm"))
     // WRITE the index: s04's sampled centroids + (vec_id, c_id) lists,
     // cell-partitioned like w07's layout
     val cents = emb.filter($"vec_id" % 100 === 7)
@@ -629,29 +642,20 @@ object StreamingQueries {
         $"nrm".as("c_nrm"))
     graft.sources.Writers.writeIvfIndex(cents,
       Similarity.ivfAssignment(emb, cents), idx)
-    // SERVE side statics, all read BACK from the stored index: the
-    // centroid table and the corpus re-attached to its stored cell
-    // assignment (materialized once — per-batch work is then only the
-    // batch's probes)
+    // SERVE side statics, all read BACK from the stored index
     val (rawCents, rawLists) = graft.sources.Writers.readIvfIndex(s, idx)
     val storedCents = rawCents.localCheckpoint()
     val assigned = emb.join(rawLists, "vec_id").localCheckpoint()
     val queries = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id", $"embedding")
+      .select(srcSchema.fieldNames.map(col).toSeq: _*)
     val q = s.readStream
-      .schema(StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)))))
+      .schema(srcSchema)
       .parquet(src)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        val bs = b.sparkSession
-        import bs.implicits._
-        val qs = b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
-          Similarity.norm($"embedding").as("q_nrm"))
         graft.streaming.Streams.sinkMatchesIdempotent(
-          Similarity.ivfProbeQueries(qs, storedCents, assigned,
-            nprobe = 2), id, dest)
+          probe(mkQs(b), storedCents, assigned), id, dest)
       }
       .start()
     try {
@@ -667,6 +671,26 @@ object StreamingQueries {
         StructField("vec_id", LongType),
         StructField("sim", DoubleType),
         StructField("rk", IntegerType))))
+  }
+
+  val st16AnnServe: Q = Q(
+    "st16_ann_serve", Similarity.s04KnnIvf.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      FloatType, ArrayType}
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    annServeCycle(s, d, "st16", emb,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      mkQs = { b =>
+        val bs = b.sparkSession
+        import bs.implicits._
+        b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+          Similarity.norm($"embedding").as("q_nrm"))
+      },
+      probe = Similarity.ivfProbeQueries(_, _, _, nprobe = 2))
   }
 
   /** st17: STREAMING CDC → SCD2 — w08's dimension maintenance run the
@@ -860,57 +884,22 @@ object StreamingQueries {
     "st19_filtered_serve", Similarity.s10FilteredKnn.oracle.get) { (s, d) =>
     import s.implicits._
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
-      FloatType, ArrayType, DoubleType, IntegerType}
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st19_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(base))
-    val src = s"$base/src"; val ckpt = s"$base/ckpt"
-    val dest = s"$base/dest"; val idx = s"$base/index"
-    new java.io.File(src).mkdirs()
-    new java.io.File(dest).mkdirs()
+      FloatType, ArrayType, IntegerType}
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
         Similarity.norm($"embedding").as("nrm"), $"label")
-    val cents = emb.filter($"vec_id" % 100 === 7)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
-        $"nrm".as("c_nrm"))
-    graft.sources.Writers.writeIvfIndex(cents,
-      Similarity.ivfAssignment(emb, cents), idx)
-    val (rawCents, rawLists) = graft.sources.Writers.readIvfIndex(s, idx)
-    val storedCents = rawCents.localCheckpoint()
-    val assigned = emb.join(rawLists, "vec_id").localCheckpoint()
-    val queries = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id", $"embedding", $"label")
-    val q = s.readStream
-      .schema(StructType(Seq(StructField("vec_id", LongType),
+    annServeCycle(s, d, "st19", emb,
+      StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
-        StructField("label", IntegerType))))
-      .parquet(src)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StructField("label", IntegerType))),
+      mkQs = { b =>
         val bs = b.sparkSession
         import bs.implicits._
-        val qs = b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
           Similarity.norm($"embedding").as("q_nrm"),
           $"label".as("q_label"))
-        graft.streaming.Streams.sinkMatchesIdempotent(
-          Similarity.filteredTopK(qs, storedCents, assigned,
-            nprobe = 4, k = 3), id, dest)
-      }
-      .start()
-    try {
-      (0 until 3).foreach { k =>
-        queries.filter(pmod($"vec_id", lit(150)) === k * 50)
-          .write.mode("append").parquet(src)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    graft.streaming.Streams.readSink(s, dest,
-      StructType(Seq(StructField("q_id", LongType),
-        StructField("vec_id", LongType),
-        StructField("sim", DoubleType),
-        StructField("rk", IntegerType))))
+      },
+      probe = Similarity.filteredTopK(_, _, _, nprobe = 4, k = 3))
   }
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
