@@ -578,8 +578,95 @@ object TextAnalysis {
       .select($"lang", $"rk", $"doc_id", $"n_toks".cast("long").as("n_toks"))
   }
 
+  /** t08b: NEAR-dup decontamination — t08's exact 5-gram gate catches
+    * verbatim eval leakage; this catches the PARAPHRASED kind (eval
+    * questions lightly edited into training docs), which is what
+    * production decontamination actually hunts. The benchmark slice
+    * (t08's doc_id % 50 = 13) becomes the small side of d12's
+    * batch-vs-corpus near-dup machinery: band-index the benchmark,
+    * probe every remaining doc, exact-verify candidates at Jaccard ≥
+    * 0.5. The corpus side is salted with suffix-perturbed copies of
+    * the benchmark docs (d12's device) — true paraphrased leakage by
+    * construction, so the gate's flagging is exercised, and the two
+    * NATURAL near-dup contaminations at this fixture are caught too.
+    *
+    * Pure composition of hash-verified stages: corpusBandIndex +
+    * nearDupAgainstCorpus are d12/w06/st15's shared machinery, and
+    * the oracle recomputes the full MinHash→band→verify chain in SQL
+    * (the portable md5 hash family).
+    *
+    * 100 TB: eval suites are MBs against TB corpora — the benchmark
+    * band index is broadcast-class, corpus-side work is one signature
+    * pass plus its own bucket collisions; no corpus×corpus stage. */
+  val t08bNearDecontaminate: Q = Q(
+    "t08b_near_decontaminate",
+    """WITH bench AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 13),
+      |rest AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 13
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    text || ' zq1 zq2 zq3 zq4 zq5 zq6' AS text
+      |  FROM documents WHERE doc_id % 50 = 13),
+      |alld AS (SELECT 'c' AS side, doc_id, text FROM bench
+      |         UNION ALL SELECT 'b' AS side, doc_id, text FROM rest),
+      |toks AS (SELECT side, doc_id, string_split(text, ' ') AS t
+      |         FROM alld),
+      |sh AS (SELECT DISTINCT side, doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |hs AS (SELECT side, doc_id,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS lo,
+      |         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS hi
+      |       FROM sh),
+      |mins AS (SELECT side, doc_id, i,
+      |           min((lo + i * hi) % 2147483647) AS mh
+      |         FROM hs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |         GROUP BY side, doc_id, i),
+      |bandhash AS (SELECT side, doc_id, i // 4 AS band,
+      |               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+      |             FROM mins GROUP BY side, doc_id, i // 4),
+      |cands AS (SELECT DISTINCT b.doc_id AS batch_id,
+      |            c.doc_id AS corpus_id
+      |          FROM bandhash b JOIN bandhash c
+      |            ON b.band = c.band AND b.bh = c.bh
+      |          WHERE b.side = 'b' AND c.side = 'c'),
+      |sizes AS (SELECT side, doc_id, count(*) AS n FROM sh
+      |          GROUP BY side, doc_id),
+      |inter AS (SELECT cd.batch_id, cd.corpus_id, count(*) AS inter
+      |          FROM cands cd
+      |          JOIN sh a ON a.side = 'b' AND a.doc_id = cd.batch_id
+      |          JOIN sh b ON b.side = 'c' AND b.doc_id = cd.corpus_id
+      |            AND a.g = b.g
+      |          GROUP BY cd.batch_id, cd.corpus_id),
+      |ver AS (SELECT i.batch_id,
+      |          max(round(CAST(inter AS DOUBLE) /
+      |            (s1.n + s2.n - inter), 6)) AS best_jaccard
+      |        FROM inter i
+      |        JOIN sizes s1 ON s1.side = 'b' AND s1.doc_id = i.batch_id
+      |        JOIN sizes s2 ON s2.side = 'c' AND s2.doc_id = i.corpus_id
+      |        WHERE 2 * inter >= (s1.n + s2.n - inter)
+      |        GROUP BY i.batch_id)
+      |SELECT b.doc_id, (v.best_jaccard IS NULL) AS keep_flag,
+      |  v.best_jaccard
+      |FROM rest b LEFT JOIN ver v ON v.batch_id = b.doc_id"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 50 === 13)
+    val leaked = bench.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat($"text", lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text"))
+    val corpus = docs.filter($"doc_id" % 50 =!= 13).unionByName(leaked)
+    val benchSh = bench.select($"doc_id".as("corpus_id"),
+      Dedup.shingles(Dedup.toks($"text")).as("sh_c"))
+    Dedup.nearDupAgainstCorpus(corpus,
+        Dedup.corpusBandIndex(bench), benchSh)
+      .select($"doc_id", $"best_jaccard".isNull.as("keep_flag"),
+        $"best_jaccard")
+  }
+
   val all: Seq[Q] = Seq(t01CorpusStats, t02QualityScore, t03TokenCount,
     t04LangId, t05Fingerprint, t06GopherQuality, t07PiiScrub,
-    t08Decontaminate, t09Boilerplate, t10SalientTerms, t11Repetition,
-    t12LmScore)
+    t08Decontaminate, t08bNearDecontaminate, t09Boilerplate,
+    t10SalientTerms, t11Repetition, t12LmScore)
 }
