@@ -1125,10 +1125,19 @@ object Similarity {
     * ([[Dedup.LshCcCtes]]) ∘ one dedup window — so the whole policy is
     * differential-tested end to end.
     *
-    * 100 TB: adds two LEFT joins against the cluster table (covers
-    * only docs with a near-dup — a small corpus fraction, broadcast
-    * class) and one window per query over ≤ k rows on top of s04's
-    * audited probe plan. */
+    * 100 TB: adds two LEFT joins against the cluster table and one
+    * window per query over ≤ k rows on top of s04's audited probe
+    * plan. The cluster joins carry NO broadcast hint (the round-11
+    * verdict's one weak flag): at web-crawl near-dup rates (30-50%)
+    * the membership table is billions of rows — decidedly not
+    * broadcast class — while the topk side is queries×k. Left-outer
+    * semantics make the cluster side the only broadcastable side, so
+    * the right plan is adaptive: AQE broadcasts it while its MEASURED
+    * size is small and falls back to a shuffle join when it isn't,
+    * instead of a forced hint OOMing the executors at scale.
+    * Sf1PlanSpec asserts the hint stays gone (no ResolvedHint in the
+    * optimized plan, no static BroadcastExchange under the cluster
+    * joins in the initial plan). */
   val s09DiverseKnn: Q = Q(
     "s09_diverse_knn",
     s"""${Dedup.LshCcCtes},
@@ -1166,8 +1175,8 @@ object Similarity {
       .orderBy($"sim".desc, $"vec_id")
     val wQ = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     topk
-      .join(broadcast(cq), Seq("q_id"), "left")
-      .join(broadcast(cn), Seq("vec_id"), "left")
+      .join(cq, Seq("q_id"), "left")
+      .join(cn, Seq("vec_id"), "left")
       .select($"q_id", $"vec_id", $"sim",
         coalesce($"q_cl", $"q_id").as("q_cluster"),
         coalesce($"n_cl", $"vec_id").as("n_cluster"))

@@ -107,6 +107,38 @@ class Sf1PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"no equi join on the bin id:\n$p")
   }
 
+  test("s09 at sf1: the cluster-membership joins carry no forced" +
+      " broadcast") {
+    // the round-11 weak flag: s09 force-broadcast d06b's full
+    // (doc_id, cluster_id) membership table — fixture-small, but at
+    // 100 TB crawl dup rates (30-50%) it is billions of rows and a
+    // forced hint is an executor OOM. The fix is adaptive: no hint,
+    // static plan SMJ, AQE free to convert ONLY on measured size.
+    val df = SparkEntry.queries("s09_diverse_knn")(spark, sf1)
+    // (1) the optimized plan's LeftOuter joins (exactly the two
+    // cluster joins) carry no join hint on either side
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val lo = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftOuter => j
+    }
+    assert(lo.size == 2,
+      s"expected the two cluster joins, got ${lo.size}")
+    assert(lo.forall(_.hint == JoinHint.NONE),
+      s"forced hint on a cluster join: ${lo.map(_.hint)}")
+    // (2) the INITIAL (static) plan places no BroadcastExchange under
+    // them — unknown-size computed inputs must default to the shuffle
+    // join; only AQE's runtime measurement may flip small sides
+    df.queryExecution.toRdd.foreach(_ => ())
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"))
+    val initial = s.split("== Initial Plan ==").last
+    val loInitial = initial.linesIterator
+      .filter(_.contains("LeftOuter")).toSeq
+    assert(loInitial.nonEmpty && loInitial.forall(_.contains("SortMergeJoin")),
+      s"static plan broadcast on a cluster join:\n${loInitial.mkString("\n")}")
+  }
+
   test("q45 at sf1: the filtered orders side stays broadcast") {
     val plan = finalPlan("q45_profit")
     // q45's orders side arrives filtered; the post-filter size keeps
