@@ -1319,14 +1319,17 @@ object Similarity {
       |lex5 AS (SELECT q_id, doc_id, lrk FROM lex WHERE lrk <= 5)"""
       .stripMargin
 
-  /** The lexical leg of s11, shared with its spec/scale harnesses:
-    * per query doc (doc_id % 50 = 0), the top-`k` corpus docs by exact
-    * Jaccard over rare 3-shingles — shingles with document frequency
-    * above [[S11LexDfCap]] are dropped from the inverted index (and
-    * from the per-doc set sizes, so the measure stays consistent).
-    * Returns (q_id, doc_id, lrk). */
-  def lexTopK(docs: DataFrame, cap: Int = S11LexDfCap,
-      k: Int = 5): DataFrame = {
+  /** The df-capped lexical inverted INDEX s11's keyword leg probes:
+    * `postings` — (g, doc_id) rows for shingles with document
+    * frequency ≤ cap; `sizes` — (doc_id, n) per-doc capped set sizes,
+    * counted over the SAME capped postings so the Jaccard measure
+    * stays consistent. Built inline here; PERSISTED by w12 through
+    * [[graft.sources.Writers.writeLexIndex]] — the w06/w07 index
+    * lifecycle applied to the hybrid stack's lexical leg (round-11
+    * verdict ask #2): a serving endpoint reads this back instead of
+    * re-tokenizing the corpus per run. */
+  def lexIndex(docs: DataFrame, cap: Int = S11LexDfCap)
+      : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val sh = docs.select($"doc_id",
@@ -1334,11 +1337,21 @@ object Similarity {
     val dfs = sh.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" <= cap)
     val shc = sh.join(dfs.select($"g"), "g")
-    val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val qsh = shc.filter($"doc_id" % 50 === 0)
-      .select($"doc_id".as("q_id"), $"g")
+    (shc.select($"g", $"doc_id"),
+      shc.groupBy($"doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** The lexical probe with the QUERY postings explicit — (q_id, g)
+    * rows — so the stored-index path (w12/s11's -D switch) and the
+    * streaming serve twin (st20) probe with each batch's queries
+    * against an index in [[lexIndex]]'s shape. Returns
+    * (q_id, doc_id, lrk). */
+  def lexTopKQueries(qsh: DataFrame, postings: DataFrame,
+      sizes: DataFrame, k: Int = 5): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
     val wLex = Window.partitionBy($"q_id").orderBy($"jac".desc, $"doc_id")
-    qsh.join(shc, "g")
+    qsh.join(postings, "g")
       .filter($"doc_id" =!= $"q_id")
       .groupBy($"q_id", $"doc_id")
       .agg(count(lit(1)).as("inter"))
@@ -1349,6 +1362,29 @@ object Similarity {
       .withColumn("lrk", row_number().over(wLex))
       .filter($"lrk" <= k)
       .select($"q_id", $"doc_id", $"lrk")
+  }
+
+  /** Probe an index pair (inline-built or read back from w12's stored
+    * layout) with the standard query slice — query docs are corpus
+    * docs, so their postings come from the index itself. */
+  def lexTopKFrom(postings: DataFrame, sizes: DataFrame,
+      k: Int = 5): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
+    lexTopKQueries(postings.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("q_id"), $"g"), postings, sizes, k)
+  }
+
+  /** The lexical leg of s11, shared with its spec/scale harnesses:
+    * per query doc (doc_id % 50 = 0), the top-`k` corpus docs by exact
+    * Jaccard over rare 3-shingles — shingles with document frequency
+    * above [[S11LexDfCap]] are dropped from the inverted index (and
+    * from the per-doc set sizes, so the measure stays consistent).
+    * Returns (q_id, doc_id, lrk). */
+  def lexTopK(docs: DataFrame, cap: Int = S11LexDfCap,
+      k: Int = 5): DataFrame = {
+    val (postings, sizes) = lexIndex(docs, cap)
+    lexTopKFrom(postings, sizes, k)
   }
 
   /** s11: HYBRID retrieval — the lexical top-5 (exact Jaccard over
@@ -1369,7 +1405,11 @@ object Similarity {
     * 100 TB: lexical join work ≤ cap · query postings (see
     * [[S11LexDfCap]]); both legs shuffle on their natural keys; the
     * fuse join's inputs are top-5 lists — k rows per query, broadcast
-    * class if the query set is small, plain shuffle join otherwise. */
+    * class if the query set is small, plain shuffle join otherwise.
+    * A serving endpoint does NOT rebuild the lexical index per run:
+    * w12 persists it and `-Dgraft.s11.lexIndexDir` (or [[s11Build]]'s
+    * explicit parameter) serves from the stored postings — proven
+    * stored≡inline by w12 riding this exact oracle string. */
   val s11HybridRrf: Q = Q(
     "s11_hybrid_rrf",
     s"""WITH $LexTopkCtes,
@@ -1387,8 +1427,27 @@ object Similarity {
       |      ORDER BY rrf0 DESC, id) AS rk
       |  FROM fused)
       |WHERE rk <= 3""".stripMargin) { (s, d) =>
+    // -Dgraft.s11.lexIndexDir=<dir> is the registered query's stored-
+    // lexical-index switch (d12's entry-point pattern — the driver has
+    // no other channel); everything else threads the explicit
+    // [[s11Build]] parameter.
+    s11Build(s, d, sys.props.get("graft.s11.lexIndexDir"))
+  }
+
+  /** s11's build with the LEXICAL index source explicit (d12Build's
+    * pattern): None = build the df-capped inverted index from the
+    * corpus this run; Some(dir) = serve from w12's STORED index — the
+    * corpus text is never touched, the keyword leg reads only posting
+    * and size rows. */
+  def s11Build(s: SparkSession, d: String,
+      lexIndexDir: Option[String]): DataFrame = {
     import s.implicits._
-    val lex5 = lexTopK(Tables.documents(s, d))
+    val lex5 = lexIndexDir match {
+      case Some(dir) =>
+        val (p, sz) = graft.sources.Writers.readLexIndex(s, dir)
+        lexTopKFrom(p, sz)
+      case None => lexTopK(Tables.documents(s, d))
+    }
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" % 100 === 7)
@@ -1396,6 +1455,16 @@ object Similarity {
         $"nrm".as("c_nrm"))
     val vec5 = ivfTopK(s, d, cents, nprobe = 2)
       .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+    rrfFuse(lex5, vec5)
+  }
+
+  /** The RRF fusion stage — (q_id, doc_id, lrk) ⊕ (q_id, doc_id, vrk)
+    * → per-query top-`k` by Σ 1/(60+rank). Shared by s11 and its
+    * streaming serve twin (st20), so the fuse semantics cannot drift
+    * between the batch and serving forms. */
+  def rrfFuse(lex5: DataFrame, vec5: DataFrame, k: Int = 3): DataFrame = {
+    val s = lex5.sparkSession
+    import s.implicits._
     val wFuse = Window.partitionBy($"q_id").orderBy($"rrf0".desc, $"id")
     // USING-join full outer: Spark emits the key columns pre-coalesced
     lex5.join(vec5, Seq("q_id", "doc_id"), "full_outer")
@@ -1403,7 +1472,7 @@ object Similarity {
         (coalesce(lit(1.0) / (lit(60) + $"lrk"), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + $"vrk"), lit(0.0))).as("rrf0"))
       .withColumn("rk", row_number().over(wFuse))
-      .filter($"rk" <= 3)
+      .filter($"rk" <= k)
       .select($"q_id", $"id", round($"rrf0", 6).as("rrf"), $"rk")
   }
 

@@ -11,11 +11,6 @@ import graft.streaming.Streams
   * rule). StreamingSpec proves stream == twin under chunked replay. */
 object StreamingQueries {
 
-  /** Recursive delete for the sink/source scratch dirs of the twins
-    * that drive real file sinks (st09, st12). */
-  private def rmrf(f: java.io.File): Unit =
-    graft.sources.Writers.rmrf(f)
-
   val st01Tumbling: Q = Q(
     "st01_tumbling_window",
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -189,7 +184,8 @@ object StreamingQueries {
     import s.implicits._
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_st09_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(dest)) // stale partitions of an old fixture
+    // stale partitions of an old fixture
+    graft.sources.Writers.freshScratch(s, dest)
     // 12 hours of events = 12 hourly windows x 5 event types = 60
     // partition dirs per full delivery: the full semantics (partial
     // delivery, full redelivery, single-type redelivery, per-group
@@ -438,11 +434,11 @@ object StreamingQueries {
     import s.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(base))
+    // file source requires an existing path — scratch through the
+    // Hadoop FS API (scheme-agnostic, the round-11 review ask)
+    graft.sources.Writers.freshScratch(s, base, "src", "dest")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"
-    new java.io.File(dest).mkdirs()
-    new java.io.File(src).mkdirs() // file source requires an existing path
     def t(x: String) = java.sql.Timestamp.valueOf(x)
     val events = Tables.events(s, d).filter($"ts" < lit(t("2024-01-04 00:00:00")))
     val schema = events.schema
@@ -547,11 +543,9 @@ object StreamingQueries {
       StringType, BooleanType, DoubleType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st15_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(base))
+    graft.sources.Writers.freshScratch(s, base, "src", "dest")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"
-    new java.io.File(src).mkdirs()
-    new java.io.File(dest).mkdirs()
     val corpus = Dedup.d12Corpus(s, d)
     // static side: index + corpus shingle sets, materialized once —
     // per-batch work then touches only the batch's band collisions
@@ -623,18 +617,17 @@ object StreamingQueries {
       mkQs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       probe: (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
-        => org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame,
+      sinkSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
       DoubleType, IntegerType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(base))
+    graft.sources.Writers.freshScratch(s, base, "src", "dest")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"; val idx = s"$base/index"
-    new java.io.File(src).mkdirs()
-    new java.io.File(dest).mkdirs()
     // WRITE the index: s04's sampled centroids + (vec_id, c_id) lists,
     // cell-partitioned like w07's layout
     val cents = emb.filter($"vec_id" % 100 === 7)
@@ -667,10 +660,11 @@ object StreamingQueries {
       }
     } finally q.stop()
     graft.streaming.Streams.readSink(s, dest,
-      StructType(Seq(StructField("q_id", LongType),
-        StructField("vec_id", LongType),
-        StructField("sim", DoubleType),
-        StructField("rk", IntegerType))))
+      sinkSchema.getOrElse(
+        StructType(Seq(StructField("q_id", LongType),
+          StructField("vec_id", LongType),
+          StructField("sim", DoubleType),
+          StructField("rk", IntegerType)))))
   }
 
   val st16AnnServe: Q = Q(
@@ -724,10 +718,9 @@ object StreamingQueries {
       StringType, DoubleType, TimestampType, BooleanType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st17_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(base))
+    graft.sources.Writers.freshScratch(s, base, "src")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dim = s"$base/dim"
-    new java.io.File(src).mkdirs()
     val cutoff = "1997-01-01"
     val orders = Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate",
@@ -832,10 +825,9 @@ object StreamingQueries {
       StringType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st18_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    rmrf(new java.io.File(base))
+    graft.sources.Writers.freshScratch(s, base, "src")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val state = s"$base/sketch"
-    new java.io.File(src).mkdirs()
     // v0: the empty sketch at the operator's parameters (eps 0.001,
     // confidence 0.99, seed 42 — must match CmsAgg or mergeInPlace
     // rejects the fold)
@@ -859,8 +851,11 @@ object StreamingQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val latest = new java.io.File(state).listFiles()
-      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    val latest = {
+      val (fs, stPath) = graft.sources.Writers.fsOf(s, state)
+      fs.listStatus(stPath).map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    }
     Analytics.cmsVerdict(s, d, s.read.parquet(s"$state/v$latest"))
   }
 
@@ -902,9 +897,76 @@ object StreamingQueries {
       probe = Similarity.filteredTopK(_, _, _, nprobe = 4, k = 3))
   }
 
+  /** st20: STREAMING HYBRID SERVING — s11's twin through the serve
+    * cycle, completing the serving family (plain st16 / filtered st19
+    * / hybrid st20 — the shape a production retrieval endpoint
+    * actually runs): BOTH stored indexes are written once (the IVF
+    * index inside the cycle, the w12-layout lexical index in this
+    * query's own scratch), then every micro-batch answers its queries'
+    * lexical top-5 from the STORED postings, its vector top-5 from the
+    * STORED lists, and fuses them with [[Similarity.rrfFuse]] — the
+    * one fuse implementation, so batch and serving semantics cannot
+    * drift. Stateless across batches (each answer depends only on the
+    * stored indexes), so exactly-once is the sink's per-batch
+    * overwrite; the restart case is StreamingSpec's kill-after-chunk-1
+    * test. Oracle: s11's SQL string VERBATIM — a posting lost in the
+    * lexical write, a list row lost in the IVF write, or a fuse drift
+    * all hash-mismatch.
+    *
+    * 100 TB: per-batch bill = st16's probe rows plus the batch's
+    * lexical postings joined under the [[Similarity.S11LexDfCap]]
+    * bound; neither corpus text nor embeddings are re-indexed per
+    * batch — the statics are read once from parquet and
+    * localCheckpointed. */
+  val st20HybridServe: Q = Q(
+    "st20_hybrid_serve", Similarity.s11HybridRrf.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      FloatType, ArrayType, DoubleType, IntegerType}
+    // the lexical index lives in its OWN scratch (annServeCycle resets
+    // its base dir at cycle start); write once, read back, checkpoint
+    val lexBase = s"${System.getProperty("java.io.tmpdir")}/graft_st20lex_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, lexBase)
+    val (p0, sz0) = Similarity.lexIndex(Tables.documents(s, d))
+    graft.sources.Writers.writeLexIndex(p0, sz0, s"$lexBase/index")
+    val (pr, szr) =
+      graft.sources.Writers.readLexIndex(s, s"$lexBase/index")
+    val postings = pr.localCheckpoint()
+    val sizes = szr.localCheckpoint()
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    annServeCycle(s, d, "st20", emb,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      mkQs = { b =>
+        val bs = b.sparkSession
+        import bs.implicits._
+        b.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+          Similarity.norm($"embedding").as("q_nrm"))
+      },
+      probe = { (qs, cents, assigned) =>
+        val vec5 = Similarity
+          .ivfProbeQueries(qs, cents, assigned, nprobe = 2)
+          .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+        // the batch's query postings come from the STORED index —
+        // query docs are corpus docs, so a query with no capped
+        // postings contributes no lexical rows, exactly as inline
+        val qsh = postings
+          .join(qs.select($"q_id"), postings("doc_id") === col("q_id"))
+          .select($"q_id", $"g")
+        Similarity.rrfFuse(
+          Similarity.lexTopKQueries(qsh, postings, sizes), vec5)
+      },
+      sinkSchema = Some(StructType(Seq(StructField("q_id", LongType),
+        StructField("id", LongType), StructField("rrf", DoubleType),
+        StructField("rk", IntegerType)))))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
-    st17Scd2Cdc, st18CmsMonitor, st19FilteredServe)
+    st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe)
 }

@@ -810,8 +810,55 @@ object WriterQueries {
         lit(v0Gone && asOfOk && latestOk && expiredThrows))
   }
 
+  /** Where w12 materializes the stored lexical index for fixture `d` —
+    * public so SimilaritySpec's engagement probes and st20's serve
+    * cycle read the REAL layout instead of re-deriving the scratch
+    * convention (annIndexDir's precedent). */
+  def lexIndexDir(d: String): String = tmp(d, "lex_index")
+
+  /** w12: the PERSISTED df-capped lexical inverted index — w06/w07's
+    * index lifecycle applied to the hybrid retrieval stack's keyword
+    * leg (round-11 verdict ask #2): BUILD the capped postings + sizes
+    * once ([[Similarity.lexIndex]]), WRITE them in two legs (initial
+    * write + an APPEND under the frozen df cap — the d12/w06 admission
+    * cycle; the cap is a corpus statistic, so production recomputes it
+    * on reindex, not per admitted batch), then SERVE the full s11
+    * hybrid query with its lexical leg reading ONLY the stored index.
+    *
+    * Oracle: s11's SQL VERBATIM — the stored-index answer must be
+    * row-identical to the inline-index answer, so a posting lost,
+    * duplicated, or re-capped anywhere in the write/append/read cycle
+    * hash-mismatches. SimilaritySpec adds the engagement negative
+    * probe (a bogus index dir must FAIL, proving the stored path is
+    * actually exercised).
+    *
+    * 100 TB: the index is ~one short row per (rare shingle, doc) —
+    * the corpus text itself is never read at serve time; probe work
+    * stays ≤ cap × query postings ([[Similarity.S11LexDfCap]]'s
+    * bound) whether the postings come from parquet or were built
+    * inline. */
+  val w12LexIndex: Q = Q(
+    "w12_lex_index", Similarity.s11HybridRrf.oracle.get) { (s, d) =>
+    import s.implicits._
+    val dest = lexIndexDir(d)
+    Writers.rmrf(new java.io.File(dest))
+    // materialized once: both write legs and the derived sizes consume
+    // the capped postings — recomputing the corpus-wide df aggregate
+    // per leg would double the build's dominant cost (the w07 lloyd()
+    // precedent)
+    val postings = Similarity.lexIndex(Tables.documents(s, d))._1
+      .localCheckpoint()
+    val sizes = postings.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    Writers.writeLexIndex(postings.filter($"doc_id" % 2 === 0),
+      sizes.filter($"doc_id" % 2 === 0), dest)
+    Writers.writeLexIndex(postings.filter($"doc_id" % 2 === 1),
+      sizes.filter($"doc_id" % 2 === 1), dest,
+      org.apache.spark.sql.SaveMode.Append)
+    Similarity.s11Build(s, d, Some(dest))
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
     w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
     w08Scd2History, w09IncrementalOptimize, w10Scd2TimeTravel,
-    w11VersionVacuum)
+    w11VersionVacuum, w12LexIndex)
 }

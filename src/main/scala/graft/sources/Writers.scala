@@ -29,6 +29,20 @@ object Writers {
     f.delete(); ()
   }
 
+  /** Scheme-agnostic scratch-tree reset for the streaming harness
+    * cycles (the round-11 review's last `java.io.File` holdout): delete
+    * `base` and recreate it plus the named subdirs through the Hadoop
+    * [[org.apache.hadoop.fs.FileSystem]] API, so the serve/CDC cycles
+    * can run against any scheme the maintenance ops they exercise
+    * already support (`file:`, HDFS, object stores). */
+  def freshScratch(spark: SparkSession, base: String,
+      subdirs: String*): Unit = {
+    val (fs, p) = fsOf(spark, base)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    subdirs.foreach(sd => fs.mkdirs(new org.apache.hadoop.fs.Path(p, sd)))
+  }
+
   /** Dynamic-partitioned parquet write, partition-sorted. */
   def writePartitioned(df: DataFrame, partCol: String, dest: String): Unit =
     df.sortWithinPartitions(partCol)
@@ -150,6 +164,29 @@ object Writers {
       : (DataFrame, DataFrame) = (
     spark.read.parquet(s"$dest/centroids").select("c_id", "c_vec", "c_nrm"),
     spark.read.parquet(s"$dest/lists").select("vec_id", "c_id"))
+
+  /** The persisted LEXICAL inverted-index layout (w12) — the hybrid
+    * retrieval stack's keyword leg: `dest/postings` holds the
+    * (g, doc_id) df-capped posting rows (sorted within partitions by
+    * shingle so a probe join scans contiguous runs), `dest/sizes` the
+    * (doc_id, n) capped set sizes. ONE write path shared by w12 and
+    * st20's serve cycle (the writeIvfIndex discipline), so the stored
+    * and served layouts cannot drift. The df cap is computed over the
+    * FULL corpus before any write leg — appending a batch's rows under
+    * the frozen cap is the d12/w06 admission shape. */
+  def writeLexIndex(postings: DataFrame, sizes: DataFrame, dest: String,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    postings.select("g", "doc_id").sortWithinPartitions("g")
+      .write.mode(mode).parquet(s"$dest/postings")
+    sizes.select("doc_id", "n").write.mode(mode).parquet(s"$dest/sizes")
+  }
+
+  /** Read the stored lexical index back in the probe-side shapes
+    * ([[writeLexIndex]]'s layout contract, one reader for it). */
+  def readLexIndex(spark: SparkSession, dest: String)
+      : (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dest/postings").select("g", "doc_id"),
+    spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
 
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would

@@ -297,4 +297,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fused.exists(f => vec.contains((f._1, f._2)) &&
       !lex.contains((f._1, f._2))), "no vector-only contribution")
   }
+
+  test("s11 served from the w12 stored lexical index reproduces its" +
+      " answer; the -D switch engages") {
+    import spark.implicits._
+    // w12's oracle (s11's SQL verbatim) already proves stored≡inline
+    // differentially; this pins the same claim in-suite AND proves the
+    // registered query's -Dgraft.s11.lexIndexDir switch is LIVE — the
+    // round-10 lesson: equality alone is vacuous (stored == inline by
+    // design), engagement needs the negative probe.
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_s11idx_test"
+    graft.sources.Writers.rmrf(new java.io.File(dest))
+    val (postings, sizes) = operators.Similarity.lexIndex(
+      sources.Tables.documents(spark, sf))
+    graft.sources.Writers.writeLexIndex(postings, sizes, dest)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val inline = rows(operators.Similarity.s11Build(spark, sf, None))
+    val stored = rows(operators.Similarity.s11Build(spark, sf, Some(dest)))
+    assert(inline.nonEmpty)
+    assert(stored == inline,
+      s"stored-index s11 diverges: extra=${(stored -- inline).take(5)}, " +
+        s"missing=${(inline -- stored).take(5)}")
+    // the registered query's -D entry point (the driver's only channel
+    // into stored mode) — sequential suites, so the set/clear window
+    // cannot race another s11 run
+    System.setProperty("graft.s11.lexIndexDir", dest)
+    val viaEntryPoint =
+      try rows(SparkEntry.queries("s11_hybrid_rrf")(spark, sf))
+      finally System.clearProperty("graft.s11.lexIndexDir")
+    assert(viaEntryPoint == stored,
+      "the -Dgraft.s11.lexIndexDir entry point did not engage the index")
+    // negative probe: a bogus dir must FAIL, not silently run inline
+    System.setProperty("graft.s11.lexIndexDir", s"$dest-definitely-missing")
+    try {
+      val failed =
+        try { SparkEntry.queries("s11_hybrid_rrf")(spark, sf).collect(); false }
+        catch { case _: Exception => true }
+      assert(failed, "-Dgraft.s11.lexIndexDir pointing at a missing dir " +
+        "did not fail — the registered query ignored the switch")
+    } finally System.clearProperty("graft.s11.lexIndexDir")
+  }
 }

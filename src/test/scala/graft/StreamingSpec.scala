@@ -848,6 +848,109 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st20: checkpointed restart resumes the HYBRID serve gate" +
+      " exactly-once") {
+    // st16's delivery accounting for the two-legged form: a restart
+    // must neither replay chunk 1's fused answers nor skip the chunks
+    // that arrived down — and the lexical leg must keep probing the
+    // SAME stored postings across the restart (the index is static
+    // state outside the checkpoint). Kill after chunk 1, deliver
+    // chunks 2-3 down, restart, compare to the batch s11 answer.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm")).localCheckpoint()
+    val assigned = operators.Similarity.ivfAssignment(emb, cents)
+      .localCheckpoint()
+    // the lexical leg's statics ride w12's stored layout, read back
+    val lexDir = java.nio.file.Files
+      .createTempDirectory("graft_st20rs_lex").toString + "/index"
+    val (p0, sz0) = operators.Similarity.lexIndex(
+      sources.Tables.documents(spark, sf))
+    graft.sources.Writers.writeLexIndex(p0, sz0, lexDir)
+    val (pr, szr) = graft.sources.Writers.readLexIndex(spark, lexDir)
+    val postings = pr.localCheckpoint()
+    val sizes = szr.localCheckpoint()
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val chunks = queries.grouped(math.max(1, queries.size / 3)).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_hdest").toString
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+
+    def startQuery() =
+      spark.readStream.schema(srcSchema).parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val bs = b.sparkSession
+          import bs.implicits._
+          val qs = b.select($"vec_id".as("q_id"),
+            $"embedding".as("q_vec"),
+            operators.Similarity.norm($"embedding").as("q_nrm"))
+          val vec5 = operators.Similarity
+            .ivfProbeQueries(qs, cents, assigned, nprobe = 2)
+            .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+          val qsh = postings
+            .join(qs.select($"q_id"),
+              postings("doc_id") === org.apache.spark.sql.functions.col("q_id"))
+            .select($"q_id", $"g")
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            operators.Similarity.rrfFuse(
+              operators.Similarity.lexTopKQueries(qsh, postings, sizes),
+              vec5), id, dest)
+        }
+        .start()
+
+    val q1 = startQuery()
+    try {
+      chunks.head.toDF("vec_id", "embedding")
+        .write.mode("append").parquet(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // chunks 2-3 arrive while the query is DOWN
+    chunks.drop(1).foreach(c =>
+      c.toDF("vec_id", "embedding").write.mode("append").parquet(srcDir))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = graft.streaming.Streams.readSink(spark, dest,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rrf",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got.distinct.size == got.size,
+      s"restart re-emitted rows: ${got.diff(got.distinct).take(5)}")
+    val want = SparkEntry.queries("s11_hybrid_rrf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"restarted hybrid serve gate diverges from s11: " +
+        s"extra=${(got.toSet -- want).take(5)}, " +
+        s"missing=${(want -- got.toSet).take(5)}")
+  }
+
   test("st18: the streamed CMS state equals the one-shot batch sketch" +
       " byte-for-byte, through a kill-and-restart") {
     // CMS counters are additive and the hash family is seed-fixed, so
