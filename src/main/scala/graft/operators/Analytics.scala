@@ -126,7 +126,12 @@ object Analytics {
     * `hll_union` — is bounds-checked in-query against it (q12a's
     * verdict device; inclusion–exclusion error scales with the UNION
     * size, so the bound is relative to the union, the honest HLL
-    * caveat).
+    * caveat). Consequently the RELATIVE error of the intersection
+    * estimate is unbounded for near-disjoint sources — the estimator
+    * is only trustworthy in the |A∩B| ≳ eps·|A∪B| regime; when the
+    * question is "are these sources (almost) disjoint?", use the
+    * exact intersection path or a sketch built for intersections
+    * (e.g. theta sketches), not HLL inclusion–exclusion.
     *
     * 100 TB: the product IS the sketch table — one fixed-size sketch
     * per source built in one scan, every pairwise overlap then

@@ -30,8 +30,8 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r11.json"
-  private val PrevArtifactFile = "SCALE_r10.json"
+  private val ArtifactFile = "SCALE_r13.json"
+  private val PrevArtifactFile = "SCALE_r11.json"
 
   /** The COMPLETE set of metric names any test in this suite can
     * `record()` — the artifact's tamper-evidence (round-8 verdict
@@ -61,7 +61,8 @@ class ScaleStressSpec extends AnyFunSuite
     "d15_capped_agreement", "d15_capped_work_reduction",
     "st17_touched_bucket_fraction", "st17_rewrite_savings",
     "s10_prefilter_recall", "s10_postfilter_recall",
-    "s11_lex_cap_agreement", "s11_lex_cap_work_reduction")
+    "s11_lex_cap_agreement", "s11_lex_cap_work_reduction",
+    "scd2_manifest_metadata_savings", "scd2_manifest_ops_per_read")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -422,9 +423,12 @@ class ScaleStressSpec extends AnyFunSuite
     // posting pairs): the disagreements are rankings re-ordered among
     // marker-heavy inflation copies once their shared hot shingles
     // stop matching — exactly the stopword semantics the cap declares
-    record("s11_lex_cap_agreement", agree, 0.5)
+    // floors raised to just under the round-11 measurement (0.782 /
+    // 0.9745) so a silent recall regression trips the gate instead of
+    // coasting on the original 0.5 smoke floor (round-11 advice #6)
+    record("s11_lex_cap_agreement", agree, 0.75)
     record("s11_lex_cap_work_reduction", reduction, 0.5)
-    assert(agree >= 0.5, f"cap destroyed the lexical ranking: $agree%.4f")
+    assert(agree >= 0.75, f"cap destroyed the lexical ranking: $agree%.4f")
     assert(reduction >= 0.5, f"cap bound no work: $reduction%.4f")
   }
 
@@ -518,9 +522,11 @@ class ScaleStressSpec extends AnyFunSuite
     // record that honestly (the cap's real payoff is corpora where
     // boilerplate df reaches millions and uncapped posting lists are
     // the difference between feasible and not)
-    record("d15_capped_agreement", cagree, 0.5)
+    // agreement floor raised to just under the round-11 measurement
+    // (0.8467) — the evidence-tracking discipline of 533ac72
+    record("d15_capped_agreement", cagree, 0.80)
     record("d15_capped_work_reduction", capReduction, 0.05)
-    assert(cagree >= 0.5, f"df cap costs too much here: $cagree%.4f")
+    assert(cagree >= 0.80, f"df cap costs too much here: $cagree%.4f")
   }
 
   test("10x corpus: winnowed span fingerprints (d11) find clear near-dup pairs") {
@@ -669,9 +675,82 @@ class ScaleStressSpec extends AnyFunSuite
       s"bucketed merge diverges from the full merge: " +
         s"extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
     record("st17_touched_bucket_fraction", fraction, 0.0)
-    record("st17_rewrite_savings", savings, 0.8)
-    assert(savings >= 0.8,
+    // floor raised to just under the round-11 measurement (0.9069)
+    record("st17_rewrite_savings", savings, 0.88)
+    assert(savings >= 0.88,
       f"per-batch rewrite not bounded: fraction $fraction%.4f")
+  }
+
+  test("10x orders: the version manifest makes as-of resolution O(1)" +
+      " metadata per read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod => fpmod, lit => flit}
+    // the round-11 verdict ask #4's evidence row: build a LONG version
+    // chain (v0 + 7 sparse CDC merges at the 10x fixture), then count
+    // the resolution path's metadata ops with the manifests present vs
+    // deleted (the pre-manifest listing scan). The manifest must hold
+    // the per-read bill at ONE small file however long the chain gets;
+    // the fallback pays one listStatus per version — the unbounded
+    // growth the manifest exists to stop.
+    val dir01 = "/root/testdata/sf0.1"
+    val dimDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stress_manifest"
+    sources.Writers.rmrf(new java.io.File(dimDir))
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, dir01)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    val wq = operators.WriterQueries
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dimDir, 0L)
+    val post = orders.filter($"o_orderdate" >= cutoff)
+    (0 until 7).foreach { k =>
+      wq.scd2MergeStep(dimDir, k.toLong,
+        post.filter(fpmod($"o_custkey", flit(997L)) === k.toLong))
+    }
+    val maxV = 7L
+    def ops(body: => Unit): (Long, Long) = {
+      wq.scd2ListingCalls.set(0); wq.scd2ManifestReads.set(0)
+      body
+      (wq.scd2ListingCalls.get, wq.scd2ManifestReads.get)
+    }
+    def stateRows() = wq.scd2State(spark, dimDir, maxV)
+      .select($"cust_key", $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3))).toSet
+    var withManifest: Set[(Long, java.sql.Timestamp,
+      Option[java.sql.Timestamp], Boolean)] = null
+    val (mLists, mReads) = ops { withManifest = stateRows() }
+    assert(withManifest.nonEmpty)
+    // delete every manifest -> the resolution degrades to the listing
+    // scan, and must still land on the SAME state (the top-up path is
+    // the manifest path's correctness oracle)
+    val (fs, root) = sources.Writers.fsOf(spark, dimDir)
+    val manifests = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v"))
+    assert(manifests.length == 8,
+      s"expected 8 stamped manifests, found ${manifests.toSeq}")
+    manifests.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, m), false))
+    var fallback: Set[(Long, java.sql.Timestamp,
+      Option[java.sql.Timestamp], Boolean)] = null
+    val (fLists, fReads) = ops { fallback = stateRows() }
+    info(s"manifest read: $mLists listings + $mReads manifest reads; " +
+      s"fallback read: $fLists listings + $fReads manifest reads " +
+      s"over ${maxV + 1} versions")
+    assert(fallback == withManifest,
+      "manifest resolution diverges from the listing scan: " +
+        s"extra=${(withManifest -- fallback).take(3)}, " +
+        s"missing=${(fallback -- withManifest).take(3)}")
+    assert(mLists == 0 && mReads == 1,
+      s"manifest read not O(1): $mLists listings, $mReads manifest reads")
+    assert(fLists == maxV + 1,
+      s"fallback should list every version dir: $fLists")
+    val savings = 1.0 - (mLists + mReads).toDouble / (fLists + fReads)
+    record("scd2_manifest_ops_per_read", (mLists + mReads).toDouble, 0.0)
+    record("scd2_manifest_metadata_savings", savings, 0.8)
+    assert(savings >= 0.8,
+      f"manifest saves too little metadata at 8 versions: $savings%.4f")
   }
 
   test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {
