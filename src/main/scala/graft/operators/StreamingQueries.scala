@@ -964,9 +964,97 @@ object StreamingQueries {
         StructField("rk", IntegerType)))))
   }
 
+  /** st21: STREAMING CDC RETENTION — st17's maintenance loop with the
+    * vacuum production actually schedules INSIDE it (st17 ∘ w11, the
+    * round-13 manifest work under streaming): the same three
+    * chronological CDC chunks stream through [[WriterQueries
+    * .scd2MergeStep]], and after the second batch commits the stream
+    * vacuums the chain at keepFrom = that batch's READ version. The
+    * horizon deliberately TRAILS the replay window: a replayed batch
+    * `id` re-reads version `id`, so vacuuming at keepFrom ≤ id keeps
+    * that read serveable and bit-identical (w11's guarantee), while a
+    * horizon ahead of it would make the replay throw — the Delta
+    * "retention must cover the checkpoint lag" rule, here as code.
+    * The in-stream vacuum is itself replay-safe: re-running it stages
+    * the same consolidated base from the same versions and re-stamps
+    * the same horizon.
+    *
+    * Oracle: w11's SQL VERBATIM (w08's from-scratch rebuild + the
+    * vacuum_ok verdict) — the streamed, mid-stream-vacuumed chain must
+    * land on the rebuild row-for-row, with the verdict asserting the
+    * horizon stamped, the expired versions physically gone, and a
+    * below-horizon read failing loudly. Restart case in StreamingSpec.
+    *
+    * 100 TB: st17's per-batch bill (touched buckets only) plus, per
+    * retention cycle, w11's one read+write of the retained state —
+    * after which every resolution runs off the re-pointed manifests
+    * (one metadata read per as-of, the SCALE_r13 measurement). */
+  val st21CdcRetention: Q = Q(
+    "st21_cdc_retention", WriterQueries.w11VersionVacuum.oracle.get) {
+    (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, TimestampType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st21_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dim = s"$base/dim"
+    val cutoff = "1997-01-01"
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    WriterQueries.scd2WriteVersion(WriterQueries.scd2History(
+      WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff))),
+      dim, 0L)
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        WriterQueries.scd2MergeStep(dim, id, b)
+        // the retention cycle fires once the chain is long enough to
+        // have something to expire, at the batch's own READ version —
+        // never ahead of it (a replay of THIS batch must still read)
+        if (id >= 1L) { WriterQueries.scd2Vacuum(b.sparkSession, dim, id); () }
+      }
+      .start()
+    try {
+      val bounds = Seq(("1997-01-01", "1997-07-01"),
+        ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
+      bounds.foreach { case (lo, hi) =>
+        orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // verdict: retention actually ran (horizon stamped >= 1), every
+    // below-horizon version dir is gone, and a below-horizon read
+    // throws instead of resolving silently empty
+    val horizon = WriterQueries.scd2VacuumHorizon(s, dim)
+    val (fs, root) = graft.sources.Writers.fsOf(s, dim)
+    val liveVersions = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("v")).map(_.drop(1).toLong)
+    val expiredGone = horizon.exists(h => liveVersions.forall(_ >= h))
+    val belowThrows = horizon.exists { h =>
+      try { WriterQueries.scd2State(s, dim, h - 1); false }
+      catch { case _: IllegalStateException => true }
+    }
+    WriterQueries.scd2State(s, dim,
+        WriterQueries.scd2LatestVersion(s, dim))
+      .withColumn("vacuum_ok",
+        lit(horizon.exists(_ >= 1L) && expiredGone && belowThrows))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
-    st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe)
+    st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
+    st21CdcRetention)
 }

@@ -1095,6 +1095,96 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
   }
 
+  test("st21: checkpointed restart resumes the CDC chain with" +
+      " in-stream retention") {
+    // st17's restart risk plus the retention interaction: the kill
+    // lands BEFORE any vacuum fired, the chunks delivered while down
+    // coalesce into one batch whose commit then vacuums at its own
+    // read version — the restart must neither lose the horizon
+    // discipline (replayed reads stay serveable) nor diverge from the
+    // from-scratch rebuild after versions were physically expired.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, TimestampType, BooleanType}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_st21rs").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dim = s"$base/dim"
+    new java.io.File(src).mkdirs()
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    operators.WriterQueries.scd2WriteVersion(
+      operators.WriterQueries.scd2History(
+        operators.WriterQueries.scd2Changes(
+          orders.filter($"o_orderdate" < cutoff))),
+      dim, 0L)
+    val srcSchema = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+
+    def startQuery() =
+      spark.readStream.schema(srcSchema).parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          operators.WriterQueries.scd2MergeStep(dim, id, b)
+          if (id >= 1L) {
+            operators.WriterQueries.scd2Vacuum(b.sparkSession, dim, id); ()
+          }
+        }
+        .start()
+
+    val bounds = Seq(("1997-01-01", "1997-07-01"),
+      ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
+    val q1 = startQuery()
+    try {
+      val (lo, hi) = bounds.head
+      orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // chunks 2-3 arrive while the query is DOWN
+    bounds.drop(1).foreach { case (lo, hi) =>
+      orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .write.mode("append").parquet(src)
+    }
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val latest = operators.WriterQueries.scd2LatestVersion(spark, dim)
+    assert(latest >= 2L && latest <= 3L,
+      s"restart chain length out of range: v$latest")
+    // retention ran after the restart, trailing the replay window
+    val horizon = operators.WriterQueries.scd2VacuumHorizon(spark, dim)
+    assert(horizon.exists(h => h >= 1L && h < latest),
+      s"horizon $horizon not in [1, $latest)")
+    val belowThrows =
+      try { operators.WriterQueries.scd2State(spark, dim,
+        horizon.get - 1); false }
+      catch { case _: IllegalStateException => true }
+    assert(belowThrows, "below-horizon read resolved instead of failing")
+    def rowSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3), r.getString(4),
+        r.getDouble(5))).toSet
+    val got = rowSet(operators.WriterQueries.scd2State(spark, dim, latest)
+      .select($"cust_key", $"valid_from", $"valid_to", $"is_current",
+        $"status", $"price"))
+    val want = rowSet(
+      SparkEntry.queries("w08_scd2_history")(spark, sf)
+        .select($"cust_key", $"valid_from", $"valid_to", $"is_current",
+          $"status", $"price"))
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"restarted retention chain diverges from the rebuild: " +
+        s"extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
