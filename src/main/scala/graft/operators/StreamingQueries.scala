@@ -928,7 +928,12 @@ object StreamingQueries {
     val lexBase = s"${System.getProperty("java.io.tmpdir")}/graft_st20lex_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
     graft.sources.Writers.freshScratch(s, lexBase)
-    val (p0, sz0) = Similarity.lexIndex(Tables.documents(s, d))
+    // materialized once: both write legs consume the capped postings
+    // (w12's lloyd() precedent — the corpus-wide df aggregate is the
+    // build's dominant cost and must not run per output table)
+    val p0 = Similarity.lexIndex(Tables.documents(s, d))._1
+      .localCheckpoint()
+    val sz0 = p0.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     graft.sources.Writers.writeLexIndex(p0, sz0, s"$lexBase/index")
     val (pr, szr) =
       graft.sources.Writers.readLexIndex(s, s"$lexBase/index")

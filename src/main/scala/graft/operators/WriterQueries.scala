@@ -460,11 +460,15 @@ object WriterQueries {
       .parquet(s"$dimDir/v$v")
     val s = df.sparkSession
     val (fs, root) = Writers.fsOf(s, dimDir)
-    val prev = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith(ManifestPrefix))
-      .map(_.stripPrefix(ManifestPrefix).toLong)
-      .filter(_ < v).sorted.lastOption
-      .map(readManifest(fs, root, _)).getOrElse(Map.empty[Int, Long])
+    // the cumulative base resolves through the SAME manifest-first +
+    // listing-top-up path reads use (not just the latest prior
+    // manifest): a version whose manifest stamp was lost to a crash is
+    // re-absorbed here instead of being dropped from every later
+    // cumulative map the moment the next commit lands (review finding,
+    // round 13) — still O(1) metadata when every prior version
+    // committed its manifest
+    val prev = scd2BucketVersions(fs, root, fs.listStatus(root),
+      math.max(v - 1, -1L))
     val mine = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"v$v"))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt)
@@ -483,17 +487,40 @@ object WriterQueries {
   private def manifestPath(root: org.apache.hadoop.fs.Path, v: Long) =
     new org.apache.hadoop.fs.Path(root, s"$ManifestPrefix$v")
 
+  /** The COMMITTED manifest versions among `names` — digit-guarded so
+    * a crash-stranded `._tmp` staging file is never parsed as a
+    * manifest. */
+  private def manifestVersions(names: Iterable[String]): Seq[Long] =
+    names.filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).toSeq
+
   /** Stamp version `v`'s CUMULATIVE bucket→version map ("b v" lines) —
     * the `_delta_log`-checkpoint analogue: ONE small file resolves
     * every bucket as of v, so read-side metadata stays O(1) however
-    * long the CDC stream has run. */
+    * long the CDC stream has run. Written temp-then-rename (w09's
+    * loud-fail contract): a manifest is a COMMIT RECORD that nothing
+    * replays once later versions land, so a crash mid-write must leave
+    * it MISSING (the top-up path recovers a missing manifest) rather
+    * than truncated (a corrupt one would poison every later cumulative
+    * build). */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long,
       byBucket: Map[Int, Long]): Unit = {
-    val out = fs.create(manifestPath(root, v), true)
+    val dest = manifestPath(root, v)
+    val tmpP = new org.apache.hadoop.fs.Path(root, s"$ManifestPrefix$v._tmp")
+    val out = fs.create(tmpP, true)
     try out.write(byBucket.toSeq.sorted
       .map { case (b, ver) => s"$b $ver" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // delete-then-rename: HDFS rename refuses an existing destination;
+    // a crash between the two leaves the manifest absent, which the
+    // listing top-up absorbs
+    fs.delete(dest, false)
+    require(fs.rename(tmpP, dest),
+      s"writeManifest: rename $tmpP -> $dest failed; the version's " +
+        "commit record is in the ._tmp file")
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -526,13 +553,12 @@ object WriterQueries {
       rootEntries: Array[org.apache.hadoop.fs.FileStatus],
       maxV: Long): Map[Int, Long] = {
     val names = rootEntries.map(_.getPath.getName)
-    val manifestV = names.filter(_.startsWith(ManifestPrefix))
-      .map(_.stripPrefix(ManifestPrefix).toLong)
+    val manifestV = manifestVersions(names.toSeq)
       .filter(_ <= maxV).sorted.lastOption
     val fromManifest = manifestV
       .map(readManifest(fs, root, _)).getOrElse(Map.empty[Int, Long])
     val topUp = names
-      .filter(n => n.startsWith("v") && !n.startsWith(ManifestPrefix))
+      .filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
       .filter(v => v <= maxV && v > manifestV.getOrElse(-1L))
       .flatMap { v =>
@@ -647,8 +673,7 @@ object WriterQueries {
     // on a missing path — clamping every below-horizon entry to
     // keepFrom keeps the maps exact because v{keepFrom} now holds the
     // COMPLETE state as of the horizon
-    rootNames.filter(_.startsWith(ManifestPrefix))
-      .map(_.stripPrefix(ManifestPrefix).toLong)
+    manifestVersions(rootNames.toSeq)
       .filter(_ >= keepFrom).sorted
       .foreach { v =>
         writeManifest(fs, root, v, readManifest(fs, root, v)
@@ -903,9 +928,11 @@ object WriterQueries {
   }
 
   /** Where w12 materializes the stored lexical index for fixture `d` —
-    * public so SimilaritySpec's engagement probes and st20's serve
-    * cycle read the REAL layout instead of re-deriving the scratch
-    * convention (annIndexDir's precedent). */
+    * public so a consumer pointing `-Dgraft.s11.lexIndexDir` at w12's
+    * output can locate the real layout instead of re-deriving the
+    * scratch convention (annIndexDir's precedent; the spec and st20
+    * deliberately build their OWN index dirs to stay independent of
+    * w12's run order). */
   def lexIndexDir(d: String): String = tmp(d, "lex_index")
 
   /** w12: the PERSISTED df-capped lexical inverted index — w06/w07's
@@ -933,7 +960,9 @@ object WriterQueries {
     "w12_lex_index", Similarity.s11HybridRrf.oracle.get) { (s, d) =>
     import s.implicits._
     val dest = lexIndexDir(d)
-    Writers.rmrf(new java.io.File(dest))
+    // scheme-agnostic reset (this round's freshScratch): the index is a
+    // maintenance artifact like the scd2 chain, not local-only scratch
+    Writers.freshScratch(s, dest)
     // materialized once: both write legs and the derived sizes consume
     // the capped postings — recomputing the corpus-wide df aggregate
     // per leg would double the build's dominant cost (the w07 lloyd()

@@ -869,8 +869,11 @@ class StreamingSpec extends AnyFunSuite {
     // the lexical leg's statics ride w12's stored layout, read back
     val lexDir = java.nio.file.Files
       .createTempDirectory("graft_st20rs_lex").toString + "/index"
-    val (p0, sz0) = operators.Similarity.lexIndex(
-      sources.Tables.documents(spark, sf))
+    val p0 = operators.Similarity.lexIndex(
+      sources.Tables.documents(spark, sf))._1.localCheckpoint()
+    val sz0 = p0.groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
     graft.sources.Writers.writeLexIndex(p0, sz0, lexDir)
     val (pr, szr) = graft.sources.Writers.readLexIndex(spark, lexDir)
     val postings = pr.localCheckpoint()
