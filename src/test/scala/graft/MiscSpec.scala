@@ -168,4 +168,49 @@ class MiscSpec extends AnyFunSuite {
     assert(worst <= bound,
       s"CMS overcount $worst exceeds eps*N bound $bound")
   }
+
+  test("scd2 manifest: a version whose manifest stamp was lost is" +
+      " re-absorbed by the next commit") {
+    // the round-13 review finding: scd2WriteVersion must build its
+    // cumulative map through the SAME manifest-first + listing-top-up
+    // resolver reads use — reading only the latest prior manifest
+    // would drop a stamp-lost version from every later cumulative map
+    // the moment the next commit lands (a silent stale read the
+    // pre-manifest listing scan never had).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod => fpmod, lit => flit}
+    val wq = operators.WriterQueries
+    val dim = java.nio.file.Files
+      .createTempDirectory("graft_manifest_lost").toString + "/dim"
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dim, 0L)
+    val post = orders.filter($"o_orderdate" >= cutoff)
+    wq.scd2MergeStep(dim, 0L,
+      post.filter(fpmod($"o_custkey", flit(997L)) === 1L))
+    // simulate the crash window: v1's data landed, its stamp did not
+    val (fs, root) = sources.Writers.fsOf(spark, dim)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(root, "_manifest_v1"), false))
+    // the NEXT commit must absorb v1's buckets into its cumulative map
+    wq.scd2MergeStep(dim, 1L,
+      post.filter(fpmod($"o_custkey", flit(997L)) === 2L))
+    def rows(maxV: Long) = wq.scd2State(spark, dim, maxV)
+      .select($"cust_key", $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3))).toSet
+    val viaManifest = rows(2L)
+    // ground truth: the pure listing scan (every manifest removed)
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v")).foreach(m =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, m), false))
+    val viaListing = rows(2L)
+    assert(viaManifest == viaListing,
+      "manifest_v2 dropped the stamp-lost v1's buckets: " +
+        s"missing=${(viaListing -- viaManifest).take(3)}, " +
+        s"extra=${(viaManifest -- viaListing).take(3)}")
+  }
 }
