@@ -990,10 +990,17 @@ object StreamingQueries {
     * horizon stamped, the expired versions physically gone, and a
     * below-horizon read failing loudly. Restart case in StreamingSpec.
     *
-    * 100 TB: st17's per-batch bill (touched buckets only) plus, per
-    * retention cycle, w11's one read+write of the retained state —
-    * after which every resolution runs off the re-pointed manifests
-    * (one metadata read per as-of, the SCALE_r13 measurement). */
+    * 100 TB: st17's per-batch bill (touched buckets only) plus, every
+    * [[RetentionEvery]]-th batch, w11's one read+write of the retained
+    * state (amortized — retention must NOT be a per-batch bill, or the
+    * steady-state cost stops tracking the touched buckets) — after
+    * which every resolution runs off the re-pointed manifests (one
+    * metadata read per as-of, the SCALE_r13 measurement). */
+  /** Retention cadence for st21: vacuum fires on batches with
+    * id % RetentionEvery == 1 — every k-th commit, the way production
+    * schedules VACUUM, not per micro-batch. */
+  val RetentionEvery = 2L
+
   val st21CdcRetention: Q = Q(
     "st21_cdc_retention", WriterQueries.w11VersionVacuum.oracle.get) {
     (s, d) =>
@@ -1023,10 +1030,15 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         WriterQueries.scd2MergeStep(dim, id, b)
-        // the retention cycle fires once the chain is long enough to
-        // have something to expire, at the batch's own READ version —
-        // never ahead of it (a replay of THIS batch must still read)
-        if (id >= 1L) { WriterQueries.scd2Vacuum(b.sparkSession, dim, id); () }
+        // the retention cycle fires PERIODICALLY (every RetentionEvery
+        // batches — w11's read+write of the retained state must not
+        // become a per-batch bill, or the steady-state cost stops
+        // tracking the touched buckets), at the batch's own READ
+        // version — never ahead of it (a replay of THIS batch must
+        // still read)
+        if (id % RetentionEvery == 1L) {
+          WriterQueries.scd2Vacuum(b.sparkSession, dim, id); ()
+        }
       }
       .start()
     try {

@@ -242,7 +242,7 @@ object WriterQueries {
     "w06_band_index", Dedup.d12OracleSql) { (s, d) =>
     import s.implicits._
     val dest = tmp(d, "band_index")
-    Writers.rmrf(new java.io.File(dest)) // stale index of an old fixture
+    Writers.freshScratch(s, dest) // stale index of an old fixture
     val corpus = Dedup.d12Corpus(s, d)
     Dedup.writeNearDupIndex(
       corpus.filter($"doc_id" % 4 === 0), dest, "overwrite")
@@ -287,7 +287,7 @@ object WriterQueries {
       |  true AS stored_equals_inline""".stripMargin) { (s, d) =>
     import s.implicits._
     val dest = annIndexDir(d)
-    Writers.rmrf(new java.io.File(dest))
+    Writers.freshScratch(s, dest)
     val cents = Similarity.trainedCentroids(s, d)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
@@ -733,7 +733,7 @@ object WriterQueries {
     import s.implicits._
     val cutoff = "1997-01-01"
     val dest = tmp(d, "scd2_dim")
-    Writers.rmrf(new java.io.File(dest))
+    Writers.freshScratch(s, dest)
     val orders = Tables.orders(s, d)
     // 1) initial build: everything before the cutoff, stored
     scd2History(scd2Changes(orders.filter($"o_orderdate" < cutoff)))
@@ -774,12 +774,14 @@ object WriterQueries {
       |FROM f""".stripMargin) { (s, d) =>
     import s.implicits._
     val root = tmp(d, "opt_table")
-    Writers.rmrf(new java.io.File(root))
+    Writers.freshScratch(s, root)
     val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
     val frag = substring(md5($"lang"), 1, 1) < "8"
     // fragmented half: 16-way sharded append; healthy half: one file
+    // (overwrite: freshScratch leaves the emptied root dir in place,
+    // which the default ErrorIfExists mode would refuse)
     docs.filter(frag).repartition(16)
-      .write.partitionBy("lang").parquet(root)
+      .write.mode("overwrite").partitionBy("lang").parquet(root)
     docs.filter(!frag).coalesce(1)
       .write.mode("append").partitionBy("lang").parquet(root)
     // the file-list identity check drives the SAME FileSystem API the
@@ -850,7 +852,7 @@ object WriterQueries {
     }) { (s, d) =>
     import s.implicits._
     val dest = tmp(d, "scd2_tt")
-    Writers.rmrf(new java.io.File(dest))
+    Writers.freshScratch(s, dest)
     val cutoff = "1997-01-01"; val horizon = "1997-07-01"
     val orders = Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate",
@@ -894,7 +896,7 @@ object WriterQueries {
     }) { (s, d) =>
     import s.implicits._
     val dest = tmp(d, "scd2_vac")
-    Writers.rmrf(new java.io.File(dest))
+    Writers.freshScratch(s, dest)
     val cutoff = "1997-01-01"; val horizon = "1997-07-01"
     val orders = Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate",

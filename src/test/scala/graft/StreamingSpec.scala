@@ -1136,7 +1136,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
           operators.WriterQueries.scd2MergeStep(dim, id, b)
-          if (id >= 1L) {
+          if (id % operators.StreamingQueries.RetentionEvery == 1L) {
             operators.WriterQueries.scd2Vacuum(b.sparkSession, dim, id); ()
           }
         }
