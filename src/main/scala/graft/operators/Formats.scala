@@ -63,9 +63,15 @@ object Formats {
 
   /** f04: binaryFile source — whole-file opaque-bytes ingestion (the
     * entry path for multimodal payloads; SURVEY.md §2.2). For the Avro
-    * gap see [[avroAvailable]]/[[f10Avro]] below. Rows-only check:
-    * file listing is not DuckDB-expressible. */
-  val f04BinaryFile: Q = Q.noOracle("f04_binaryfile") { (s, d) =>
+    * gap see [[avroAvailable]]/[[f10Avro]] below. Oracle-checked since
+    * round 14 via DuckDB's `read_blob` (file count + byte sum are the
+    * listing-independent invariants); like v01, the static oracle text
+    * pins the driver's verify fixture path (TESTDATA.md). */
+  val f04BinaryFile: Q = Q(
+    "f04_binaryfile",
+    """SELECT CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(size) AS BIGINT) AS total_bytes
+      |FROM read_blob('/root/testdata/sf0.01/documents.parquet')""".stripMargin) { (s, d) =>
     import s.implicits._
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")

@@ -11,11 +11,30 @@ import graft.sources.Tables
   * rows-only driver checks + MiscSpec assertions. */
 object Misc {
 
-  /** v01: virtual file-provenance columns on a parquet scan. */
-  val v01VirtualCols: Q = Q.noOracle("v01_virtual_cols") { (s, d) =>
+  /** v01: virtual file-provenance columns on a parquet scan — now
+    * oracle-checked (round-13 verdict ask #5): DuckDB 1.0 exposes the
+    * same provenance via `read_parquet(..., filename, file_row_number)`
+    * + `read_blob` for the byte size, so the check upgrades from
+    * rows-only to a full hash gate. Both sides normalize the engine
+    * prefix away (Spark's `file://` URI vs DuckDB's raw path) by
+    * projecting the BASENAME; the oracle necessarily pins the driver's
+    * verify fixture path (oracle SQL is static text with no dir
+    * parameter — `/root/testdata/sf0.01` is the driver's documented
+    * verify scale, TESTDATA.md). */
+  val v01VirtualCols: Q = Q(
+    "v01_virtual_cols",
+    """SELECT regexp_extract(p.filename, '[^/]+$') AS src_file,
+      |  b.size AS file_size, count(*) AS n_rows,
+      |  CAST(max(p.file_row_number) AS BIGINT) AS max_idx
+      |FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
+      |                  filename=true, file_row_number=true) p
+      |JOIN read_blob('/root/testdata/sf0.01/documents.parquet') b
+      |  ON p.filename = b.filename
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", input_file_name().as("src_file"),
+      .select($"doc_id",
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("src_file"),
         col("_metadata.file_size").as("file_size"),
         col("_metadata.row_index").as("row_index"))
       .groupBy($"src_file", $"file_size")

@@ -440,6 +440,44 @@ object WriterQueries {
   private def scd2Bucket =
     pmod(col("cust_key"), lit(Scd2Buckets.toLong)).cast("int")
 
+  /** The chain's self-describing layout stamp (round-13 verdict ask
+    * #2): `Scd2Buckets` and the bucket column are compile-time
+    * constants, so a reader built at a DIFFERENT constant (or a
+    * deployment that re-buckets) would resolve `pmod(cust_key, N)`
+    * against dirs written under another N and return wrong rows
+    * silently. The stamp makes that loud: the bucketing FUNCTION is
+    * encoded in the marker file's NAME (`_table_meta.b{N}.{col}`),
+    * stamped at the chain's first write and verified on EVERY
+    * read/write against the listing those paths already fetch — zero
+    * extra metadata round-trips, and no truncated-content hazard for a
+    * crash to leave behind (an empty or missing marker is re-stamped;
+    * the name is the payload). */
+  private val TableMetaPrefix = "_table_meta."
+  private def tableMetaName: String = s"${TableMetaPrefix}b$Scd2Buckets.cust_key"
+
+  /** Fail LOUDLY when the chain's stamped layout disagrees with this
+    * build's constants. Pre-stamp chains (no marker) pass — the next
+    * write stamps them. */
+  private def verifyTableMeta(names: Iterable[String], dimDir: String): Unit =
+    names.filter(_.startsWith(TableMetaPrefix)).foreach { n =>
+      if (n != tableMetaName)
+        throw new IllegalStateException(
+          s"SCD2 layout mismatch at $dimDir: chain is stamped '$n' but " +
+            s"this build resolves '$tableMetaName' (buckets=$Scd2Buckets, " +
+            "bucket_col=cust_key) — resolving pmod against a different " +
+            "bucketing would silently return wrong rows, so this read " +
+            "refuses instead")
+    }
+
+  private def ensureTableMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, names: Iterable[String],
+      dimDir: String): Unit = {
+    verifyTableMeta(names, dimDir)
+    if (!names.exists(_.startsWith(TableMetaPrefix)))
+      fs.create(new org.apache.hadoop.fs.Path(root, tableMetaName), true)
+        .close()
+  }
+
   /** Write version `v`'s rows bucket-partitioned (one file per bucket —
     * the repartition makes each task own whole buckets). A version dir
     * holds ONLY the buckets its batch touched; untouched buckets stay
@@ -454,12 +492,16 @@ object WriterQueries {
     * listing, one manifest read, one manifest write. */
   def scd2WriteVersion(df: org.apache.spark.sql.DataFrame,
       dimDir: String, v: Long): Unit = {
+    val s = df.sparkSession
+    val (fs, root) = Writers.fsOf(s, dimDir)
+    // verify the stamped layout BEFORE writing any data — a mismatched
+    // writer must not land pmod-inconsistent buckets in the chain
+    if (fs.exists(root))
+      verifyTableMeta(fs.listStatus(root).map(_.getPath.getName), dimDir)
     df.withColumn("bucket", scd2Bucket)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dimDir/v$v")
-    val s = df.sparkSession
-    val (fs, root) = Writers.fsOf(s, dimDir)
     // the cumulative base resolves through the SAME manifest-first +
     // listing-top-up path reads use (not just the latest prior
     // manifest): a version whose manifest stamp was lost to a crash is
@@ -467,7 +509,11 @@ object WriterQueries {
     // cumulative map the moment the next commit lands (review finding,
     // round 13) — still O(1) metadata when every prior version
     // committed its manifest
-    val prev = scd2BucketVersions(fs, root, fs.listStatus(root),
+    val rootEntries = fs.listStatus(root)
+    // stamp the layout marker at the chain's first write (idempotent;
+    // rides the listing the cumulative-manifest build needs anyway)
+    ensureTableMeta(fs, root, rootEntries.map(_.getPath.getName), dimDir)
+    val prev = scd2BucketVersions(fs, root, rootEntries,
       math.max(v - 1, -1L))
     val mine = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"v$v"))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
@@ -548,15 +594,23 @@ object WriterQueries {
     * write and its manifest stamp). Without manifests this degrades to
     * the old O(versions)-listings scan, which is exactly what
     * ScaleStressSpec measures the manifest against. */
-  private def scd2BucketVersions(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def scd2BucketVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       rootEntries: Array[org.apache.hadoop.fs.FileStatus],
       maxV: Long): Map[Int, Long] = {
     val names = rootEntries.map(_.getPath.getName)
-    val manifestV = manifestVersions(names.toSeq)
-      .filter(_ <= maxV).sorted.lastOption
-    val fromManifest = manifestV
-      .map(readManifest(fs, root, _)).getOrElse(Map.empty[Int, Long])
+    // a selected manifest can vanish between the root listing and its
+    // open (a concurrent vacuum re-point's delete-then-rename window,
+    // or an externally removed file) — the "missing manifest is
+    // absorbed" contract must hold HERE too, not only at listing time:
+    // fall back to the next-older manifest, degrading to the pure
+    // listing scan when none opens (review finding, round 13)
+    val manifestsDesc = manifestVersions(names.toSeq)
+      .filter(_ <= maxV).sorted.reverse
+    val (manifestV, fromManifest) = manifestsDesc.iterator.flatMap { v =>
+      try Iterator.single((Some(v), readManifest(fs, root, v)))
+      catch { case _: java.io.FileNotFoundException => Iterator.empty }
+    }.nextOption().getOrElse((None, Map.empty[Int, Long]))
     val topUp = names
       .filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
@@ -593,6 +647,9 @@ object WriterQueries {
     // so the guard costs zero extra metadata round trips per call.
     val (fs, root) = Writers.fsOf(s, dimDir)
     val rootEntries = fs.listStatus(root)
+    // layout guard rides the same listing — a reader compiled at a
+    // different bucket constant fails here instead of mis-resolving
+    verifyTableMeta(rootEntries.map(_.getPath.getName), dimDir)
     rootEntries.find(_.getPath.getName == "_vacuum_horizon")
       .map(st => readHorizon(fs, st.getPath)).filter(maxV < _).foreach { h =>
         throw new IllegalStateException(
@@ -638,8 +695,14 @@ object WriterQueries {
     * 100 TB: compaction cost is one full read+write of the RETAINED
     * state (the same bill Delta/Iceberg checkpoint-or-rewrite pays),
     * after which history reads stop fanning across every version dir
-    * ever written; expiry itself is metadata-only. Returns the expired
-    * version ids. */
+    * ever written; expiry itself is metadata-only. Rewriting EVERY
+    * surviving manifest ≥ keepFrom is deliberate, not waste: each
+    * survivor must stay independently resolvable (a read at version k
+    * opens ONLY manifest k), so "optimizing" the loop to the latest
+    * manifest would leave mid-chain reads resolving through stale
+    * entries at deleted paths — O(survivors) small writes per vacuum
+    * is the price, amortized by st21's retention cadence. Returns the
+    * expired version ids. */
   def scd2Vacuum(s: org.apache.spark.sql.SparkSession, dimDir: String,
       keepFrom: Long): Seq[Long] = {
     import org.apache.hadoop.fs.Path
@@ -687,8 +750,18 @@ object WriterQueries {
     try out.write(keepFrom.toString.getBytes("UTF-8")) finally out.close()
     expired.foreach { v =>
       fs.delete(new Path(root, s"v$v"), true)
-      fs.delete(manifestPath(root, v), false)
     }
+    // expired MANIFESTS are computed independently of the v-dir names
+    // (review finding, round 13): keying them to surviving dirs meant a
+    // crash between a v-dir delete and its manifest delete orphaned a
+    // below-horizon _manifest_v permanently — no later vacuum would
+    // re-derive it from a dir that no longer exists, and a read at
+    // maxV = keepFrom whose own manifest was stamp-lost could select
+    // the orphan and fail on already-deleted paths. Sweeping
+    // manifestVersions(root) < keepFrom re-collects such orphans on
+    // every pass.
+    manifestVersions(rootNames.toSeq).filter(_ < keepFrom)
+      .foreach(v => fs.delete(manifestPath(root, v), false))
     expired
   }
 

@@ -213,4 +213,119 @@ class MiscSpec extends AnyFunSuite {
         s"missing=${(viaListing -- viaManifest).take(3)}, " +
         s"extra=${(viaManifest -- viaListing).take(3)}")
   }
+
+  private def scd2Fixture(tag: String): (String,
+      org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod => fpmod, lit => flit}
+    val wq = operators.WriterQueries
+    val dim = java.nio.file.Files
+      .createTempDirectory(s"graft_$tag").toString + "/dim"
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dim, 0L)
+    val post = orders.filter($"o_orderdate" >= cutoff)
+    wq.scd2MergeStep(dim, 0L,
+      post.filter(fpmod($"o_custkey", flit(997L)) === 1L))
+    wq.scd2MergeStep(dim, 1L,
+      post.filter(fpmod($"o_custkey", flit(997L)) === 2L))
+    val (fs, root) = sources.Writers.fsOf(spark, dim)
+    (dim, fs, root)
+  }
+
+  test("scd2 layout stamp: a chain written under a different bucket" +
+      " constant fails loudly on read AND write") {
+    // round-13 verdict ask #2: Scd2Buckets/bucket_col are compile-time
+    // constants, so a reader built at a different constant would
+    // resolve pmod against dirs written under another N and return
+    // wrong rows SILENTLY. The _table_meta name-stamp must turn that
+    // into a loud refusal. Simulated by re-stamping the chain as
+    // b16/o_custkey — byte-identical to "this build compiled b32 but
+    // the chain was written by a b16 build".
+    import org.apache.hadoop.fs.Path
+    val wq = operators.WriterQueries
+    val (dim, fs, root) = scd2Fixture("scd2_meta")
+    val stamped = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_table_meta."))
+    assert(stamped.toSeq == Seq(s"_table_meta.b${wq.Scd2Buckets}.cust_key"),
+      s"chain not stamped as expected: ${stamped.toSeq}")
+    assert(fs.rename(new Path(root, stamped.head),
+      new Path(root, "_table_meta.b16.o_custkey")))
+    val readEx = intercept[IllegalStateException] {
+      wq.scd2State(spark, dim, 2L).count()
+    }
+    assert(readEx.getMessage.contains("b16") &&
+      readEx.getMessage.contains(s"buckets=${wq.Scd2Buckets}"),
+      s"mismatch error is not self-explanatory: ${readEx.getMessage}")
+    // the WRITER path must refuse too: resolve the state under the true
+    // stamp (scd2State's own guard would otherwise fire first), then
+    // tamper and attempt the write
+    assert(fs.rename(new Path(root, "_table_meta.b16.o_custkey"),
+      new Path(root, stamped.head)))
+    val state = wq.scd2State(spark, dim, 2L)
+    assert(fs.rename(new Path(root, stamped.head),
+      new Path(root, "_table_meta.b16.o_custkey")))
+    val writeEx = intercept[IllegalStateException] {
+      wq.scd2WriteVersion(state, dim, 3L)
+    }
+    assert(writeEx.getMessage.contains("b16"),
+      s"writer accepted a mismatched chain: ${writeEx.getMessage}")
+    // restore the true stamp -> the chain reads again
+    assert(fs.rename(new Path(root, "_table_meta.b16.o_custkey"),
+      new Path(root, stamped.head)))
+    assert(wq.scd2State(spark, dim, 2L).count() > 0)
+  }
+
+  test("scd2 vacuum sweeps orphaned below-horizon manifests whose" +
+      " v-dir is already gone") {
+    // round-13 advice #1: expired-manifest cleanup keyed to surviving
+    // v-dir names left a crash-orphaned below-horizon _manifest_v on
+    // disk forever. The sweep must derive expired manifests from the
+    // manifest names themselves.
+    import org.apache.hadoop.fs.Path
+    val wq = operators.WriterQueries
+    val (dim, fs, root) = scd2Fixture("scd2_orphan")
+    wq.scd2Vacuum(spark, dim, 1L)
+    // simulate a prior vacuum that crashed between fs.delete(v0 dir)
+    // and fs.delete(manifest_v0): the orphan manifest reappears with
+    // no matching v-dir
+    val orphan = new Path(root, "_manifest_v0")
+    val out = fs.create(orphan, true)
+    try out.write("0 0".getBytes("UTF-8")) finally out.close()
+    wq.scd2Vacuum(spark, dim, 2L)
+    val leftover = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v"))
+      .filter(_.stripPrefix("_manifest_v").toLong < 2L)
+    assert(leftover.isEmpty,
+      s"below-horizon manifests survived the vacuum: ${leftover.toSeq}")
+    assert(wq.scd2State(spark, dim, 2L).count() > 0)
+  }
+
+  test("scd2 resolution degrades to the next-older manifest when the" +
+      " selected one vanishes between listing and open") {
+    // round-13 advice #2: the delete-then-rename window of a concurrent
+    // vacuum re-point can remove a manifest AFTER the root listing saw
+    // it; the read must fall back (next-older manifest + listing
+    // top-up) instead of throwing FileNotFoundException. Simulated with
+    // a stale listing: capture rootEntries, then delete the latest
+    // manifest, then resolve through the stale entries.
+    import org.apache.hadoop.fs.Path
+    val wq = operators.WriterQueries
+    val (dim, fs, root) = scd2Fixture("scd2_vanish")
+    val stale = fs.listStatus(root)
+    val latest = stale.map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v"))
+      .maxBy(_.stripPrefix("_manifest_v").toLong)
+    assert(fs.delete(new Path(root, latest), false))
+    val viaFallback = wq.scd2BucketVersions(fs, root, stale, 2L)
+    // ground truth: a fresh listing (the vanished manifest absent) —
+    // next-older manifest + v2's dir top-up
+    val viaFresh = wq.scd2BucketVersions(fs, root, fs.listStatus(root), 2L)
+    assert(viaFallback == viaFresh,
+      s"stale-listing fallback diverged: $viaFallback vs $viaFresh")
+    assert(viaFallback.nonEmpty)
+  }
 }

@@ -329,14 +329,21 @@ class SimilaritySpec extends AnyFunSuite {
       finally System.clearProperty("graft.s11.lexIndexDir")
     assert(viaEntryPoint == stored,
       "the -Dgraft.s11.lexIndexDir entry point did not engage the index")
-    // negative probe: a bogus dir must FAIL, not silently run inline
+    // negative probe: a bogus dir must FAIL, not silently run inline —
+    // and it must fail on the STORED-INDEX READ specifically (a broad
+    // catch would also pass on an unrelated s11 failure, weakening the
+    // "switch is live" proof; round-13 advice)
     System.setProperty("graft.s11.lexIndexDir", s"$dest-definitely-missing")
     try {
-      val failed =
-        try { SparkEntry.queries("s11_hybrid_rrf")(spark, sf).collect(); false }
-        catch { case _: Exception => true }
-      assert(failed, "-Dgraft.s11.lexIndexDir pointing at a missing dir " +
-        "did not fail — the registered query ignored the switch")
+      val failure =
+        try { SparkEntry.queries("s11_hybrid_rrf")(spark, sf).collect(); None }
+        catch { case e: Exception => Some(e) }
+      assert(failure.isDefined,
+        "-Dgraft.s11.lexIndexDir pointing at a missing dir " +
+          "did not fail — the registered query ignored the switch")
+      val msg = failure.get.getMessage
+      assert(msg != null && msg.contains("definitely-missing"),
+        s"s11 failed for a reason unrelated to the bogus index dir: $msg")
     } finally System.clearProperty("graft.s11.lexIndexDir")
   }
 }
