@@ -143,13 +143,14 @@ object Bench {
     run("q01_pricing_summary")
 
     // optional args: restrict to the named queries (bench iteration aid);
-    // the FULL sf1 sweep drops the declared quadratic ground truths
+    // the FULL sf1/sf10 sweeps drop the declared quadratic ground truths
     // (their registered twins cover the capability at that scale) — but
     // an explicitly named query always runs, so deliberately
     // re-measuring a documented blowup stays possible
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.contains(n))
-      .filter(n => args.nonEmpty || sfNumPre != "1" || !declaredQuadratics(n))
+      .filter(n => args.nonEmpty || !Set("1", "10")(sfNumPre) ||
+        !declaredQuadratics(n))
     val results = names.map(n => n -> run(n))
     val byName = results.toMap
     val sfNum = sfNumPre
@@ -222,18 +223,23 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.last
 
-    // At sf1 the scale signal is the per-query sf1/sf0.1 ratio against
-    // the sf0.1 anchor: on 10x data a scan/shuffle-parallel query reads
-    // well under 10x — anything OVER 10x is super-linear and flagged
-    // (the round-8 scale step's criterion, now sweep-wide).
-    val sf01Anchor = if (sfNum == "1") baselineT0()
-      else Map.empty[String, Double]
+    // Scale signal: the per-query ratio against the anchor ONE DECADE
+    // down — sf1 vs the sf0.1 anchor table, sf10 vs the sf1 anchor
+    // table (round-13 verdict ask #1: the second measured decade). On
+    // 10x data a scan/shuffle-parallel query reads well under 10x —
+    // anything OVER 10x is super-linear and flagged (the round-8 scale
+    // step's criterion, sweep-wide).
+    val (scaleAnchor, scaleKey) = sfNum match {
+      case "1" => (baselineT0(), "ratios_vs_sf01")
+      case "10" => (baselineSf1(), "ratios_vs_sf1")
+      case _ => (Map.empty[String, Double], "")
+    }
     val scaleRatios = folded.collect {
-      case (k, v) if v >= 0 && sf01Anchor.contains(k) =>
-        (k, v / sf01Anchor(k)) }
+      case (k, v) if v >= 0 && scaleAnchor.contains(k) =>
+        (k, v / scaleAnchor(k)) }
     val superlinear = scaleRatios.filter(_._2 > 10.0).sortBy(-_._2)
-    val scaleExtra = if (sfNum != "1") ""
-      else s""""ratios_vs_sf01":${jmap(scaleRatios, "%.3f")},
+    val scaleExtra = if (scaleAnchor.isEmpty) ""
+      else s""""$scaleKey":${jmap(scaleRatios, "%.3f")},
          |"superlinear":${superlinear.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
          |""".stripMargin
 
@@ -254,6 +260,11 @@ object Bench {
     val detailFile =
       if (args.isEmpty && sfNum == "0.1") "BENCH_DETAIL.json"
       else if (args.isEmpty && sfNum == "1") "BENCH_SF1.json"
+      // the sf10 sweep is DESIGNED restricted (the heavy non-quadratic
+      // core + the SCD2/manifest chain — a full registry pass at 100x
+      // would re-measure 150 sub-second queries for no signal), so a
+      // restricted sf10 run owns its artifact
+      else if (sfNum == "10") "BENCH_SF10.json"
       else "BENCH_DETAIL_partial.json"
     val w = new java.io.PrintWriter(detailFile, "UTF-8")
     try w.write(detail) finally w.close()

@@ -1068,10 +1068,123 @@ object StreamingQueries {
         lit(horizon.exists(_ >= 1L) && expiredGone && belowThrows))
   }
 
+  /** st22: STREAMING LEXICAL-INDEX ADMISSION — the last index-lifecycle
+    * hole (round-13 verdict ask #4): w12 proves the batch append leg,
+    * st16/st19/st20 prove SERVING from stored indexes, but nothing
+    * admitted NEW documents to a stored index in-stream. Here the
+    * df-capped vocabulary is frozen at reindex time and persisted next
+    * to the index (the cap is a corpus statistic — w12's contract: it
+    * is recomputed on reindex, never per admitted batch), a third of
+    * the corpus seeds the stored index, and the remaining documents
+    * arrive as two streamed chunks. Each micro-batch (a) tokenizes ITS
+    * OWN docs only, keeps the shingles in the frozen vocabulary, and
+    * lands the batch's posting + size rows as a `leg=<batchId>`
+    * partition dir inside the w12 layout — overwritten per leg, so a
+    * replayed batch rewrites its own leg deterministically
+    * ([[graft.sources.Writers.writeLexIndexLeg]], the scd2 version-dir
+    * discipline applied to index admission); then (b) SERVES the full
+    * hybrid query from the stored index as admitted so far (st20's
+    * serve, but against an index that grows under it).
+    *
+    * Oracle: s11's SQL VERBATIM over the final corpus — the last serve
+    * (all docs admitted) must be row-identical to the inline build, so
+    * a posting lost, double-admitted, or re-capped anywhere in the
+    * admission cycle hash-mismatches. StreamingSpec adds the restart
+    * case (kill between admissions, deliver the last chunk down) and
+    * the partial-serve engagement probe (the mid-stream answer must
+    * DIFFER from the final one — serves really read the evolving
+    * stored index).
+    *
+    * 100 TB: per batch, tokenization of the BATCH only + one join
+    * against the frozen vocabulary (rare-shingle rows — the df cap
+    * bounds its size; broadcast-class next to the corpus) + one leg
+    * write of the batch's postings; the serve bill is st20's (probe
+    * work ≤ cap × query postings). The full corpus text is read once,
+    * at reindex. */
+  val st22LexAdmission: Q = Q(
+    "st22_lex_admission", Similarity.s11HybridRrf.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, IntegerType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st22_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    val docs = Tables.documents(s, d)
+    // REINDEX: freeze the df-capped vocabulary over the full corpus
+    // and persist it next to the index (the admission filter is a
+    // stored artifact, not a per-batch recomputation)
+    val p0 = Similarity.lexIndex(docs)._1
+    p0.select($"g").distinct().write.mode("overwrite")
+      .parquet(s"$base/vocab")
+    val vocab = s.read.parquet(s"$base/vocab").localCheckpoint()
+    // one admission path for the seed leg and every streamed batch:
+    // tokenize the given docs, keep frozen-vocab shingles, land the leg
+    def admit(batchDocs: org.apache.spark.sql.DataFrame,
+        leg: String): Unit = {
+      val admitted = batchDocs
+        .select(col("doc_id"),
+          explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
+        .join(vocab, "g")
+        .select(col("g"), col("doc_id"))
+        .localCheckpoint() // postings AND sizes consume it
+      graft.sources.Writers.writeLexIndexLeg(admitted,
+        admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+        idx, leg)
+    }
+    admit(docs.filter($"doc_id" % 3 === 0), "base")
+    // vector-leg statics (s11's, independent of the lexical admissions)
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val vec5 = Similarity.ivfTopK(s, d, cents, nprobe = 2)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+      .localCheckpoint()
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        admit(b, id.toString)
+        // SERVE from the stored index as admitted so far — query docs'
+        // postings come from the index itself, so a not-yet-admitted
+        // query contributes no lexical rows (exactly the inline
+        // semantics over the partial corpus)
+        val (pr, szr) = graft.sources.Writers.readLexIndex(
+          b.sparkSession, idx)
+        val postings = pr.localCheckpoint()
+        val sizes = szr.localCheckpoint()
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          Similarity.rrfFuse(
+            Similarity.lexTopKFrom(postings, sizes), vec5), id, dest)
+      }
+      .start()
+    try {
+      Seq(1L, 2L).foreach { k =>
+        docs.filter($"doc_id" % 3 === k).select($"doc_id", $"text")
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the answer is the LAST admission's serve (earlier batches are
+    // deliberately partial — the engagement probe's evidence)
+    val sinkSchema = StructType(Seq(StructField("q_id", LongType),
+      StructField("id", LongType), StructField("rrf", DoubleType),
+      StructField("rk", IntegerType), StructField("__batch_id", LongType)))
+    val sunk = s.read.schema(sinkSchema).parquet(dest)
+    val lastId = sunk.agg(max($"__batch_id")).head.getLong(0)
+    sunk.filter($"__batch_id" === lastId).drop("__batch_id")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
     st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
-    st21CdcRetention)
+    st21CdcRetention, st22LexAdmission)
 }

@@ -182,11 +182,29 @@ object Writers {
   }
 
   /** Read the stored lexical index back in the probe-side shapes
-    * ([[writeLexIndex]]'s layout contract, one reader for it). */
+    * ([[writeLexIndex]]'s layout contract, one reader for it). Also
+    * reads a [[writeLexIndexLeg]] tree unchanged — the `leg` partition
+    * column is projected away by the explicit selects. */
   def readLexIndex(spark: SparkSession, dest: String)
       : (DataFrame, DataFrame) = (
     spark.read.parquet(s"$dest/postings").select("g", "doc_id"),
     spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
+
+  /** One ADMISSION leg of the lexical index (st22's streaming
+    * admission): the batch's capped posting + size rows land as
+    * `leg=<id>` partition dirs inside the [[writeLexIndex]] layout,
+    * OVERWRITTEN per leg — a replayed micro-batch rewrites its own leg
+    * deterministically instead of double-appending (the scd2
+    * version-dir discipline applied to index admission; a bare
+    * SaveMode.Append would double the batch's postings on replay).
+    * [[readLexIndex]] reads the whole tree unchanged. */
+  def writeLexIndexLeg(postings: DataFrame, sizes: DataFrame,
+      dest: String, leg: String): Unit = {
+    postings.select("g", "doc_id").sortWithinPartitions("g")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/postings/leg=$leg")
+    sizes.select("doc_id", "n")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/sizes/leg=$leg")
+  }
 
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would

@@ -30,8 +30,8 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r13.json"
-  private val PrevArtifactFile = "SCALE_r11.json"
+  private val ArtifactFile = "SCALE_r14.json"
+  private val PrevArtifactFile = "SCALE_r13.json"
 
   /** The COMPLETE set of metric names any test in this suite can
     * `record()` — the artifact's tamper-evidence (round-8 verdict
@@ -62,7 +62,10 @@ class ScaleStressSpec extends AnyFunSuite
     "st17_touched_bucket_fraction", "st17_rewrite_savings",
     "s10_prefilter_recall", "s10_postfilter_recall",
     "s11_lex_cap_agreement", "s11_lex_cap_work_reduction",
-    "scd2_manifest_metadata_savings", "scd2_manifest_ops_per_read")
+    "scd2_manifest_metadata_savings", "scd2_manifest_ops_per_read",
+    "scd2_manifest_ops_per_read_100v",
+    "scd2_premanifest_listings_per_read_100v",
+    "scd2_manifest_metadata_savings_100v")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -751,6 +754,71 @@ class ScaleStressSpec extends AnyFunSuite
     record("scd2_manifest_metadata_savings", savings, 0.8)
     assert(savings >= 0.8,
       f"manifest saves too little metadata at 8 versions: $savings%.4f")
+  }
+
+  test("100-version chain: manifest metadata stays ONE read where the" +
+      " pre-manifest design pays ~100 listings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod => fpmod, lit => flit}
+    // round-13 verdict ask #3: the 8-version measurement above pins the
+    // manifest's O(1) constant at short chains; this pins it where the
+    // pre-manifest design degraded LINEARLY. 100 sparse CDC merges on
+    // top of v0 (custkey % 100 slices, sf0.01 orders — metadata ops are
+    // data-size-independent, so the small fixture keeps the 100 writes
+    // cheap), then the same present-vs-deleted manifest ops count.
+    val dir001 = "/root/testdata/sf0.01"
+    val dimDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stress_manifest100"
+    sources.Writers.rmrf(new java.io.File(dimDir))
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, dir001)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    val wq = operators.WriterQueries
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dimDir, 0L)
+    val post = orders.filter($"o_orderdate" >= cutoff).localCheckpoint()
+    (0 until 100).foreach { k =>
+      wq.scd2MergeStep(dimDir, k.toLong,
+        post.filter(fpmod($"o_custkey", flit(100L)) === k.toLong))
+    }
+    val maxV = 100L
+    def ops(body: => Unit): (Long, Long) = {
+      wq.scd2ListingCalls.set(0); wq.scd2ManifestReads.set(0)
+      body
+      (wq.scd2ListingCalls.get, wq.scd2ManifestReads.get)
+    }
+    def stateCount() = wq.scd2State(spark, dimDir, maxV).count()
+    var withManifest = 0L
+    val (mLists, mReads) = ops { withManifest = stateCount() }
+    assert(withManifest > 0)
+    val (fs, root) = sources.Writers.fsOf(spark, dimDir)
+    val manifests = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v"))
+    assert(manifests.length == 101,
+      s"expected 101 stamped manifests, found ${manifests.length}")
+    manifests.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, m), false))
+    var fallback = 0L
+    val (fLists, fReads) = ops { fallback = stateCount() }
+    info(s"100v chain — manifest read: $mLists listings + $mReads " +
+      s"manifest reads; pre-manifest read: $fLists listings + $fReads " +
+      s"manifest reads")
+    assert(fallback == withManifest,
+      s"listing-scan state diverges at 100 versions: $fallback vs " +
+        s"$withManifest rows")
+    assert(mLists == 0 && mReads == 1,
+      s"manifest read not O(1) at 100 versions: $mLists listings, " +
+        s"$mReads manifest reads")
+    assert(fLists == maxV + 1,
+      s"pre-manifest read should list all ${maxV + 1} version dirs: $fLists")
+    val savings = 1.0 - (mLists + mReads).toDouble / (fLists + fReads)
+    record("scd2_manifest_ops_per_read_100v",
+      (mLists + mReads).toDouble, 0.0)
+    record("scd2_premanifest_listings_per_read_100v", fLists.toDouble, 0.0)
+    record("scd2_manifest_metadata_savings_100v", savings, 0.95)
+    assert(savings >= 0.95,
+      f"manifest saves too little metadata at 100 versions: $savings%.4f")
   }
 
   test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {

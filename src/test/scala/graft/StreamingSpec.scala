@@ -1188,6 +1188,106 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
   }
 
+  test("st22: checkpointed restart resumes index ADMISSION exactly-once," +
+      " and mid-stream serves are genuinely partial") {
+    // The admission-specific restart risk: a replayed batch must
+    // REWRITE its own index leg, not append a second copy of its
+    // postings (doubled postings would double `inter` and corrupt every
+    // Jaccard downstream — silently, since top-k order could survive).
+    // Kill after the first admission, deliver the second chunk down,
+    // restart, and require the final serve to be row-identical to the
+    // batch s11 answer. The engagement probe rides the same run: the
+    // batch-0 serve (one admission in) must DIFFER from the final one —
+    // proof the per-batch serves read the evolving STORED index rather
+    // than any full-corpus inline state.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, IntegerType}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_st22rs").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    new java.io.File(src).mkdirs()
+    val docs = sources.Tables.documents(spark, sf)
+    val p0 = operators.Similarity.lexIndex(docs)._1
+    p0.select($"g").distinct().write.mode("overwrite")
+      .parquet(s"$base/vocab")
+    val vocab = spark.read.parquet(s"$base/vocab").localCheckpoint()
+    def admit(batchDocs: DataFrame, leg: String): Unit = {
+      val admitted = batchDocs
+        .select(col("doc_id"), explode(operators.Dedup.shingles(
+          operators.Dedup.toks(col("text")))).as("g"))
+        .join(vocab, "g")
+        .select(col("g"), col("doc_id"))
+        .localCheckpoint()
+      graft.sources.Writers.writeLexIndexLeg(admitted,
+        admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+        idx, leg)
+    }
+    admit(docs.filter($"doc_id" % 3 === 0), "base")
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val vec5 = operators.Similarity.ivfTopK(spark, sf, cents, nprobe = 2)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+      .localCheckpoint()
+    def startQuery() =
+      spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          admit(b, id.toString)
+          val (pr, szr) = graft.sources.Writers.readLexIndex(
+            b.sparkSession, idx)
+          val postings = pr.localCheckpoint()
+          val sizes = szr.localCheckpoint()
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            operators.Similarity.rrfFuse(
+              operators.Similarity.lexTopKFrom(postings, sizes), vec5),
+            id, dest)
+        }
+        .start()
+    val q1 = startQuery()
+    try {
+      docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text")
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the second chunk arrives while the query is DOWN
+    docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text")
+      .write.mode("append").parquet(src)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val sinkSchema = StructType(Seq(StructField("q_id", LongType),
+      StructField("id", LongType), StructField("rrf", DoubleType),
+      StructField("rk", IntegerType), StructField("__batch_id", LongType)))
+    val sunk = spark.read.schema(sinkSchema).parquet(dest)
+      .collect().map(r => (r.getLong(4),
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
+    val byBatch = sunk.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lastId = byBatch.keySet.max
+    val want = SparkEntry.queries("s11_hybrid_rrf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(byBatch(lastId) == want,
+      s"restarted admission's final serve diverges from batch s11: " +
+        s"extra=${(byBatch(lastId) -- want).take(5)}, " +
+        s"missing=${(want -- byBatch(lastId)).take(5)}")
+    // engagement: the first serve ran against a partial index
+    assert(byBatch(0L) != byBatch(lastId),
+      "batch-0 serve equals the final serve — the per-batch serves did " +
+        "not read the evolving stored index")
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
