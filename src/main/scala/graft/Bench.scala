@@ -263,8 +263,10 @@ object Bench {
       // the sf10 sweep is DESIGNED restricted (the heavy non-quadratic
       // core + the SCD2/manifest chain — a full registry pass at 100x
       // would re-measure 150 sub-second queries for no signal), so a
-      // restricted sf10 run owns its artifact
-      else if (sfNum == "10") "BENCH_SF10.json"
+      // restricted sf10 run owns the artifact — but only at sweep size:
+      // a 1-2 query debug iteration must not clobber the committed
+      // evidence (round-14 review finding)
+      else if (sfNum == "10" && args.length >= 10) "BENCH_SF10.json"
       else "BENCH_DETAIL_partial.json"
     val w = new java.io.PrintWriter(detailFile, "UTF-8")
     try w.write(detail) finally w.close()

@@ -37,20 +37,46 @@ object ScaleData {
     val base = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val docKeyed = args.length > 3 && args(3) == "docKeyed"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, base, out, factor)
+    build(spark, base, out, factor, docKeyed)
     spark.stop()
   }
 
   /** The inflation itself, callable in-process (Sf1PlanSpec reuses it
-    * to generate the fixture when tmp/sf1 is absent). */
+    * to generate the fixture when tmp/sf1 is absent).
+    *
+    * `docKeyedMarkers` (the sf10 scheme, round 14): the legacy document
+    * mutation keys replacement tokens by POSITION ONLY (`mrk{i%10}`),
+    * which is fine for one decade but DEGENERATE at 100× — high-
+    * replacement copies of DIFFERENT base docs become textually
+    * near-identical (their text is position-determined), collapsing
+    * ~10^5 docs into one mega-cluster whose LSH self-join legitimately
+    * explodes to ~10^8+ candidate pairs (~70 GB of shuffle spill — a
+    * generator artifact, not a property of real corpora). And CLUSTER
+    * SIZE must not scale with the corpus either: 100 graded copies per
+    * base make every exact pair-enumerating operator's TRUE ANSWER
+    * grow quadratically in the copy count (25M+ qualifying pairs is
+    * the answer, not wasted work) — real crawls grow the NUMBER of
+    * dup clusters with corpus size, not their size. So the doc-keyed
+    * scheme keeps sf1's cluster shape and multiplies cluster COUNT:
+    * copies are grouped into BANDS of 10 (band b = c/10, j = c%10);
+    * bands 1+ rewrite a fixed ~35% position slice with
+    * (doc, band)-keyed markers (mutually dissimilar bands — 3-gram
+    * survival across bands ≈ token-share³ ≪ any dedup threshold),
+    * and within a band position i%10 < j is replaced with a
+    * (doc, copy)-keyed marker (the sf1 grading, zero cross-copy
+    * collisions). Result: 10× the clusters of sf1, each a 10-copy
+    * graded Jaccard band around its base — answer sizes scale
+    * LINEARLY with the corpus. sf1 keeps the legacy scheme so its
+    * committed anchor table stays valid byte-for-byte. */
   def build(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, docKeyedMarkers: Boolean = false): Unit = {
     import spark.implicits._
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
@@ -96,6 +122,22 @@ object ScaleData {
       val docs = rd("documents")
       val t =
         if (c == 0) $"text"
+        else if (docKeyedMarkers) {
+          val band = c / 10; val j = c % 10
+          concat_ws(" ", transform(split($"text", " "), (tok, i) =>
+            when(lit(band > 0) && (i + lit(7 * band)) % 17 < 6,
+              concat(lit("b"), $"doc_id".cast("string"), lit("x"),
+                lit(band.toString), lit("x"), (i % 17).cast("string")))
+              .when(i % 10 < j,
+                // keyed by (doc, band, position) — NOT copy — so
+                // copies j < j' of one band SHARE their marked
+                // positions' values: exactly sf1's graded overlap
+                // shape, replicated per band with zero cross-band or
+                // cross-doc collisions
+                concat(lit("m"), $"doc_id".cast("string"), lit("x"),
+                  lit(band.toString), lit("x"), (i % 10).cast("string")))
+              .otherwise(tok)))
+        }
         else concat_ws(" ", transform(split($"text", " "),
           (tok, i) => when(i % 10 < c,
             concat(lit("mrk"), (i % 10).cast("string"))).otherwise(tok)))

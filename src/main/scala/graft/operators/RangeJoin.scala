@@ -48,7 +48,21 @@ object RangeJoin {
     * 7-day/all-orders variant of this query was semantically DENSE
     * (~2.5e8 genuine matches at sf0.1, 193 s) — no join algorithm
     * fixes a dense range join; narrow the window or pre-filter the
-    * interval side (here: 1 day, high-value orders → 1.4M matches). */
+    * interval side (here: 1 day, high-value orders → 1.4M matches).
+    *
+    * Plan (round 14): the aggregate is decomposable and the window is
+    * BIN-ALIGNED (day-granular dates, one-day window ⟹ the window IS
+    * one bin), so the scale-correct plan pre-aggregates the point side
+    * PER BIN before the join — the range-join analogue of map-side
+    * combine. The sf10 sweep forced this: the pair-enumerating
+    * [[binned]] plan's candidate volume is Σ_day |orders_day|·|li_day|,
+    * which grows QUADRATICALLY as the fixture densifies (measured 28×
+    * on 10× data at 100×, 70 GB of shuffle spill), while the per-bin
+    * partial aggregate is one row per day — join work O(|orders|),
+    * answer bit-identical because every order joins its whole day.
+    * [[binned]] stays the generic path for non-aligned windows
+    * (r02/a02 exercise it); a non-decomposable or misaligned window
+    * pre-aggregates the FULLY-COVERED bins and joins only the edges. */
   val r01RangeJoin: Q = Q(
     "r01_range_join",
     """SELECT o_orderkey,
@@ -69,11 +83,15 @@ object RangeJoin {
       .filter($"o_totalprice" > 480000)
       .select($"o_orderkey",
         (unix_timestamp($"o_orderdate") / day).cast("long").as("lo_d"))
-      .withColumn("hi_d", $"lo_d" + 1)
-    binned(li, $"ship_d", ord, $"lo_d", $"hi_d", binWidth = 1)
-      .groupBy($"o_orderkey")
+    // bin-level partial aggregation: one (day, count, decimal-sum) row
+    // per ship day, then an equi join — identical answer (the window
+    // covers exactly one bin and every order joins its whole day's
+    // aggregate), linear work at any density
+    val perDay = li.groupBy($"ship_d")
       .agg(count(lit(1)).as("n_shipped"),
         Exact.dsum($"l_extendedprice").as("shipped_value"))
+    ord.join(perDay, ord("lo_d") === perDay("ship_d"))
+      .select($"o_orderkey", $"n_shipped", $"shipped_value")
   }
 
   /** Interval×interval OVERLAP join — r01's point-in-interval device

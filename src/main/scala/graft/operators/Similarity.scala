@@ -257,12 +257,38 @@ object Similarity {
     * rides the hash-verified stage). Declared ABOVE its consumers —
     * object-init order makes a later-declared val interpolate as
     * "null". */
+  /** Scale-aware sampled-centroid modulus — the round-14 sf10 sweep's
+    * headline finding: a FIXED modulus ("every 100th vector") grows
+    * the centroid count linearly with the corpus, so the assignment
+    * stage is O(N²/100) — measured SUPERLINEAR at the 100× fixture
+    * (s11 55×, s09 13×, on 10× data) before this rule. The fix pins
+    * the sampled-centroid COUNT constant (~200 cells: modulus =
+    * max(100, N/200)), which makes assignment O(N·k) = linear and the
+    * probe bill nprobe·(N/k) = linear; cells coarsen as the corpus
+    * grows, which is the deliberate trade for the SAMPLED
+    * (deterministic, hash-oracled) family — the production reindex
+    * path retrains k upward via w07's Lloyd lifecycle when recall at
+    * coarser cells matters. Clamped at ≥100 so EVERY fixture scale
+    * through sf1 (N ≤ 20,000 → N/200 ≤ 100) keeps the historical
+    * sampling bit-for-bit: oracle hashes, anchors, and ScaleStress
+    * recall floors are untouched; only the 100× decade changes.
+    * Both engines compute identical integer arithmetic (floor before
+    * cast — DuckDB CAST rounds ties, Spark truncates, so the explicit
+    * floor keeps them aligned). */
+  def centModulus(n: Long): Long = math.max(100L, n / 200L)
+
+  /** [[centModulus]] as a DuckDB scalar subquery, spliced into every
+    * sampled-centroid CTE — one arithmetic rule, two engines. */
+  val CentModSql: String =
+    "(SELECT greatest(100, CAST(floor(count(*) / 200.0) AS BIGINT)) " +
+      "FROM embeddings)"
+
   val IvfTopkCtes: String =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |    AS nrm FROM embeddings),
       |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
-      |        FROM e WHERE vec_id % 100 = 7),
+      |        FROM e WHERE vec_id % $CentModSql = 7),
       |assigned AS (
       |  SELECT vec_id, vec, nrm, c_id FROM (
       |    SELECT e.vec_id, e.vec, e.nrm, cen.c_id,
@@ -300,7 +326,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids = emb.filter($"vec_id" % 100 === 7)
+    val centroids = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     ivfTopK(s, d, centroids, nprobe = 2)
@@ -897,9 +923,10 @@ object Similarity {
     * candidate reduction and the top-3 agreement vs s07. */
   val s07bKnnIvfPq: Q = Q(
     "s07b_knn_ivfpq",
-    PqOracleCtes + """
+    PqOracleCtes + s"""
       |coarse AS (
-      |  SELECT vec_id AS cc_id, qx AS cx FROM q0 WHERE vec_id % 100 = 7),
+      |  SELECT vec_id AS cc_id, qx AS cx FROM q0
+      |  WHERE vec_id % $CentModSql = 7),
       |cassign AS (
       |  SELECT v.vec_id, c.cc_id,
       |    row_number() OVER (PARTITION BY v.vec_id
@@ -954,7 +981,7 @@ object Similarity {
   def ivfPqCandidateCodes(p: PqParts, nprobe: Int = 4): DataFrame = {
     val s = p.q0.sparkSession
     import s.implicits._
-    val coarse = p.q0.filter($"vec_id" % 100 === 7)
+    val coarse = p.q0.filter($"vec_id" % centModulus(p.q0.count()) === 7)
       .select($"vec_id".as("cc_id"), $"qx".as("cx"))
     val cassign = p.q0.crossJoin(broadcast(coarse))
       .groupBy($"vec_id")
@@ -1014,11 +1041,11 @@ object Similarity {
     * not k. */
   val s08RangeSearch: Q = Q(
     "s08_range_search",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |    AS nrm FROM embeddings),
       |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
-      |        FROM e WHERE vec_id % 100 = 7),
+      |        FROM e WHERE vec_id % $CentModSql = 7),
       |assigned AS (
       |  SELECT vec_id, vec, nrm, c_id FROM (
       |    SELECT e.vec_id, e.vec, e.nrm, cen.c_id,
@@ -1047,7 +1074,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids = emb.filter($"vec_id" % 100 === 7)
+    val centroids = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val qs = emb.filter($"vec_id" % 50 === 0)
@@ -1161,7 +1188,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids = emb.filter($"vec_id" % 100 === 7)
+    val centroids = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val topk = ivfTopK(s, d, centroids, nprobe = 2)
@@ -1195,11 +1222,11 @@ object Similarity {
     * (posting rows carry their filterable metadata), which is the
     * design point s10 exists to pin. */
   val IvfFilteredCtes: String =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |    AS nrm, label FROM embeddings),
       |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
-      |        FROM e WHERE vec_id % 100 = 7),
+      |        FROM e WHERE vec_id % $CentModSql = 7),
       |assigned AS (
       |  SELECT vec_id, vec, nrm, label, c_id FROM (
       |    SELECT e.vec_id, e.vec, e.nrm, e.label, cen.c_id,
@@ -1257,7 +1284,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"),
         $"label")
-    val cents = emb.filter($"vec_id" % 100 === 7)
+    val cents = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val qs = emb.filter($"vec_id" % 50 === 0)
@@ -1339,6 +1366,22 @@ object Similarity {
     val shc = sh.join(dfs.select($"g"), "g")
     (shc.select($"g", $"doc_id"),
       shc.groupBy($"doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** The df-capped shingle VOCABULARY — [[lexIndex]]'s dfs side
+    * (distinct shingles with document frequency ≤ cap) WITHOUT
+    * materializing the posting join: st22's admission filter needs
+    * only the g set, so paying the postings join plus a distinct
+    * shuffle over every posting row to recover it would double the
+    * reindex bill (round-14 review finding). */
+  def lexVocab(docs: DataFrame, cap: Int = S11LexDfCap): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id",
+        explode(Dedup.shingles(Dedup.toks($"text"))).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= cap)
+      .select($"g")
   }
 
   /** The lexical probe with the QUERY postings explicit — (q_id, g)
@@ -1450,7 +1493,7 @@ object Similarity {
     }
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % 100 === 7)
+    val cents = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val vec5 = ivfTopK(s, d, cents, nprobe = 2)

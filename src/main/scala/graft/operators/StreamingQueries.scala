@@ -630,7 +630,7 @@ object StreamingQueries {
     val dest = s"$base/dest"; val idx = s"$base/index"
     // WRITE the index: s04's sampled centroids + (vec_id, c_id) lists,
     // cell-partitioned like w07's layout
-    val cents = emb.filter($"vec_id" % 100 === 7)
+    val cents = emb.filter($"vec_id" % Similarity.centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     graft.sources.Writers.writeIvfIndex(cents,
@@ -1101,6 +1101,65 @@ object StreamingQueries {
     * write of the batch's postings; the serve bill is st20's (probe
     * work ≤ cap × query postings). The full corpus text is read once,
     * at reindex. */
+  /** st22's admission-cycle stages, shared with its restart spec (the
+    * annServeCycle discipline — the spec must drive the SAME pipeline
+    * the operator ships, not a hand-kept copy; round-14 review).
+    * Freeze + persist the reindex artifact: the df-capped vocabulary
+    * over the full corpus. */
+  private[graft] def lexFreezeVocab(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, base: String)
+      : org.apache.spark.sql.DataFrame = {
+    Similarity.lexVocab(docs).write.mode("overwrite")
+      .parquet(s"$base/vocab")
+    s.read.parquet(s"$base/vocab").localCheckpoint()
+  }
+
+  /** One admission leg: tokenize `batchDocs` ONLY, keep frozen-vocab
+    * shingles, land the batch's postings + sizes as leg `leg` inside
+    * the w12 layout — OVERWRITTEN on replay
+    * ([[graft.sources.Writers.writeLexIndexLeg]]). */
+  private[graft] def lexAdmit(vocab: org.apache.spark.sql.DataFrame,
+      batchDocs: org.apache.spark.sql.DataFrame,
+      idx: String, leg: String): Unit = {
+    val admitted = batchDocs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
+      .join(vocab, "g")
+      .select(col("g"), col("doc_id"))
+      .localCheckpoint() // postings AND sizes consume it
+    graft.sources.Writers.writeLexIndexLeg(admitted,
+      admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+      idx, leg)
+  }
+
+  /** s11's static vector leg — independent of the lexical admissions,
+    * so the serve cycle computes it once. */
+  private[graft] def s11Vec5(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % Similarity.centModulus(emb.count()) === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    Similarity.ivfTopK(s, d, cents, nprobe = 2)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+      .localCheckpoint()
+  }
+
+  /** Serve the hybrid query from the STORED index as admitted so far —
+    * query docs' postings come from the index itself, so a
+    * not-yet-admitted query contributes no lexical rows (exactly the
+    * inline semantics over the partial corpus). */
+  private[graft] def lexServeStored(s: org.apache.spark.sql.SparkSession,
+      idx: String, vec5: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
+    Similarity.rrfFuse(
+      Similarity.lexTopKFrom(pr.localCheckpoint(), szr.localCheckpoint()),
+      vec5)
+  }
+
   val st22LexAdmission: Q = Q(
     "st22_lex_admission", Similarity.s11HybridRrf.oracle.get) { (s, d) =>
     import s.implicits._
@@ -1115,34 +1174,11 @@ object StreamingQueries {
     // REINDEX: freeze the df-capped vocabulary over the full corpus
     // and persist it next to the index (the admission filter is a
     // stored artifact, not a per-batch recomputation)
-    val p0 = Similarity.lexIndex(docs)._1
-    p0.select($"g").distinct().write.mode("overwrite")
-      .parquet(s"$base/vocab")
-    val vocab = s.read.parquet(s"$base/vocab").localCheckpoint()
-    // one admission path for the seed leg and every streamed batch:
-    // tokenize the given docs, keep frozen-vocab shingles, land the leg
-    def admit(batchDocs: org.apache.spark.sql.DataFrame,
-        leg: String): Unit = {
-      val admitted = batchDocs
-        .select(col("doc_id"),
-          explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
-        .join(vocab, "g")
-        .select(col("g"), col("doc_id"))
-        .localCheckpoint() // postings AND sizes consume it
-      graft.sources.Writers.writeLexIndexLeg(admitted,
-        admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
-        idx, leg)
-    }
-    admit(docs.filter($"doc_id" % 3 === 0), "base")
-    // vector-leg statics (s11's, independent of the lexical admissions)
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % 100 === 7)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
-        $"nrm".as("c_nrm"))
-    val vec5 = Similarity.ivfTopK(s, d, cents, nprobe = 2)
-      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
-      .localCheckpoint()
+    val vocab = lexFreezeVocab(s, docs, base)
+    // seed the stored index with the pre-stream third, then stream the
+    // rest through the same admission path
+    lexAdmit(vocab, docs.filter($"doc_id" % 3 === 0), idx, "base")
+    val vec5 = s11Vec5(s, d)
     val q = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
@@ -1150,18 +1186,9 @@ object StreamingQueries {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        admit(b, id.toString)
-        // SERVE from the stored index as admitted so far — query docs'
-        // postings come from the index itself, so a not-yet-admitted
-        // query contributes no lexical rows (exactly the inline
-        // semantics over the partial corpus)
-        val (pr, szr) = graft.sources.Writers.readLexIndex(
-          b.sparkSession, idx)
-        val postings = pr.localCheckpoint()
-        val sizes = szr.localCheckpoint()
+        lexAdmit(vocab, b, idx, id.toString)
         graft.streaming.Streams.sinkMatchesIdempotent(
-          Similarity.rrfFuse(
-            Similarity.lexTopKFrom(postings, sizes), vec5), id, dest)
+          lexServeStored(b.sparkSession, idx, vec5), id, dest)
       }
       .start()
     try {

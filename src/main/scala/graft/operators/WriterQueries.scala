@@ -494,14 +494,26 @@ object WriterQueries {
       dimDir: String, v: Long): Unit = {
     val s = df.sparkSession
     val (fs, root) = Writers.fsOf(s, dimDir)
-    // verify the stamped layout BEFORE writing any data — a mismatched
-    // writer must not land pmod-inconsistent buckets in the chain
-    if (fs.exists(root))
-      verifyTableMeta(fs.listStatus(root).map(_.getPath.getName), dimDir)
+    // ONE pre-write root listing serves three needs, so the commit-side
+    // metadata bill stays one root listing + one manifest read + one
+    // manifest write (round-14 review: the layout verify must not add
+    // a second LIST round trip to the per-micro-batch hot path):
+    // (1) the layout verify — a mismatched writer refuses BEFORE
+    // landing pmod-inconsistent buckets; (2) the marker-stamp decision;
+    // (3) the prior-version resolution, which is at maxV = v-1 and so
+    // never needs post-write entries.
+    val preEntries: Array[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(root)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val preNames = preEntries.map(_.getPath.getName)
+    verifyTableMeta(preNames, dimDir)
     df.withColumn("bucket", scd2Bucket)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dimDir/v$v")
+    // stamp the layout marker at the chain's first write (idempotent)
+    ensureTableMeta(fs, root, preNames, dimDir)
     // the cumulative base resolves through the SAME manifest-first +
     // listing-top-up path reads use (not just the latest prior
     // manifest): a version whose manifest stamp was lost to a crash is
@@ -509,11 +521,7 @@ object WriterQueries {
     // cumulative map the moment the next commit lands (review finding,
     // round 13) — still O(1) metadata when every prior version
     // committed its manifest
-    val rootEntries = fs.listStatus(root)
-    // stamp the layout marker at the chain's first write (idempotent;
-    // rides the listing the cumulative-manifest build needs anyway)
-    ensureTableMeta(fs, root, rootEntries.map(_.getPath.getName), dimDir)
-    val prev = scd2BucketVersions(fs, root, rootEntries,
+    val prev = scd2BucketVersions(fs, root, preEntries,
       math.max(v - 1, -1L))
     val mine = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"v$v"))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
@@ -571,11 +579,14 @@ object WriterQueries {
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Map[Int, Long] = {
-    scd2ManifestReads.incrementAndGet()
     val in = fs.open(manifestPath(root, v))
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
+    // counted only AFTER the read succeeded — a vanished manifest that
+    // threw at open must not register a phantom metadata op in the
+    // SCALE measurements (round-14 review finding)
+    scd2ManifestReads.incrementAndGet()
     text.split("\n").filter(_.nonEmpty).map { l =>
       val Array(b, ver) = l.split(" "); b.toInt -> ver.toLong
     }.toMap
@@ -602,15 +613,23 @@ object WriterQueries {
     // a selected manifest can vanish between the root listing and its
     // open (a concurrent vacuum re-point's delete-then-rename window,
     // or an externally removed file) — the "missing manifest is
-    // absorbed" contract must hold HERE too, not only at listing time:
-    // fall back to the next-older manifest, degrading to the pure
-    // listing scan when none opens (review finding, round 13)
-    val manifestsDesc = manifestVersions(names.toSeq)
-      .filter(_ <= maxV).sorted.reverse
-    val (manifestV, fromManifest) = manifestsDesc.iterator.flatMap { v =>
-      try Iterator.single((Some(v), readManifest(fs, root, v)))
-      catch { case _: java.io.FileNotFoundException => Iterator.empty }
-    }.nextOption().getOrElse((None, Map.empty[Int, Long]))
+    // absorbed" contract must hold HERE too, not only at listing time
+    // (round-13 advice). The fallback is the PURE LISTING SCAN, not the
+    // next-older manifest: during a vacuum re-point the older manifests
+    // are exactly the ones whose unclamped entries still point below
+    // the new horizon at dirs the vacuum is about to delete, while the
+    // listing scan only ever resolves dirs that still exist (round-14
+    // review finding).
+    val manifestV0 = manifestVersions(names.toSeq)
+      .filter(_ <= maxV).sorted.lastOption
+    val (manifestV, fromManifest) =
+      try (manifestV0,
+        manifestV0.map(readManifest(fs, root, _))
+          .getOrElse(Map.empty[Int, Long]))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          (None, Map.empty[Int, Long])
+      }
     val topUp = names
       .filter(_.startsWith("v"))
       .map(_.drop(1).toLong)

@@ -304,14 +304,17 @@ class MiscSpec extends AnyFunSuite {
     assert(wq.scd2State(spark, dim, 2L).count() > 0)
   }
 
-  test("scd2 resolution degrades to the next-older manifest when the" +
-      " selected one vanishes between listing and open") {
+  test("scd2 resolution degrades to the pure listing scan when the" +
+      " selected manifest vanishes between listing and open") {
     // round-13 advice #2: the delete-then-rename window of a concurrent
     // vacuum re-point can remove a manifest AFTER the root listing saw
-    // it; the read must fall back (next-older manifest + listing
-    // top-up) instead of throwing FileNotFoundException. Simulated with
-    // a stale listing: capture rootEntries, then delete the latest
-    // manifest, then resolve through the stale entries.
+    // it; the read must fall back instead of throwing
+    // FileNotFoundException. The fallback is the PURE listing scan (not
+    // the next-older manifest, whose unclamped entries could point
+    // below a concurrent vacuum's new horizon at dirs mid-delete — the
+    // round-14 review's race). Simulated with a stale listing: capture
+    // rootEntries, then delete the latest manifest, then resolve
+    // through the stale entries.
     import org.apache.hadoop.fs.Path
     val wq = operators.WriterQueries
     val (dim, fs, root) = scd2Fixture("scd2_vanish")

@@ -688,7 +688,7 @@ class StreamingSpec extends AnyFunSuite {
     val emb = sources.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding",
         operators.Similarity.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % 100 === 7)
+    val cents = emb.filter($"vec_id" % operators.Similarity.centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm")).localCheckpoint()
     val assigned = operators.Similarity.ivfAssignment(emb, cents)
@@ -772,7 +772,7 @@ class StreamingSpec extends AnyFunSuite {
     val emb = sources.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding",
         operators.Similarity.norm($"embedding").as("nrm"), $"label")
-    val cents = emb.filter($"vec_id" % 100 === 7)
+    val cents = emb.filter($"vec_id" % operators.Similarity.centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm")).localCheckpoint()
     val assigned = operators.Similarity.ivfAssignment(emb, cents)
@@ -861,7 +861,7 @@ class StreamingSpec extends AnyFunSuite {
     val emb = sources.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding",
         operators.Similarity.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % 100 === 7)
+    val cents = emb.filter($"vec_id" % operators.Similarity.centModulus(emb.count()) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm")).localCheckpoint()
     val assigned = operators.Similarity.ivfAssignment(emb, cents)
@@ -1204,37 +1204,18 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
       StringType, DoubleType, IntegerType}
+    val sq = operators.StreamingQueries
     val base = java.nio.file.Files
       .createTempDirectory("graft_st22rs").toString
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"; val idx = s"$base/index"
     new java.io.File(src).mkdirs()
     val docs = sources.Tables.documents(spark, sf)
-    val p0 = operators.Similarity.lexIndex(docs)._1
-    p0.select($"g").distinct().write.mode("overwrite")
-      .parquet(s"$base/vocab")
-    val vocab = spark.read.parquet(s"$base/vocab").localCheckpoint()
-    def admit(batchDocs: DataFrame, leg: String): Unit = {
-      val admitted = batchDocs
-        .select(col("doc_id"), explode(operators.Dedup.shingles(
-          operators.Dedup.toks(col("text")))).as("g"))
-        .join(vocab, "g")
-        .select(col("g"), col("doc_id"))
-        .localCheckpoint()
-      graft.sources.Writers.writeLexIndexLeg(admitted,
-        admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
-        idx, leg)
-    }
-    admit(docs.filter($"doc_id" % 3 === 0), "base")
-    val emb = sources.Tables.embeddings(spark, sf)
-      .select($"vec_id", $"embedding",
-        operators.Similarity.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % 100 === 7)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
-        $"nrm".as("c_nrm"))
-    val vec5 = operators.Similarity.ivfTopK(spark, sf, cents, nprobe = 2)
-      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
-      .localCheckpoint()
+    // the SAME shared stages the registered query ships (lexFreezeVocab
+    // / lexAdmit / s11Vec5 / lexServeStored) — not a hand-kept copy
+    val vocab = sq.lexFreezeVocab(spark, docs, base)
+    sq.lexAdmit(vocab, docs.filter($"doc_id" % 3 === 0), idx, "base")
+    val vec5 = sq.s11Vec5(spark, sf)
     def startQuery() =
       spark.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1243,15 +1224,9 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
-          admit(b, id.toString)
-          val (pr, szr) = graft.sources.Writers.readLexIndex(
-            b.sparkSession, idx)
-          val postings = pr.localCheckpoint()
-          val sizes = szr.localCheckpoint()
+          sq.lexAdmit(vocab, b, idx, id.toString)
           graft.streaming.Streams.sinkMatchesIdempotent(
-            operators.Similarity.rrfFuse(
-              operators.Similarity.lexTopKFrom(postings, sizes), vec5),
-            id, dest)
+            sq.lexServeStored(b.sparkSession, idx, vec5), id, dest)
         }
         .start()
     val q1 = startQuery()
@@ -1286,6 +1261,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch(0L) != byBatch(lastId),
       "batch-0 serve equals the final serve — the per-batch serves did " +
         "not read the evolving stored index")
+    // REPLAY the last admission directly (a restarted batch re-running
+    // foreachBatch with the same id and input): the leg must be
+    // REWRITTEN, not appended — doubled postings would double `inter`
+    // and corrupt every Jaccard downstream. With SaveMode.Append in
+    // writeLexIndexLeg this re-admit doubles the leg and the re-serve
+    // diverges; with the overwrite discipline it is a no-op.
+    sq.lexAdmit(vocab, docs.filter($"doc_id" % 3 === 2)
+      .select($"doc_id", $"text"), idx, lastId.toString)
+    val reServed = sq.lexServeStored(spark, idx, vec5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(reServed == want,
+      s"replayed admission corrupted the index (leg appended, not " +
+        s"rewritten?): extra=${(reServed -- want).take(5)}, " +
+        s"missing=${(want -- reServed).take(5)}")
   }
 
   test("st14: checkpointed restart carries the as-of state across queries") {
