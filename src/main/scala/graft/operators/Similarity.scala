@@ -408,6 +408,23 @@ object Similarity {
       .select(keep :+ $"c_id": _*)
   }
 
+  /** The DISTINCT cells a fixed query set probes under a frozen
+    * quantizer — computed once per serve run (st23's streaming
+    * admission) so every serve's list scan partition-prunes to these
+    * c_ids instead of re-reading the growing index. The collect is
+    * BOUNDED by the centroid count (at most one id per centroid — the
+    * quantizer is broadcast-class by construction), the same metadata
+    * class as the centroid table itself. Built on the same
+    * [[probeRows]] the probe uses, so the pruned scan can never drop a
+    * cell the probe would touch. */
+  def probeCellsOf(qs: DataFrame, centroids: DataFrame,
+      nprobe: Int): Seq[Long] = {
+    val s = qs.sparkSession
+    import s.implicits._
+    probeRows(qs, centroids, nprobe).select($"c_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
       assigned: DataFrame, nprobe: Int): DataFrame = {
     val s = qs.sparkSession
@@ -1519,8 +1536,97 @@ object Similarity {
       .select($"q_id", $"id", round($"rrf0", 6).as("rrf"), $"rk")
   }
 
+  /** s12: BM25 lexical retrieval over the df-capped shingle index —
+    * the standard keyword ranking (Robertson/Sparck Jones; the Lucene
+    * `+1` idf form, k1 = 1.2, b = 0.75) that s11's exact-Jaccard leg
+    * deliberately is not: idf WEIGHTS rare shingles instead of
+    * counting all matches equally, and the length normalizer stops
+    * long documents from winning on bulk. Because the index stores
+    * DISTINCT shingles per doc ([[Dedup.shingles]] set semantics),
+    * tf = 1 for every present term and BM25 factors exactly into
+    * `docnorm(d) · Σ_{g∈q∩d} idf(g)` with
+    * docnorm = (k1+1)/(k1·(1−b+b·|d|/avgdl)+1).
+    *
+    * Every statistic is DERIVABLE FROM THE STORED INDEX (w12 layout):
+    * df by regrouping the postings, |d| and avgdl from the sizes leg,
+    * and N is DEFINED as the indexed-doc count (the index IS the
+    * corpus here — every doc with ≥1 rare shingle), so BM25 serves
+    * from the same stored artifact as Jaccard/RRF with no extra
+    * writes — [[bm25FromIndex]], stored ≡ inline pinned by
+    * SimilaritySpec.
+    *
+    * Determinism discipline: ln and a float SUM are not bit-stable
+    * cross-engine (libm ulps, addition order), so the rank window
+    * orders by the score QUANTIZED to 1e-9 (ties → doc_id) and only
+    * ranks are emitted — the lex5 contract. A genuine score tie
+    * (duplicate docs) quantizes identically in both engines; ulp
+    * noise sits 6 orders below the quantum.
+    *
+    * 100 TB: identical bill to s11's lexical leg — posting-join work
+    * ≤ cap · query postings ([[S11LexDfCap]]); the df regroup is one
+    * shuffle of the capped postings; N/avgdl are broadcast scalars. */
+  val s12Bm25Lexical: Q = Q(
+    "s12_bm25_lexical",
+    s"""WITH $LexTopkCtes,
+      |dfc AS (SELECT g, df FROM dfs WHERE df <= $S11LexDfCap),
+      |stats AS (SELECT (SELECT avg(n) FROM sizes) AS avgdl,
+      |                 (SELECT count(*) FROM sizes) AS nn),
+      |bm AS (SELECT q.q_id, s.doc_id,
+      |         sum(ln(1 + (st.nn - d.df + 0.5) / (d.df + 0.5))) AS sumidf
+      |       FROM qsh q JOIN shc s USING (g) JOIN dfc d USING (g)
+      |       CROSS JOIN stats st
+      |       WHERE s.doc_id <> q.q_id GROUP BY q.q_id, s.doc_id),
+      |scored AS (SELECT b.q_id, b.doc_id,
+      |             b.sumidf * 2.2 /
+      |               (1.2 * (0.25 + 0.75 * sz.n / st.avgdl) + 1) AS score
+      |           FROM bm b JOIN sizes sz ON b.doc_id = sz.doc_id
+      |           CROSS JOIN stats st)
+      |SELECT q_id, doc_id, rk FROM (
+      |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY round(score, 9) DESC, doc_id) AS rk FROM scored)
+      |WHERE rk <= 5""".stripMargin) { (s, d) =>
+    val (postings, sizes) = lexIndex(Tables.documents(s, d))
+    bm25FromIndex(postings, sizes)
+  }
+
+  /** BM25 top-`k` from an index pair in [[lexIndex]]'s shape — inline
+    * or READ BACK from w12's stored layout (no statistic needs the
+    * corpus text; see [[s12Bm25Lexical]]). Query docs are corpus docs,
+    * so their postings come from the index itself. */
+  def bm25FromIndex(postings: DataFrame, sizes: DataFrame,
+      k: Int = 5): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
+    // df regrouped from the capped postings (≤ cap by construction);
+    // N = indexed docs, avgdl over the capped sizes — broadcast scalars
+    val dfc = postings.groupBy($"g").agg(count(lit(1)).as("df"))
+    val stats = sizes.agg(avg($"n").as("avgdl"),
+      count(lit(1)).as("nn"))
+    val qsh = postings.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("q_id"), $"g")
+    val wRank = Window.partitionBy($"q_id")
+      .orderBy(round($"score", 9).desc, $"doc_id")
+    qsh.join(postings, "g")
+      .filter($"doc_id" =!= $"q_id")
+      .join(dfc, "g")
+      .crossJoin(broadcast(stats.select($"nn")))
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum(log(lit(1.0) +
+        ($"nn" - $"df" + 0.5) / ($"df" + 0.5))).as("sumidf"))
+      .join(sizes, "doc_id")
+      .crossJoin(broadcast(stats.select($"avgdl")))
+      .select($"q_id", $"doc_id",
+        ($"sumidf" * 2.2 /
+          (lit(1.2) * (lit(0.25) + lit(0.75) * $"n" / $"avgdl") + 1))
+          .as("score"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= k)
+      .select($"q_id", $"doc_id", $"rk")
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
     s04bKnnIvfTrained,
     s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch,
-    s08bRangeSearchTrained, s09DiverseKnn, s10FilteredKnn, s11HybridRrf)
+    s08bRangeSearchTrained, s09DiverseKnn, s10FilteredKnn, s11HybridRrf,
+    s12Bm25Lexical)
 }

@@ -1208,10 +1208,145 @@ object StreamingQueries {
     sunk.filter($"__batch_id" === lastId).drop("__batch_id")
   }
 
+  /** st23: STREAMING IVF-INDEX ADMISSION — st22's vector-side twin,
+    * closing the LAST index-lifecycle asymmetry: the ANN story had a
+    * persisted build (w07), a batch append leg
+    * ([[graft.sources.Writers.appendIvfLists]]) and streaming SERVING
+    * (st16/st19), but nothing admitted NEW vectors to a stored index
+    * in-stream. Here the coarse quantizer is the frozen reindex
+    * artifact (the sampled centroid table, persisted under the index —
+    * a corpus statistic recomputed at reindex, never per batch; w12's
+    * frozen-cap contract on the vector side), a third of the corpus
+    * seeds the stored cell-partitioned lists, and the remaining
+    * vectors stream in as two chunks. Each micro-batch (a) assigns ITS
+    * OWN vectors to their nearest frozen centroid (one broadcast join
+    * over the batch) and lands them as a `leg=<batchId>` dir inside
+    * the lists — overwritten on replay
+    * ([[graft.sources.Writers.appendIvfListsLeg]], the scd2
+    * version-dir discipline); then (b) SERVES the fixed query set from
+    * the stored index as admitted so far.
+    *
+    * Oracle: s04's SQL VERBATIM over the final corpus — once every
+    * vector is admitted, per-vector nearest-centroid assignment under
+    * the SAME frozen quantizer is batch-composition-independent, so
+    * the last serve must be row-identical to the inline build; a
+    * vector lost, double-admitted, or re-assigned anywhere in the
+    * cycle hash-mismatches. StreamingSpec adds the restart case and
+    * the partial-serve engagement probe (the mid-stream answer must
+    * DIFFER from the final one).
+    *
+    * 100 TB: per batch, assignment of the BATCH only (broadcast-class
+    * centroid table) + one leg write; the serve reads ONLY the probed
+    * cells' list partitions — the query set and quantizer are both
+    * frozen, so the probed-cell set is computed once and pushed down
+    * as a c_id partition filter (at most one id per centroid — the
+    * same broadcast-class bound as the centroid table itself) — and
+    * re-attaches vectors by vec_id from the corpus table (w07's
+    * lists-don't-store-vectors contract). The index grows under the
+    * serve, but each serve's bill is probed cells × corpus-fraction
+    * admitted, never the whole index. */
+  /** Freeze + persist the reindex artifact: the sampled coarse
+    * quantizer over the FULL corpus ([[Similarity.centModulus]] keeps
+    * the cell count ~constant in N). */
+  private[graft] def ivfFreezeCentroids(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, idx: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    emb.filter($"vec_id" % Similarity.centModulus(emb.count()) === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+      .write.parquet(s"$idx/centroids")
+    s.read.parquet(s"$idx/centroids").select("c_id", "c_vec", "c_nrm")
+      .localCheckpoint()
+  }
+
+  /** One admission leg: assign `batch`'s vectors ONLY under the frozen
+    * centroids, land them as leg `leg` inside the stored lists —
+    * OVERWRITTEN on replay. */
+  private[graft] def ivfAdmit(cents: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idx: String,
+      leg: String): Unit = {
+    val withNrm = batch.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    graft.sources.Writers.appendIvfListsLeg(
+      Similarity.ivfAssignment(withNrm, cents), idx, leg)
+  }
+
+  /** Serve the fixed query set from the STORED lists as admitted so
+    * far: `probedCells` (computed once — queries and quantizer are
+    * frozen) prunes the list scan to the probed cells' partitions
+    * before vectors are re-attached from the corpus table. */
+  private[graft] def ivfServeStored(s: org.apache.spark.sql.SparkSession,
+      idx: String, emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame,
+      probedCells: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (_, lists) = graft.sources.Writers.readIvfIndex(s, idx)
+    val assigned = emb.join(
+      lists.filter($"c_id".isin(probedCells: _*)), "vec_id")
+    Similarity.ivfProbeQueries(qs, cents, assigned, nprobe = 2)
+  }
+
+  val st23IvfAdmission: Q = Q(
+    "st23_ivf_admission", Similarity.s04KnnIvf.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      DoubleType, IntegerType, FloatType, ArrayType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st23_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    // REINDEX: freeze the sampled quantizer over the full corpus and
+    // persist it under the index, then seed the stored lists with the
+    // pre-stream third through the same admission path the stream uses
+    val cents = ivfFreezeCentroids(s, emb, idx)
+    ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    // the serve statics: the fixed query set (s04's rule) and its
+    // probed-cell set — both frozen, so the per-serve list scan is
+    // partition-pruned to these cells for the whole run. The collect
+    // is BOUNDED by the centroid count (broadcast-class metadata).
+    val qsCk = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"nrm".as("q_nrm")).localCheckpoint()
+    val probedCells = Similarity.probeCellsOf(qsCk, cents, nprobe = 2)
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ivfAdmit(cents, b, idx, id.toString)
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          ivfServeStored(b.sparkSession, idx, emb, cents, qsCk,
+            probedCells), id, dest)
+      }
+      .start()
+    try {
+      Seq(1L, 2L).foreach { k =>
+        emb.filter($"vec_id" % 3 === k).select($"vec_id", $"embedding")
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the answer is the LAST admission's serve (earlier batches are
+    // deliberately partial — the engagement probe's evidence)
+    val sinkSchema = StructType(Seq(StructField("q_id", LongType),
+      StructField("vec_id", LongType), StructField("sim", DoubleType),
+      StructField("rk", IntegerType), StructField("__batch_id", LongType)))
+    val sunk = s.read.schema(sinkSchema).parquet(dest)
+    val lastId = sunk.agg(max($"__batch_id")).head.getLong(0)
+    sunk.filter($"__batch_id" === lastId).drop("__batch_id")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
     st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
-    st21CdcRetention, st22LexAdmission)
+    st21CdcRetention, st22LexAdmission, st23IvfAdmission)
 }

@@ -158,8 +158,26 @@ object Writers {
       .sortWithinPartitions("c_id")
       .write.mode(mode).partitionBy("c_id").parquet(s"$dest/lists")
 
+  /** One ADMISSION leg of the IVF lists (st23's streaming admission —
+    * the vector-side twin of [[writeLexIndexLeg]]): the batch's
+    * (vec_id, c_id) rows land under `lists/leg=<id>`, cell-partitioned
+    * INSIDE the leg so probe-time partition pruning on c_id still
+    * holds, and OVERWRITTEN per leg — a replayed micro-batch rewrites
+    * its own leg deterministically instead of double-appending (a bare
+    * [[appendIvfLists]] on replay would duplicate the batch's vectors
+    * in their cells and corrupt every top-k that ranks past a
+    * duplicate). [[readIvfIndex]] reads the whole tree unchanged — the
+    * `leg` partition column is projected away by its explicit select. */
+  def appendIvfListsLeg(lists: DataFrame, dest: String,
+      leg: String): Unit =
+    lists.select("vec_id", "c_id")
+      .sortWithinPartitions("c_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("c_id")
+      .parquet(s"$dest/lists/leg=$leg")
+
   /** Read the stored index back: (centroids, lists) in the probe-side
-    * shapes ([[writeIvfIndex]]'s layout contract, one reader for it). */
+    * shapes ([[writeIvfIndex]]'s layout contract, one reader for it).
+    * Also reads an [[appendIvfListsLeg]] tree unchanged. */
   def readIvfIndex(spark: SparkSession, dest: String)
       : (DataFrame, DataFrame) = (
     spark.read.parquet(s"$dest/centroids").select("c_id", "c_vec", "c_nrm"),

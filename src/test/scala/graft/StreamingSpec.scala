@@ -1279,6 +1279,114 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- reServed).take(5)}")
   }
 
+  test("st23: checkpointed restart resumes IVF ADMISSION exactly-once," +
+      " and mid-stream serves are genuinely partial") {
+    // st22's restart contract on the vector side: a replayed batch must
+    // REWRITE its own list leg, not append a second copy of its
+    // (vec_id, c_id) rows — duplicated vectors displace genuine top-5
+    // rows silently wherever a duplicate outranks rank 5. Kill after
+    // the first admission, deliver the second chunk down, restart, and
+    // require the final serve to be row-identical to the batch s04
+    // answer. The engagement probe rides the same run: the batch-0
+    // serve (one admission in) must DIFFER from the final one — proof
+    // the per-batch serves read the evolving STORED index.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      DoubleType, IntegerType, FloatType, ArrayType}
+    val sq = operators.StreamingQueries
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_st23rs").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    new java.io.File(src).mkdirs()
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    // the SAME shared stages the registered query ships
+    // (ivfFreezeCentroids / ivfAdmit / ivfServeStored) — not a copy
+    val cents = sq.ivfFreezeCentroids(spark, emb, idx)
+    sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    val qsCk = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"nrm".as("q_nrm")).localCheckpoint()
+    val probedCells = operators.Similarity.probeCellsOf(qsCk, cents, 2)
+    def startQuery() =
+      spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          sq.ivfAdmit(cents, b, idx, id.toString)
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            sq.ivfServeStored(b.sparkSession, idx, emb, cents, qsCk,
+              probedCells), id, dest)
+        }
+        .start()
+    val q1 = startQuery()
+    try {
+      emb.filter($"vec_id" % 3 === 1).select($"vec_id", $"embedding")
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the second chunk arrives while the query is DOWN
+    emb.filter($"vec_id" % 3 === 2).select($"vec_id", $"embedding")
+      .write.mode("append").parquet(src)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val sinkSchema = StructType(Seq(StructField("q_id", LongType),
+      StructField("vec_id", LongType), StructField("sim", DoubleType),
+      StructField("rk", IntegerType), StructField("__batch_id", LongType)))
+    val sunk = spark.read.schema(sinkSchema).parquet(dest)
+      .collect().map(r => (r.getLong(4),
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
+    val byBatch = sunk.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lastId = byBatch.keySet.max
+    val want = SparkEntry.queries("s04_knn_ivf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(byBatch(lastId) == want,
+      s"restarted admission's final serve diverges from batch s04: " +
+        s"extra=${(byBatch(lastId) -- want).take(5)}, " +
+        s"missing=${(want -- byBatch(lastId)).take(5)}")
+    // engagement: the first serve ran against a partial index
+    assert(byBatch(0L) != byBatch(lastId),
+      "batch-0 serve equals the final serve — the per-batch serves did " +
+        "not read the evolving stored index")
+    // REPLAY the last admission directly (a restarted batch re-running
+    // foreachBatch with the same id and input): the leg must be
+    // REWRITTEN, not appended. With SaveMode.Append in
+    // appendIvfListsLeg this re-admit doubles the leg's vectors and
+    // the re-serve diverges; with the overwrite discipline it is a
+    // no-op.
+    sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 2)
+      .select($"vec_id", $"embedding"), idx, lastId.toString)
+    val reServed = sq.ivfServeStored(spark, idx, emb, cents, qsCk,
+        probedCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(reServed == want,
+      s"replayed admission corrupted the index (leg appended, not " +
+        s"rewritten?): extra=${(reServed -- want).take(5)}, " +
+        s"missing=${(want -- reServed).take(5)}")
+    // the serve-bill claim: the probed-cell filter reaches the list
+    // scan as PARTITION pruning (c_id stays a partition column inside
+    // the leg= dirs), so a serve reads only probed cells' files — the
+    // growing index is never re-read whole (w07's layout assertion,
+    // through the leg tree)
+    val servePlan = sq.ivfServeStored(spark, idx, emb, cents, qsCk,
+      probedCells).queryExecution.executedPlan.toString
+    assert(servePlan.contains("PartitionFilters") &&
+      servePlan.contains("c_id"),
+      s"probed-cell filter not pushed to partition pruning:\n" +
+        servePlan.take(2000))
+  }
+
   test("st14: checkpointed restart carries the as-of state across queries") {
     // The restart-critical property is different from st13's: after a
     // firing evicts every finalized row, the ONE-ROW carry ValueState
