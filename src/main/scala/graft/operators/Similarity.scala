@@ -1565,10 +1565,11 @@ object Similarity {
     * 100 TB: identical bill to s11's lexical leg — posting-join work
     * ≤ cap · query postings ([[S11LexDfCap]]); the df regroup is one
     * shuffle of the capped postings; N/avgdl are broadcast scalars. */
-  val s12Bm25Lexical: Q = Q(
-    "s12_bm25_lexical",
-    s"""WITH $LexTopkCtes,
-      |dfc AS (SELECT g, df FROM dfs WHERE df <= $S11LexDfCap),
+  /** The BM25 CTE chain (through `bm5`) — extends [[LexTopkCtes]]'s
+    * names, shared by s12 (standalone ranking) and s13 (hybrid
+    * fusion) so the scoring text cannot drift between them. */
+  val Bm25Ctes: String =
+    s"""dfc AS (SELECT g, df FROM dfs WHERE df <= $S11LexDfCap),
       |stats AS (SELECT (SELECT avg(n) FROM sizes) AS avgdl,
       |                 (SELECT count(*) FROM sizes) AS nn),
       |bm AS (SELECT q.q_id, s.doc_id,
@@ -1580,13 +1581,63 @@ object Similarity {
       |             b.sumidf * 2.2 /
       |               (1.2 * (0.25 + 0.75 * sz.n / st.avgdl) + 1) AS score
       |           FROM bm b JOIN sizes sz ON b.doc_id = sz.doc_id
-      |           CROSS JOIN stats st)
-      |SELECT q_id, doc_id, rk FROM (
-      |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
-      |    ORDER BY round(score, 9) DESC, doc_id) AS rk FROM scored)
-      |WHERE rk <= 5""".stripMargin) { (s, d) =>
+      |           CROSS JOIN stats st),
+      |bm5 AS (SELECT q_id, doc_id, lrk FROM (
+      |          SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY round(score, 9) DESC, doc_id) AS lrk
+      |          FROM scored)
+      |        WHERE lrk <= 5)""".stripMargin
+
+  val s12Bm25Lexical: Q = Q(
+    "s12_bm25_lexical",
+    s"""WITH $LexTopkCtes,
+      |$Bm25Ctes
+      |SELECT q_id, doc_id, lrk AS rk FROM bm5""".stripMargin) { (s, d) =>
     val (postings, sizes) = lexIndex(Tables.documents(s, d))
     bm25FromIndex(postings, sizes)
+  }
+
+  /** s13: BM25-hybrid retrieval — s11's RRF fusion with the lexical
+    * leg swapped from exact Jaccard to s12's BM25 (the pairing
+    * production keyword+vector search actually ships: BM25 catches
+    * exact phrasing with idf-weighted, length-normalized scores, the
+    * IVF leg catches paraphrase, RRF needs no calibration between
+    * them). Pure composition of verified stages: the BM25 leg IS
+    * s12's scorer ([[Bm25Ctes]] shared string), the vector leg IS
+    * s04's audited probe plan ([[IvfTopkCtes]]), fusion is the shared
+    * [[rrfFuse]] — so s13's oracle proves the composition while every
+    * stage's semantics are already pinned by its own query. Same
+    * 100 TB bill as s11: cap-bounded posting join + broadcast
+    * centroid probe + a top-5-sized fuse join. */
+  val s13Bm25Hybrid: Q = Q(
+    "s13_bm25_hybrid",
+    s"""WITH $LexTopkCtes,
+      |$Bm25Ctes,
+      |$IvfTopkCtes,
+      |vec5 AS (SELECT q_id, vec_id AS doc_id, rk AS vrk FROM topk),
+      |fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+      |            coalesce(l.doc_id, v.doc_id) AS id,
+      |            coalesce(1.0 / (60 + l.lrk), 0) +
+      |            coalesce(1.0 / (60 + v.vrk), 0) AS rrf0
+      |          FROM bm5 l FULL JOIN vec5 v
+      |            ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+      |SELECT q_id, id, rrf, rk FROM (
+      |  SELECT q_id, id, round(rrf0, 6) AS rrf,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf0 DESC, id) AS rk
+      |  FROM fused)
+      |WHERE rk <= 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (postings, sizes) = lexIndex(Tables.documents(s, d))
+    val bm5 = bm25FromIndex(postings, sizes).withColumnRenamed("rk", "lrk")
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val vec5 = ivfTopK(s, d, cents, nprobe = 2)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
+    rrfFuse(bm5, vec5)
   }
 
   /** BM25 top-`k` from an index pair in [[lexIndex]]'s shape — inline
@@ -1597,13 +1648,25 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val s = postings.sparkSession
     import s.implicits._
+    bm25Queries(postings.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("q_id"), $"g"), postings, sizes, k)
+  }
+
+  /** BM25 with the QUERY postings explicit — (q_id, g) rows — the
+    * lexTopKQueries convention, so a streaming serve gate (st24) can
+    * score each micro-batch's queries against the stored index. The
+    * corpus statistics (df, N, avgdl) always come from the FULL index,
+    * never the batch — BM25's weights are index properties, not query
+    * properties. */
+  def bm25Queries(qsh: DataFrame, postings: DataFrame, sizes: DataFrame,
+      k: Int = 5): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
     // df regrouped from the capped postings (≤ cap by construction);
     // N = indexed docs, avgdl over the capped sizes — broadcast scalars
     val dfc = postings.groupBy($"g").agg(count(lit(1)).as("df"))
     val stats = sizes.agg(avg($"n").as("avgdl"),
       count(lit(1)).as("nn"))
-    val qsh = postings.filter($"doc_id" % 50 === 0)
-      .select($"doc_id".as("q_id"), $"g")
     val wRank = Window.partitionBy($"q_id")
       .orderBy(round($"score", 9).desc, $"doc_id")
     qsh.join(postings, "g")
@@ -1628,5 +1691,5 @@ object Similarity {
     s04bKnnIvfTrained,
     s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch,
     s08bRangeSearchTrained, s09DiverseKnn, s10FilteredKnn, s11HybridRrf,
-    s12Bm25Lexical)
+    s12Bm25Lexical, s13Bm25Hybrid)
 }

@@ -1343,10 +1343,72 @@ object StreamingQueries {
     sunk.filter($"__batch_id" === lastId).drop("__batch_id")
   }
 
+  /** st24: STREAMING BM25 SERVING from the stored w12-layout lexical
+    * index — s12's serve half, completing the lexical family the way
+    * st16 completed the vector one (w07 build / st16 serve): the
+    * index is written ONCE, the query doc ids arrive as a stream in
+    * three chunks, and each micro-batch pulls ITS OWN queries'
+    * postings from the stored index and scores them with the shared
+    * [[Similarity.bm25Queries]]. Corpus statistics (df, N, avgdl)
+    * always come from the FULL stored index, never the batch — BM25's
+    * weights are index properties (the bm25Queries contract), so the
+    * batch answers are exactly the full answer's rows for those
+    * queries and the UNION across batches is s12's answer verbatim
+    * (the chunks partition the query set). Oracle: s12's SQL, the
+    * string object itself. Restart case in StreamingSpec.
+    *
+    * 100 TB: the statics (postings, sizes) are materialized once per
+    * serve run; per-batch work is the BATCH's query postings × cap
+    * (the [[Similarity.S11LexDfCap]] bill) plus one broadcast of the
+    * two one-row stat aggregates — never a corpus or index rescan per
+    * query. */
+  val st24Bm25Serve: Q = Q(
+    "st24_bm25_serve", Similarity.s12Bm25Lexical.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      IntegerType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st24_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dest = s"$base/dest"; val idx = s"$base/index"
+    // WRITE once (w12's layout), serve only from the read-back form
+    val (p0, sz0) = Similarity.lexIndex(Tables.documents(s, d))
+    graft.sources.Writers.writeLexIndex(p0, sz0, idx)
+    val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
+    val postings = pr.localCheckpoint()
+    val sizes = szr.localCheckpoint()
+    val queries = postings.select($"doc_id").distinct()
+      .filter($"doc_id" % 50 === 0)
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType))))
+      .parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val qsh = postings.join(b.select(col("doc_id")), "doc_id")
+          .select(col("doc_id").as("q_id"), col("g"))
+        graft.streaming.Streams.sinkMatchesIdempotent(
+          Similarity.bm25Queries(qsh, postings, sizes), id, dest)
+      }
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        queries.filter(pmod($"doc_id", lit(150)) === k * 50)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.Streams.readSink(s, dest,
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("rk", IntegerType))))
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
     st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
-    st21CdcRetention, st22LexAdmission, st23IvfAdmission)
+    st21CdcRetention, st22LexAdmission, st23IvfAdmission, st24Bm25Serve)
 }

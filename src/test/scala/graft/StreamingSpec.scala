@@ -761,6 +761,76 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got.toSet).take(5)}")
   }
 
+  test("st24: checkpointed restart resumes the BM25 serve gate" +
+      " exactly-once, statistics from the FULL stored index") {
+    // st16's delivery accounting on the lexical side, plus the
+    // statistic-scope risk BM25 adds: a batch that computed df/N/avgdl
+    // from ITS OWN queries' postings instead of the full stored index
+    // would score correctly-shaped rows with wrong weights — the union
+    // would differ from batch s12 even with perfect delivery. Kill
+    // after chunk 1, deliver chunks 2-3 down, restart, compare the
+    // union to the batch s12 answer with a duplicate check.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      IntegerType}
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25ckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_bm25dest").toString
+    // the SAME stages the registered query ships: write once through
+    // the w12 layout, serve only from the read-back form
+    val (p0, sz0) = operators.Similarity.lexIndex(
+      sources.Tables.documents(spark, sf))
+    graft.sources.Writers.writeLexIndex(p0, sz0, s"$idx/lex")
+    val (pr, szr) = graft.sources.Writers.readLexIndex(spark, s"$idx/lex")
+    val postings = pr.localCheckpoint()
+    val sizes = szr.localCheckpoint()
+    val chunks = postings.select($"doc_id").distinct()
+      .filter($"doc_id" % 50 === 0).collect().map(_.getLong(0)).sorted
+      .grouped(math.max(1,
+        postings.select($"doc_id").distinct()
+          .filter($"doc_id" % 50 === 0).count().toInt / 3 + 1)).toSeq
+    def startQuery() =
+      spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType))))
+        .parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val qsh = postings.join(b.select(col("doc_id")), "doc_id")
+            .select(col("doc_id").as("q_id"), col("g"))
+          graft.streaming.Streams.sinkMatchesIdempotent(
+            operators.Similarity.bm25Queries(qsh, postings, sizes),
+            id, dest)
+        }
+        .start()
+    val q1 = startQuery()
+    try {
+      chunks.head.toSeq.toDF("doc_id").write.mode("append").parquet(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // later chunks arrive while the query is DOWN
+    chunks.drop(1).foreach(c =>
+      c.toSeq.toDF("doc_id").write.mode("append").parquet(srcDir))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = graft.streaming.Streams.readSink(spark, dest,
+        StructType(Seq(StructField("q_id", LongType),
+          StructField("doc_id", LongType),
+          StructField("rk", IntegerType))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.distinct.size == got.size,
+      s"restart re-emitted rows: ${got.diff(got.distinct).take(5)}")
+    val want = SparkEntry.queries("s12_bm25_lexical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"restarted BM25 serve diverges from batch s12: " +
+        s"extra=${(got.toSet -- want).take(5)}, " +
+        s"missing=${(want -- got.toSet).take(5)}")
+  }
+
   test("st19: checkpointed restart resumes the FILTERED serve gate" +
       " exactly-once") {
     // st16's delivery accounting plus the filter leak risk: a restart
