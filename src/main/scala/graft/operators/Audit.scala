@@ -383,6 +383,111 @@ object Audit {
         max($"jaccard").as("max_jaccard"))
   }
 
+  /** dq06: STORED-INDEX CONSISTENCY audit — the integrity check a
+    * deployment runs against a serving index BEFORE trusting it (the
+    * table-format analogue is a manifest/file audit; here it is the
+    * retrieval stack's: does the stored w12-layout lexical index still
+    * describe the corpus it serves?). The audited index is genuinely
+    * STALE by construction: it is built from a snapshot (doc_id % 7 ≠
+    * 3 — reindex time), while the "current" corpus has since gained
+    * those docs back, LOST others (doc_id % 11 = 5 deleted), and had
+    * text DRIFT (doc_id % 13 = 2 truncated to its first 20 tokens) —
+    * so every check fires on real violations instead of passing
+    * vacuously. Checks, one row each (check_name, n_violations):
+    *   - missing_docs: current docs with ≥1 in-vocabulary shingle but
+    *     no stored size row — docs awaiting admission (st22's bill);
+    *   - orphaned_docs / orphaned_postings: stored rows whose doc no
+    *     longer exists — deleted docs still serveable (the silent
+    *     wrong-answer class; postings counted separately because that
+    *     is the serving-time blast radius);
+    *   - size_drift: docs in both whose stored |d| differs from the
+    *     frozen-vocabulary recount of their CURRENT text — edits since
+    *     reindex that silently skew every Jaccard/BM25 length term.
+    * The recount uses the INDEX's own vocabulary (distinct stored
+    * shingles), not a recomputed cap — the audit must judge the index
+    * by its own frozen contract, or cap drift would masquerade as doc
+    * drift. The Spark side writes and READS BACK the real w12 layout;
+    * the oracle rebuilds the same snapshot index in SQL and proves the
+    * audit arithmetic.
+    *
+    * 100 TB: one tokenize of the current corpus + joins keyed on g
+    * (vocabulary, cap-bounded df per shingle) and doc_id (anti joins;
+    * both sides shuffle on the key, no driver collect); the violation
+    * counts are map-side sums after the anti joins. Same bill class as
+    * one reindex pass — an audit that cost more than the rebuild it
+    * guards would never run. */
+  val dq06IndexAudit: Q = Q(
+    "dq06_index_audit",
+    """WITH snap AS (SELECT doc_id, text FROM documents
+      |              WHERE doc_id % 7 <> 3),
+      |stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM snap),
+      |ssh AS (SELECT DISTINCT doc_id,
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |        FROM stoks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |sdfs AS (SELECT g, count(*) AS df FROM ssh GROUP BY g),
+      |postings AS (SELECT s.doc_id, s.g FROM ssh s JOIN sdfs USING (g)
+      |             WHERE df <= 50),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+      |vocab AS (SELECT DISTINCT g FROM postings),
+      |cur AS (SELECT doc_id,
+      |          CASE WHEN doc_id % 13 = 2
+      |            THEN array_to_string((string_split(text, ' '))[1:20], ' ')
+      |            ELSE text END AS text
+      |        FROM documents WHERE doc_id % 11 <> 5),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM cur),
+      |csh AS (SELECT DISTINCT doc_id,
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |        FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |recount AS (SELECT c.doc_id, count(*) AS n2
+      |            FROM csh c JOIN vocab USING (g) GROUP BY c.doc_id),
+      |missing AS (SELECT count(*) AS n FROM recount r
+      |            LEFT JOIN sizes s USING (doc_id) WHERE s.doc_id IS NULL),
+      |orph_d AS (SELECT count(*) AS n FROM sizes s
+      |           LEFT JOIN cur c USING (doc_id) WHERE c.doc_id IS NULL),
+      |orph_p AS (SELECT count(*) AS n FROM postings p
+      |           LEFT JOIN cur c USING (doc_id) WHERE c.doc_id IS NULL),
+      |drift AS (SELECT count(*) AS n FROM sizes s
+      |          JOIN recount r USING (doc_id) WHERE s.n <> r.n2)
+      |SELECT 'missing_docs' AS check_name, CAST(n AS BIGINT) AS n_violations
+      |FROM missing
+      |UNION ALL SELECT 'orphaned_docs', CAST(n AS BIGINT) FROM orph_d
+      |UNION ALL SELECT 'orphaned_postings', CAST(n AS BIGINT) FROM orph_p
+      |UNION ALL SELECT 'size_drift', CAST(n AS BIGINT) FROM drift"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // REINDEX-time snapshot -> the real stored layout, read back
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_dq06_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.rmrf(new java.io.File(idx))
+    val (p0, sz0) = Similarity.lexIndex(docs.filter($"doc_id" % 7 =!= 3))
+    graft.sources.Writers.writeLexIndex(p0, sz0, idx)
+    val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
+    // the corpus as it stands NOW: additions, deletions, text drift
+    val cur = docs.filter($"doc_id" % 11 =!= 5)
+      .select($"doc_id",
+        when($"doc_id" % 13 === 2, substring_index($"text", " ", 20))
+          .otherwise($"text").as("text"))
+    val vocab = pr.select($"g").distinct()
+    val recount = cur
+      .select($"doc_id", explode(Dedup.shingles(Dedup.toks($"text"))).as("g"))
+      .join(vocab, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n2"))
+    val curIds = cur.select($"doc_id")
+    def audit(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_violations"))
+        .withColumn("check_name", lit(name))
+        .select($"check_name", $"n_violations")
+    audit("missing_docs",
+        recount.join(szr, Seq("doc_id"), "left_anti"))
+      .unionByName(audit("orphaned_docs",
+        szr.join(curIds, Seq("doc_id"), "left_anti")))
+      .unionByName(audit("orphaned_postings",
+        pr.join(curIds, Seq("doc_id"), "left_anti")))
+      .unionByName(audit("size_drift",
+        szr.join(recount, "doc_id").filter($"n" =!= $"n2")))
+  }
+
   val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
-    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage)
+    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage, dq06IndexAudit)
 }
