@@ -418,7 +418,7 @@ object Audit {
     * guards would never run. */
   val dq06IndexAudit: Q = Q(
     "dq06_index_audit",
-    """WITH snap AS (SELECT doc_id, text FROM documents
+    s"""WITH snap AS (SELECT doc_id, text FROM documents
       |              WHERE doc_id % 7 <> 3),
       |stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM snap),
       |ssh AS (SELECT DISTINCT doc_id,
@@ -426,7 +426,7 @@ object Audit {
       |        FROM stoks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
       |sdfs AS (SELECT g, count(*) AS df FROM ssh GROUP BY g),
       |postings AS (SELECT s.doc_id, s.g FROM ssh s JOIN sdfs USING (g)
-      |             WHERE df <= 50),
+      |             WHERE df <= ${Similarity.S11LexDfCap}),
       |sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
       |vocab AS (SELECT DISTINCT g FROM postings),
       |cur AS (SELECT doc_id,

@@ -277,6 +277,25 @@ object Similarity {
     * floor keeps them aligned). */
   def centModulus(n: Long): Long = math.max(100L, n / 200L)
 
+  /** Embeddings-table row count, memoized per fixture dir: every
+    * sampled-centroid build needs [[centModulus]] of the SAME
+    * per-(dir) constant, and before this cache each of the ~10 call
+    * sites ran its own `emb.count()` Spark job at query-build time
+    * (s13 paid twice — its own plus ivfTopK's; a bench sweep paid the
+    * scan once per IVF-family query). Fixture dirs are write-once
+    * (the driver and ScaleData build each sf dir exactly once per
+    * host), so the memo cannot go stale within a JVM. */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def embeddingsCount(s: SparkSession, d: String): Long =
+    embCountCache.computeIfAbsent(d,
+      _ => Long.box(Tables.embeddings(s, d).count())).longValue()
+
+  /** [[centModulus]] over the memoized fixture count — the form every
+    * full-corpus sampled-centroid site uses. */
+  def centModulusFor(s: SparkSession, d: String): Long =
+    centModulus(embeddingsCount(s, d))
+
   /** [[centModulus]] as a DuckDB scalar subquery, spliced into every
     * sampled-centroid CTE — one arithmetic rule, two engines. */
   val CentModSql: String =
@@ -326,7 +345,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+    val centroids = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     ivfTopK(s, d, centroids, nprobe = 2)
@@ -793,7 +812,7 @@ object Similarity {
     * One definition so the two registries cannot drift; both queries'
     * DuckDB oracles recompute everything bit-for-bit. */
   final case class PqParts(q0: DataFrame, codes: DataFrame,
-      qs: DataFrame, lut: DataFrame)
+      qs: DataFrame, lut: DataFrame, nEmb: Long)
 
   def pqParts(s: SparkSession, d: String): PqParts = {
     import s.implicits._
@@ -875,7 +894,7 @@ object Similarity {
       .select($"query_id", $"m", $"c_id",
         ($"i_int".cast("double") / ($"c_n" * $"c_n")).as("partial"))
 
-    PqParts(q0, codes, qs, lut)
+    PqParts(q0, codes, qs, lut, embeddingsCount(s, d))
   }
 
   /** ADC scan + exact re-rank over a (possibly cell-restricted) code
@@ -998,7 +1017,7 @@ object Similarity {
   def ivfPqCandidateCodes(p: PqParts, nprobe: Int = 4): DataFrame = {
     val s = p.q0.sparkSession
     import s.implicits._
-    val coarse = p.q0.filter($"vec_id" % centModulus(p.q0.count()) === 7)
+    val coarse = p.q0.filter($"vec_id" % centModulus(p.nEmb) === 7)
       .select($"vec_id".as("cc_id"), $"qx".as("cx"))
     val cassign = p.q0.crossJoin(broadcast(coarse))
       .groupBy($"vec_id")
@@ -1091,7 +1110,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+    val centroids = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val qs = emb.filter($"vec_id" % 50 === 0)
@@ -1205,7 +1224,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+    val centroids = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val topk = ivfTopK(s, d, centroids, nprobe = 2)
@@ -1301,7 +1320,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"),
         $"label")
-    val cents = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+    val cents = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val qs = emb.filter($"vec_id" % 50 === 0)
@@ -1510,7 +1529,7 @@ object Similarity {
     }
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+    val cents = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val vec5 = ivfTopK(s, d, cents, nprobe = 2)
@@ -1632,7 +1651,7 @@ object Similarity {
     val bm5 = bm25FromIndex(postings, sizes).withColumnRenamed("rk", "lrk")
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % centModulus(emb.count()) === 7)
+    val cents = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     val vec5 = ivfTopK(s, d, cents, nprobe = 2)
@@ -1663,21 +1682,25 @@ object Similarity {
     val s = postings.sparkSession
     import s.implicits._
     // df regrouped from the capped postings (≤ cap by construction);
-    // N = indexed docs, avgdl over the capped sizes — broadcast scalars
+    // N = indexed docs, avgdl over the capped sizes — ONE broadcast
+    // one-row frame carrying both scalars, crossJoined once before the
+    // score aggregate (two separate stats.select crossJoins recomputed
+    // the sizes aggregation twice per call — twice per micro-batch in
+    // st24; round-14 advice). avgdl is constant on every row, so
+    // first() carries it through the groupBy deterministically.
     val dfc = postings.groupBy($"g").agg(count(lit(1)).as("df"))
-    val stats = sizes.agg(avg($"n").as("avgdl"),
-      count(lit(1)).as("nn"))
+    val stats = sizes.agg(count(lit(1)).as("nn"), avg($"n").as("avgdl"))
     val wRank = Window.partitionBy($"q_id")
       .orderBy(round($"score", 9).desc, $"doc_id")
     qsh.join(postings, "g")
       .filter($"doc_id" =!= $"q_id")
       .join(dfc, "g")
-      .crossJoin(broadcast(stats.select($"nn")))
+      .crossJoin(broadcast(stats))
       .groupBy($"q_id", $"doc_id")
       .agg(sum(log(lit(1.0) +
-        ($"nn" - $"df" + 0.5) / ($"df" + 0.5))).as("sumidf"))
+        ($"nn" - $"df" + 0.5) / ($"df" + 0.5))).as("sumidf"),
+        first($"avgdl").as("avgdl"))
       .join(sizes, "doc_id")
-      .crossJoin(broadcast(stats.select($"avgdl")))
       .select($"q_id", $"doc_id",
         ($"sumidf" * 2.2 /
           (lit(1.2) * (lit(0.25) + lit(0.75) * $"n" / $"avgdl") + 1))

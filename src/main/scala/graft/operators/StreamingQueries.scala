@@ -630,7 +630,7 @@ object StreamingQueries {
     val dest = s"$base/dest"; val idx = s"$base/index"
     // WRITE the index: s04's sampled centroids + (vec_id, c_id) lists,
     // cell-partitioned like w07's layout
-    val cents = emb.filter($"vec_id" % Similarity.centModulus(emb.count()) === 7)
+    val cents = emb.filter($"vec_id" % Similarity.centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     graft.sources.Writers.writeIvfIndex(cents,
@@ -1139,7 +1139,7 @@ object StreamingQueries {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % Similarity.centModulus(emb.count()) === 7)
+    val cents = emb.filter($"vec_id" % Similarity.centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
     Similarity.ivfTopK(s, d, cents, nprobe = 2)
@@ -1246,13 +1246,15 @@ object StreamingQueries {
     * serve, but each serve's bill is probed cells × corpus-fraction
     * admitted, never the whole index. */
   /** Freeze + persist the reindex artifact: the sampled coarse
-    * quantizer over the FULL corpus ([[Similarity.centModulus]] keeps
-    * the cell count ~constant in N). */
+    * quantizer over the FULL corpus ([[Similarity.centModulusFor]]
+    * keeps the cell count ~constant in N off the memoized fixture
+    * count — `emb` here is always the full embeddings projection of
+    * `d`, so no per-freeze count job). */
   private[graft] def ivfFreezeCentroids(s: org.apache.spark.sql.SparkSession,
-      emb: org.apache.spark.sql.DataFrame, idx: String)
+      d: String, emb: org.apache.spark.sql.DataFrame, idx: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    emb.filter($"vec_id" % Similarity.centModulus(emb.count()) === 7)
+    emb.filter($"vec_id" % Similarity.centModulusFor(s, d) === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
       .write.parquet(s"$idx/centroids")
@@ -1303,7 +1305,7 @@ object StreamingQueries {
     // REINDEX: freeze the sampled quantizer over the full corpus and
     // persist it under the index, then seed the stored lists with the
     // pre-stream third through the same admission path the stream uses
-    val cents = ivfFreezeCentroids(s, emb, idx)
+    val cents = ivfFreezeCentroids(s, d, emb, idx)
     ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
     // the serve statics: the fixed query set (s04's rule) and its
     // probed-cell set — both frozen, so the per-serve list scan is

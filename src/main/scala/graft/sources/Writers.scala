@@ -149,14 +149,36 @@ object Writers {
     appendIvfLists(lists, dest, SaveMode.ErrorIfExists)
   }
 
+  /** The two list layouts — flat `lists/c_id=` ([[appendIvfLists]])
+    * and legged `lists/leg=<id>/c_id=` ([[appendIvfListsLeg]]) — are
+    * MUTUALLY EXCLUSIVE per index dir: mixing them puts partition
+    * dirs of different depths under one root and breaks Spark's
+    * partition discovery (conflicting directory structures) at read
+    * time, far from the write that caused it. Both append paths call
+    * this to fail fast at the write instead (round-14 advice). */
+  private def requireListLayout(spark: SparkSession, dest: String,
+      legged: Boolean): Unit = {
+    val (fs, p) = fsOf(spark, s"$dest/lists")
+    if (fs.exists(p)) {
+      val offending = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(if (legged) "c_id=" else "leg="))
+      require(offending.isEmpty,
+        s"$dest/lists already holds ${if (legged) "flat c_id=" else "leg="}" +
+          s" dirs (e.g. ${offending.head}); flat appendIvfLists and " +
+          "legged appendIvfListsLeg layouts cannot mix under one index")
+    }
+  }
+
   /** The ingest-admission leg: land a batch's (vec_id, c_id) rows in
     * the stored lists — frozen centroids, nothing already stored is
     * touched or re-bucketed (append adds files to the cell dirs). */
   def appendIvfLists(lists: DataFrame, dest: String,
-      mode: SaveMode = SaveMode.Append): Unit =
+      mode: SaveMode = SaveMode.Append): Unit = {
+    requireListLayout(lists.sparkSession, dest, legged = false)
     lists.select("vec_id", "c_id")
       .sortWithinPartitions("c_id")
       .write.mode(mode).partitionBy("c_id").parquet(s"$dest/lists")
+  }
 
   /** One ADMISSION leg of the IVF lists (st23's streaming admission —
     * the vector-side twin of [[writeLexIndexLeg]]): the batch's
@@ -169,15 +191,19 @@ object Writers {
     * duplicate). [[readIvfIndex]] reads the whole tree unchanged — the
     * `leg` partition column is projected away by its explicit select. */
   def appendIvfListsLeg(lists: DataFrame, dest: String,
-      leg: String): Unit =
+      leg: String): Unit = {
+    requireListLayout(lists.sparkSession, dest, legged = true)
     lists.select("vec_id", "c_id")
       .sortWithinPartitions("c_id")
       .write.mode(SaveMode.Overwrite).partitionBy("c_id")
       .parquet(s"$dest/lists/leg=$leg")
+  }
 
   /** Read the stored index back: (centroids, lists) in the probe-side
     * shapes ([[writeIvfIndex]]'s layout contract, one reader for it).
-    * Also reads an [[appendIvfListsLeg]] tree unchanged. */
+    * Also reads an [[appendIvfListsLeg]] tree unchanged — but the two
+    * layouts are mutually exclusive per index dir (the append paths
+    * enforce it; mixed depths break partition discovery). */
   def readIvfIndex(spark: SparkSession, dest: String)
       : (DataFrame, DataFrame) = (
     spark.read.parquet(s"$dest/centroids").select("c_id", "c_vec", "c_nrm"),

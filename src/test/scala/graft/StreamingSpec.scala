@@ -1375,7 +1375,7 @@ class StreamingSpec extends AnyFunSuite {
         operators.Similarity.norm($"embedding").as("nrm"))
     // the SAME shared stages the registered query ships
     // (ivfFreezeCentroids / ivfAdmit / ivfServeStored) — not a copy
-    val cents = sq.ivfFreezeCentroids(spark, emb, idx)
+    val cents = sq.ivfFreezeCentroids(spark, sf, emb, idx)
     sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
     val qsCk = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
