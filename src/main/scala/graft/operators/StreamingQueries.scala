@@ -1097,10 +1097,13 @@ object StreamingQueries {
     *
     * 100 TB: per batch, tokenization of the BATCH only + one join
     * against the frozen vocabulary (rare-shingle rows — the df cap
-    * bounds its size; broadcast-class next to the corpus) + one leg
-    * write of the batch's postings; the serve bill is st20's (probe
-    * work ≤ cap × query postings). The full corpus text is read once,
-    * at reindex. */
+    * bounds its size; broadcast-class next to the corpus) + the
+    * probe-set routing join ([[lexFreezeProbeSet]]) + one leg write of
+    * the batch's postings; the serve READ is partition-pruned to the
+    * `inqg=1` dirs (probe-reachable postings only — the st23
+    * treatment on the lexical leg; before round 15 each serve re-read
+    * the whole stored index), and the probe work stays ≤ cap × query
+    * postings. The full corpus text is read once, at reindex. */
   /** st22's admission-cycle stages, shared with its restart spec (the
     * annServeCycle discipline — the spec must drive the SAME pipeline
     * the operator ships, not a hand-kept copy; round-14 review).
@@ -1114,11 +1117,45 @@ object StreamingQueries {
     s.read.parquet(s"$base/vocab").localCheckpoint()
   }
 
+  /** Freeze + persist the serve-pruning reindex artifact: the g-set
+    * the probe can ever touch — the frozen query docs' (doc_id % 50 =
+    * 0, s11's slice, fixed for the whole serve run like st23's query
+    * set) in-vocabulary shingles, computed ONCE from the reindex-time
+    * corpus. Every posting outside this set can never join a query
+    * posting, so admission routes postings by membership
+    * ([[lexAdmit]]'s `inqg`) and the serve reads only the reachable
+    * partition dirs — the round-14 verdict's st23-treatment for the
+    * lexical leg (the pre-fix serve re-read the ENTIRE stored index
+    * every micro-batch: sublinear at measured scales, index-
+    * proportional at 100 TB).
+    *
+    * 100 TB: tokenizes the query docs only (1/50th of the corpus) +
+    * one g-keyed join against the frozen vocabulary; |qg| is
+    * query-corpus-proportional (not constant like st23's probed
+    * cells), so the routing join at admission time is a plain keyed
+    * shuffle join, never a driver collect. */
+  private[graft] def lexFreezeProbeSet(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame, base: String)
+      : org.apache.spark.sql.DataFrame = {
+    docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
+      .distinct()
+      .join(vocab, "g")
+      .write.mode("overwrite").parquet(s"$base/qg")
+    s.read.parquet(s"$base/qg").localCheckpoint()
+  }
+
   /** One admission leg: tokenize `batchDocs` ONLY, keep frozen-vocab
-    * shingles, land the batch's postings + sizes as leg `leg` inside
-    * the w12 layout — OVERWRITTEN on replay
-    * ([[graft.sources.Writers.writeLexIndexLeg]]). */
+    * shingles, ROUTE each posting by frozen probe-set membership
+    * (`inqg` — [[lexFreezeProbeSet]]; one g-keyed join per batch,
+    * batch-side proportional), and land the batch's postings + sizes
+    * as leg `leg` inside the w12 layout — OVERWRITTEN on replay
+    * ([[graft.sources.Writers.writeLexIndexLeg]]). Sizes count ALL
+    * the doc's capped postings (routing must not perturb the length
+    * terms). */
   private[graft] def lexAdmit(vocab: org.apache.spark.sql.DataFrame,
+      qg: org.apache.spark.sql.DataFrame,
       batchDocs: org.apache.spark.sql.DataFrame,
       idx: String, leg: String): Unit = {
     val admitted = batchDocs
@@ -1127,7 +1164,10 @@ object StreamingQueries {
       .join(vocab, "g")
       .select(col("g"), col("doc_id"))
       .localCheckpoint() // postings AND sizes consume it
-    graft.sources.Writers.writeLexIndexLeg(admitted,
+    val routed = admitted
+      .join(qg.withColumn("inqg", lit(1)), Seq("g"), "left")
+      .na.fill(0, Seq("inqg"))
+    graft.sources.Writers.writeLexIndexLeg(routed,
       admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
       idx, leg)
   }
@@ -1150,11 +1190,19 @@ object StreamingQueries {
   /** Serve the hybrid query from the STORED index as admitted so far —
     * query docs' postings come from the index itself, so a
     * not-yet-admitted query contributes no lexical rows (exactly the
-    * inline semantics over the partial corpus). */
+    * inline semantics over the partial corpus). The posting read is
+    * partition-pruned to the `inqg=1` dirs
+    * ([[graft.sources.Writers.readLexIndexProbed]]): a posting whose
+    * shingle is outside the frozen probe set can never join a query
+    * posting, so excluding it cannot change any Jaccard — both the
+    * query side (query-doc postings are in-qg by construction) and
+    * the candidate side (the probe join is on g) see the identical
+    * rows the full read produced. Per-serve read bill: probe-
+    * reachable postings only, instead of the whole index. */
   private[graft] def lexServeStored(s: org.apache.spark.sql.SparkSession,
       idx: String, vec5: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
+    val (pr, szr) = graft.sources.Writers.readLexIndexProbed(s, idx)
     Similarity.rrfFuse(
       Similarity.lexTopKFrom(pr.localCheckpoint(), szr.localCheckpoint()),
       vec5)
@@ -1171,13 +1219,15 @@ object StreamingQueries {
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dest = s"$base/dest"; val idx = s"$base/index"
     val docs = Tables.documents(s, d)
-    // REINDEX: freeze the df-capped vocabulary over the full corpus
-    // and persist it next to the index (the admission filter is a
-    // stored artifact, not a per-batch recomputation)
+    // REINDEX: freeze the df-capped vocabulary AND the probe-reachable
+    // g-set over the full corpus, persisted next to the index (the
+    // admission filter and the serve prune are stored artifacts, not
+    // per-batch recomputations)
     val vocab = lexFreezeVocab(s, docs, base)
+    val qg = lexFreezeProbeSet(s, docs, vocab, base)
     // seed the stored index with the pre-stream third, then stream the
     // rest through the same admission path
-    lexAdmit(vocab, docs.filter($"doc_id" % 3 === 0), idx, "base")
+    lexAdmit(vocab, qg, docs.filter($"doc_id" % 3 === 0), idx, "base")
     val vec5 = s11Vec5(s, d)
     val q = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1186,7 +1236,7 @@ object StreamingQueries {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        lexAdmit(vocab, b, idx, id.toString)
+        lexAdmit(vocab, qg, b, idx, id.toString)
         graft.streaming.Streams.sinkMatchesIdempotent(
           lexServeStored(b.sparkSession, idx, vec5), id, dest)
       }

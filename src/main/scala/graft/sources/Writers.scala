@@ -241,14 +241,44 @@ object Writers {
     * deterministically instead of double-appending (the scd2
     * version-dir discipline applied to index admission; a bare
     * SaveMode.Append would double the batch's postings on replay).
-    * [[readLexIndex]] reads the whole tree unchanged. */
+    * [[readLexIndex]] reads the whole tree unchanged.
+    *
+    * When `postings` carries an `inqg` column (0/1: is the shingle in
+    * the frozen probe-reachable g-set — st22's serve pruning), the leg
+    * is ADDITIONALLY partitioned by it, so a serve reads only the
+    * `inqg=1` dirs ([[readLexIndexProbed]]) — the lexical twin of the
+    * IVF probed-cell partition pruning. Routed and unrouted legs are
+    * mutually exclusive per index dir (mixed partition depths break
+    * discovery); every producer for one index must pass the same
+    * shape. */
   def writeLexIndexLeg(postings: DataFrame, sizes: DataFrame,
       dest: String, leg: String): Unit = {
-    postings.select("g", "doc_id").sortWithinPartitions("g")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dest/postings/leg=$leg")
+    val routed = postings.columns.contains("inqg")
+    val w = postings
+      .select((if (routed) Seq("g", "doc_id", "inqg")
+               else Seq("g", "doc_id")).map(postings.col): _*)
+      .sortWithinPartitions("g")
+      .write.mode(SaveMode.Overwrite)
+    (if (routed) w.partitionBy("inqg") else w)
+      .parquet(s"$dest/postings/leg=$leg")
     sizes.select("doc_id", "n")
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/sizes/leg=$leg")
   }
+
+  /** Read a ROUTED lexical index ([[writeLexIndexLeg]] with `inqg`)
+    * back pruned to the probe-reachable postings: the `inqg=1`
+    * partition filter is a directory-level prune, so a serve's
+    * posting read is bounded by the frozen query set's reach (≤ cap ×
+    * query postings) instead of the whole index — the bill st23's
+    * probed-cell pruning pays on the vector side. Sizes stay full
+    * (one row per admitted doc; the Jaccard length terms need any
+    * candidate's size). */
+  def readLexIndexProbed(spark: SparkSession, dest: String)
+      : (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dest/postings")
+      .filter(org.apache.spark.sql.functions.col("inqg") === 1)
+      .select("g", "doc_id"),
+    spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
 
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would

@@ -1284,7 +1284,8 @@ class StreamingSpec extends AnyFunSuite {
     // the SAME shared stages the registered query ships (lexFreezeVocab
     // / lexAdmit / s11Vec5 / lexServeStored) — not a hand-kept copy
     val vocab = sq.lexFreezeVocab(spark, docs, base)
-    sq.lexAdmit(vocab, docs.filter($"doc_id" % 3 === 0), idx, "base")
+    val qg = sq.lexFreezeProbeSet(spark, docs, vocab, base)
+    sq.lexAdmit(vocab, qg, docs.filter($"doc_id" % 3 === 0), idx, "base")
     val vec5 = sq.s11Vec5(spark, sf)
     def startQuery() =
       spark.readStream
@@ -1294,7 +1295,7 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
-          sq.lexAdmit(vocab, b, idx, id.toString)
+          sq.lexAdmit(vocab, qg, b, idx, id.toString)
           graft.streaming.Streams.sinkMatchesIdempotent(
             sq.lexServeStored(b.sparkSession, idx, vec5), id, dest)
         }
@@ -1337,7 +1338,7 @@ class StreamingSpec extends AnyFunSuite {
     // and corrupt every Jaccard downstream. With SaveMode.Append in
     // writeLexIndexLeg this re-admit doubles the leg and the re-serve
     // diverges; with the overwrite discipline it is a no-op.
-    sq.lexAdmit(vocab, docs.filter($"doc_id" % 3 === 2)
+    sq.lexAdmit(vocab, qg, docs.filter($"doc_id" % 3 === 2)
       .select($"doc_id", $"text"), idx, lastId.toString)
     val reServed = sq.lexServeStored(spark, idx, vec5)
       .collect()
@@ -1347,6 +1348,21 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed admission corrupted the index (leg appended, not " +
         s"rewritten?): extra=${(reServed -- want).take(5)}, " +
         s"missing=${(want -- reServed).take(5)}")
+    // the serve prune is REAL, not vacuous: the routed layout must
+    // hold probe-unreachable postings (inqg=0) the serve never reads,
+    // and the probed read must reach them via a directory-level
+    // partition filter (the st23 treatment), not a post-scan filter
+    val full = spark.read.parquet(s"$idx/postings")
+    val nFull = full.count()
+    val nProbed = full.filter($"inqg" === 1).count()
+    assert(nProbed < nFull,
+      s"every admitted posting is probe-reachable ($nProbed of $nFull)" +
+        " — the inqg routing prunes nothing at this fixture")
+    val probedScan = sources.Writers.readLexIndexProbed(spark, idx)._1
+      .queryExecution.executedPlan.toString
+    assert(probedScan.contains("PartitionFilters: [") &&
+        probedScan.contains("inqg"),
+      s"probed read does not partition-prune on inqg:\n$probedScan")
   }
 
   test("st23: checkpointed restart resumes IVF ADMISSION exactly-once," +
