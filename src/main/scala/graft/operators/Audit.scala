@@ -488,6 +488,144 @@ object Audit {
         szr.join(recount, "doc_id").filter($"n" =!= $"n2")))
   }
 
+  /** dq07: STORED IVF-INDEX CONSISTENCY audit — dq06's vector twin
+    * (round-14 verdict ask #3), closing the audit asymmetry: the
+    * lexical serving index had an integrity gate, the IVF index
+    * (w07 / st23's layout) did not — orphaned vectors in cell lists
+    * and post-admission embedding drift would serve silently wrong.
+    * The audited index is STALE by construction, so every check fires
+    * on real violations: it is built from a snapshot (vec_id % 7 ≠ 3
+    * — reindex time) under a quantizer frozen over that snapshot,
+    * while the "current" corpus has since re-gained those vectors,
+    * LOST others (vec_id % 11 = 5 deleted), and had embeddings DRIFT
+    * (vec_id % 13 = 2 re-embedded — modeled as negation, which is
+    * exact in IEEE on both engines and guarantees the nearest-centroid
+    * argmax moves). Checks, one row each (check_name, n_violations):
+    *   - missing_vecs: current vectors with no stored list row —
+    *     vectors awaiting admission (st23's bill);
+    *   - orphaned_vecs: list rows whose vector no longer exists —
+    *     deleted vectors still probe-servable (the silent wrong-answer
+    *     class; lists are one row per vector, so there is no separate
+    *     postings-blast-radius count like dq06's);
+    *   - assignment_drift: vectors in both whose stored cell differs
+    *     from the nearest-FROZEN-centroid recompute over their CURRENT
+    *     embedding — every probe that trusts the stale cell reads the
+    *     wrong list partition. The recompute uses the index's OWN
+    *     stored centroids (read back), never a retrained set — the
+    *     audit judges the index by its frozen contract (dq06's
+    *     vocabulary discipline on the vector side).
+    * The Spark side writes and READS BACK the real cell-partitioned
+    * layout ([[graft.sources.Writers.writeIvfIndex]]); the oracle
+    * rebuilds the same snapshot index in SQL — the centroid rule is
+    * [[Similarity.centModulus]] over the SNAPSHOT count (the corpus
+    * that existed at reindex), the same one-arithmetic-rule-two-
+    * engines discipline as s04.
+    *
+    * 100 TB: one broadcast-centroid assignment pass over the current
+    * corpus (the recompute — same bill as one reindex assignment
+    * stage) + vec_id-keyed anti joins; violation counts are map-side
+    * sums, no driver collect. The snapshot count job is once per
+    * audit run, not per query build. */
+  val dq07IvfAudit: Q = Q(
+    "dq07_ivf_audit",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |    AS nrm FROM embeddings),
+      |snap AS (SELECT vec_id, vec, nrm FROM e WHERE vec_id % 7 <> 3),
+      |cen AS (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm
+      |        FROM snap WHERE vec_id %
+      |          (SELECT greatest(100, CAST(floor(count(*) / 200.0)
+      |             AS BIGINT)) FROM snap) = 7),
+      |assigned AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT s.vec_id, c.c_id,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY list_dot_product(s.vec, c.c_vec) /
+      |          (s.nrm * c.c_nrm) DESC, c.c_id) AS crk
+      |    FROM snap s CROSS JOIN cen c)
+      |  WHERE crk = 1),
+      |cur AS (SELECT vec_id,
+      |          CASE WHEN vec_id % 13 = 2
+      |            THEN list_transform(vec, x -> -x) ELSE vec END AS vec,
+      |          nrm
+      |        FROM e WHERE vec_id % 11 <> 5),
+      |recomputed AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT u.vec_id, c.c_id,
+      |      row_number() OVER (PARTITION BY u.vec_id
+      |        ORDER BY list_dot_product(u.vec, c.c_vec) /
+      |          (u.nrm * c.c_nrm) DESC, c.c_id) AS crk
+      |    FROM cur u CROSS JOIN cen c)
+      |  WHERE crk = 1),
+      |missing AS (SELECT count(*) AS n FROM cur c
+      |            LEFT JOIN assigned a USING (vec_id)
+      |            WHERE a.vec_id IS NULL),
+      |orph AS (SELECT count(*) AS n FROM assigned a
+      |         LEFT JOIN cur c USING (vec_id) WHERE c.vec_id IS NULL),
+      |drift AS (SELECT count(*) AS n FROM assigned a
+      |          JOIN recomputed r USING (vec_id) WHERE a.c_id <> r.c_id)
+      |SELECT 'missing_vecs' AS check_name, CAST(n AS BIGINT) AS n_violations
+      |FROM missing
+      |UNION ALL SELECT 'orphaned_vecs', CAST(n AS BIGINT) FROM orph
+      |UNION ALL SELECT 'assignment_drift', CAST(n AS BIGINT) FROM drift"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    // REINDEX-time snapshot -> the real stored cell-partitioned layout,
+    // read back (write-path parity with w07/st23)
+    val snap = emb.filter($"vec_id" % 7 =!= 3)
+    val snapMod = Similarity.centModulus(snap.count())
+    val cents = snap.filter($"vec_id" % snapMod === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_dq07_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.rmrf(new java.io.File(idx))
+    graft.sources.Writers.writeIvfIndex(cents,
+      Similarity.ivfAssignment(snap, cents), idx)
+    val (rc, rl) = graft.sources.Writers.readIvfIndex(s, idx)
+    val storedCents = rc.localCheckpoint()
+    val lists = rl.localCheckpoint()
+    // the corpus as it stands NOW: re-gained vectors, deletions, and
+    // re-embedded (negated) vectors; nrm is unchanged by negation
+    val cur = emb.filter($"vec_id" % 11 =!= 5)
+      .select($"vec_id",
+        transform($"embedding",
+          x => x * when($"vec_id" % 13 === 2, lit(-1.0f))
+            .otherwise(lit(1.0f))).as("embedding"),
+        $"nrm")
+    ivfAuditChecks(cur, lists, storedCents)
+  }
+
+  /** dq07's three checks over an arbitrary (current-corpus, stored
+    * lists, stored centroids) triple — shared with AuditSpec's
+    * negative path (a CLEAN index must audit to all-zeros; the
+    * driver oracle only ever sees the staleness-injected positive
+    * path). `cur` carries (vec_id, embedding, nrm). */
+  private[graft] def ivfAuditChecks(cur: org.apache.spark.sql.DataFrame,
+      lists: org.apache.spark.sql.DataFrame,
+      storedCents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    val curIds = cur.select($"vec_id")
+    def audit(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_violations"))
+        .withColumn("check_name", lit(name))
+        .select($"check_name", $"n_violations")
+    val both = cur.join(lists.withColumnRenamed("c_id", "stored_c"),
+      "vec_id")
+    val recomputed = Similarity.ivfAssignment(both, storedCents)
+    audit("missing_vecs",
+        cur.join(lists, Seq("vec_id"), "left_anti"))
+      .unionByName(audit("orphaned_vecs",
+        lists.join(curIds, Seq("vec_id"), "left_anti")))
+      .unionByName(audit("assignment_drift",
+        recomputed.filter($"c_id" =!= $"stored_c")))
+  }
+
   val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
-    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage, dq06IndexAudit)
+    dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage, dq06IndexAudit,
+    dq07IvfAudit)
 }

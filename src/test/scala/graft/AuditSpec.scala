@@ -269,4 +269,37 @@ class AuditSpec extends AnyFunSuite {
     assert(train > 0.8 && train < 0.97, s"train rate drifted: $train")
   }
 
+  test("dq07: a CLEAN IVF index audits to all-zeros (negative path)") {
+    // The driver oracle only ever sees dq07's staleness-injected
+    // positive path (65/39/31 at sf0.01) — this pins the converse: an
+    // index freshly built over the CURRENT corpus, through the same
+    // write/read-back layout, reports zero violations on every check.
+    // A false positive here (e.g. recompute arithmetic drifting from
+    // the stored assignment's) would page an operator on a healthy
+    // serving index.
+    import spark.implicits._
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb
+      .filter($"vec_id" % operators.Similarity.centModulusFor(spark, sf)
+        === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_dq07clean").toString
+    sources.Writers.rmrf(new java.io.File(idx))
+    sources.Writers.writeIvfIndex(cents,
+      operators.Similarity.ivfAssignment(emb, cents), idx)
+    val (rc, rl) = sources.Writers.readIvfIndex(spark, idx)
+    val got = operators.Audit
+      .ivfAuditChecks(emb, rl.localCheckpoint(), rc.localCheckpoint())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("missing_vecs", "orphaned_vecs",
+      "assignment_drift"))
+    got.foreach { case (k, n) =>
+      assert(n == 0L, s"clean index flagged $k=$n")
+    }
+  }
+
 }
