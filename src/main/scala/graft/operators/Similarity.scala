@@ -1646,17 +1646,32 @@ object Similarity {
       |      ORDER BY rrf0 DESC, id) AS rk
       |  FROM fused)
       |WHERE rk <= 3""".stripMargin) { (s, d) =>
+    bm25Hybrid(Tables.documents(s, d), Tables.embeddings(s, d),
+      centModulusFor(s, d))
+  }
+
+  /** s13's build over EXPLICIT relations — the one implementation
+    * shared by the registered query (fixture tables, memoized
+    * centroid modulus) and the SQL front end
+    * ([[graft.plans.HybridTopkTvf]] `hybrid_topk(docs, emb)`), so the
+    * DSL and SQL surfaces cannot drift. `centMod` is
+    * [[centModulus]] of the embedding relation's row count — passed
+    * in because the two callers source it differently (fixture memo
+    * vs a one-off count over the named view). */
+  def bm25Hybrid(docs: DataFrame, emb0: DataFrame, centMod: Long,
+      k: Int = 3): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val (postings, sizes) = lexIndex(Tables.documents(s, d))
+    val (postings, sizes) = lexIndex(docs)
     val bm5 = bm25FromIndex(postings, sizes).withColumnRenamed("rk", "lrk")
-    val emb = Tables.embeddings(s, d)
+    val emb = emb0
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" % centModulusFor(s, d) === 7)
+    val cents = emb.filter($"vec_id" % centMod === 7)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
         $"nrm".as("c_nrm"))
-    val vec5 = ivfTopK(s, d, cents, nprobe = 2)
+    val vec5 = ivfProbe(emb, cents, ivfAssignment(emb, cents), nprobe = 2)
       .select($"q_id", $"vec_id".as("doc_id"), $"rk".as("vrk"))
-    rrfFuse(bm5, vec5)
+    rrfFuse(bm5, vec5, k)
   }
 
   /** BM25 top-`k` from an index pair in [[lexIndex]]'s shape — inline

@@ -17,5 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-callable as-of join: SELECT * FROM asof_join(...)
     ext.injectTableFunction((AsofTvf.identifier, AsofTvf.info,
       AsofTvf.build))
+    // SQL-callable retrieval: SELECT * FROM bm25_topk(...) /
+    // hybrid_topk(...) — the s12/s13 plans behind a SQL prompt
+    ext.injectTableFunction((Bm25TopkTvf.identifier, Bm25TopkTvf.info,
+      Bm25TopkTvf.build))
+    ext.injectTableFunction((HybridTopkTvf.identifier, HybridTopkTvf.info,
+      HybridTopkTvf.build))
   }
 }

@@ -539,4 +539,67 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM orders""".stripMargin)
     assert(canon(withClause) == canon(inline))
   }
+
+  test("bm25_topk TVF: SQL call == s12's registered plan") {
+    // round-14 verdict ask #5: the retrieval family was DSL-only —
+    // a SQL-prompt user could not reach the headline features. The
+    // TVF returns bm25FromIndex's logical plan verbatim, so equality
+    // here rides s12's hash-verified oracle transitively.
+    register()
+    val viaSql = spark.sql("SELECT * FROM bm25_topk('documents')")
+    val viaDsl = SparkEntry.queries("s12_bm25_lexical")(spark, sf)
+    assert(viaSql.columns.sorted.sameElements(viaDsl.columns.sorted))
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("bm25_topk TVF: trailing k overrides the top-k") {
+    register()
+    val viaSql = spark.sql("SELECT * FROM bm25_topk('documents', 3)")
+    val (p, sz) = operators.Similarity
+      .lexIndex(sources.Tables.documents(spark, sf))
+    val viaDsl = operators.Similarity.bm25FromIndex(p, sz, k = 3)
+    assert(canon(viaSql) == canon(viaDsl))
+    // and it genuinely cut: no rank past 3, fewer rows than k=5
+    assert(viaSql.collect().forall(_.getInt(2) <= 3))
+  }
+
+  test("hybrid_topk TVF: SQL call == s13's registered plan") {
+    register()
+    val viaSql = spark.sql(
+      "SELECT * FROM hybrid_topk('documents', 'embeddings')")
+    val viaDsl = SparkEntry.queries("s13_bm25_hybrid")(spark, sf)
+    assert(viaSql.columns.sorted.sameElements(viaDsl.columns.sorted))
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("hybrid_topk TVF composes over a registered relation (filtered view)") {
+    // the TVF must run the SAME plan over any named relation — and
+    // the filter must BITE (different rows than the full corpus)
+    register()
+    import spark.implicits._
+    val filtered = sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 0)
+    filtered.createOrReplaceTempView("docs_even")
+    val viaSql = spark.sql("SELECT * FROM bm25_topk('docs_even')")
+    val (p, sz) = operators.Similarity.lexIndex(filtered)
+    val viaDsl = operators.Similarity.bm25FromIndex(p, sz)
+    assert(canon(viaSql) == canon(viaDsl))
+    assert(canon(viaSql) !=
+      canon(SparkEntry.queries("s12_bm25_lexical")(spark, sf)))
+  }
+
+  test("retrieval TVFs reject malformed arguments loudly") {
+    register()
+    val badK = intercept[Exception] {
+      spark.sql("SELECT * FROM bm25_topk('documents', 'five')").collect()
+    }
+    assert(badK.getMessage.contains("positive integer literal"),
+      s"unexpected: ${badK.getMessage}")
+    val badTable = intercept[Exception] {
+      spark.sql("SELECT * FROM hybrid_topk('documents')").collect()
+    }
+    assert(badTable.getMessage.contains("string literals") ||
+      badTable.getMessage.contains("usage:"),
+      s"unexpected: ${badTable.getMessage}")
+  }
 }
