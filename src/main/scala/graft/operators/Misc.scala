@@ -58,5 +58,60 @@ object Misc {
         $"b.x".as("bin_center"), $"b.y".as("bin_count"))
   }
 
-  val all: Seq[Q] = Seq(v01VirtualCols, v02Histogram)
+  /** v02b: FIXED-boundary histogram — the differential-oracled twin
+    * of v02 (round-14 verdict ask #6: the histogram CAPABILITY was
+    * oracled nowhere; v02's Ben-Haim/Tom-Tov bin centers are
+    * merge-order-dependent by design, so it stays the spec-pinned
+    * sketch row while this query carries the hash gate). Five
+    * equal-width bins per group over [min, max] of l_quantity, with
+    * ALL bin arithmetic in integer space so both engines compute
+    * bit-identical bins: quantities are exact in cents (q100 =
+    * l_quantity*100 — the fixture's values are integer-valued
+    * doubles), and bin = ((q100-min100)*5) div (max100-min100+1) is
+    * pure BIGINT arithmetic — no float division whose floor could
+    * differ by an ulp across engines. q_min/q_max (context columns)
+    * are one double division of exact integers — single IEEE op,
+    * deterministic.
+    *
+    * 100 TB: two passes over the fact column (the textbook fixed-bin
+    * bill — extremes, then binning), extremes broadcast (one row per
+    * group), bin counts map-side combined; swap pass one for stored
+    * column stats (w05's min/max skipping metadata) when the table is
+    * ANALYZEd. */
+  val v02bHistogramFixed: Q = Q(
+    "v02b_histogram_fixed",
+    """WITH q AS (SELECT l_returnflag,
+      |             CAST(l_quantity * 100 AS BIGINT) AS q100
+      |           FROM lineitem),
+      |ext AS (SELECT l_returnflag, min(q100) AS min100,
+      |          max(q100) AS max100
+      |        FROM q GROUP BY 1),
+      |b AS (SELECT q.l_returnflag,
+      |        CAST(((q100 - min100) * 5) // (max100 - min100 + 1)
+      |          AS INT) AS bin,
+      |        min100, max100
+      |      FROM q JOIN ext USING (l_returnflag))
+      |SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS bin_count,
+      |  CAST(min100 AS DOUBLE) / 100.0 AS q_min,
+      |  CAST(max100 AS DOUBLE) / 100.0 AS q_max
+      |FROM b GROUP BY l_returnflag, bin, min100, max100"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val q = Tables.lineitem(s, d)
+      .select($"l_returnflag", ($"l_quantity" * 100).cast("long").as("q100"))
+    val ext = q.groupBy($"l_returnflag")
+      .agg(min($"q100").as("min100"), max($"q100").as("max100"))
+    q.join(broadcast(ext), "l_returnflag")
+      .select($"l_returnflag",
+        expr("CAST(((q100 - min100) * 5) DIV (max100 - min100 + 1) AS INT)")
+          .as("bin"),
+        $"min100", $"max100")
+      .groupBy($"l_returnflag", $"bin", $"min100", $"max100")
+      .agg(count(lit(1)).as("bin_count"))
+      .select($"l_returnflag", $"bin", $"bin_count",
+        ($"min100".cast("double") / 100.0).as("q_min"),
+        ($"max100".cast("double") / 100.0).as("q_max"))
+  }
+
+  val all: Seq[Q] = Seq(v01VirtualCols, v02Histogram, v02bHistogramFixed)
 }
