@@ -261,7 +261,10 @@ object Similarity {
     * headline finding: a FIXED modulus ("every 100th vector") grows
     * the centroid count linearly with the corpus, so the assignment
     * stage is O(N²/100) — measured SUPERLINEAR at the 100× fixture
-    * (s11 55×, s09 13×, on 10× data) before this rule. The fix pins
+    * before this rule (pre-fix sf10/sf1 ratios: s11 49×, st20 21×,
+    * st16 17×, s09 11× — the canonical preserved table is BASELINE.md
+    * round-14 addendum 2; tmp/ sweep artifacts are gitignored scratch,
+    * so the addendum IS the record). The fix pins
     * the sampled-centroid COUNT constant (~200 cells: modulus =
     * max(100, N/200)), which makes assignment O(N·k) = linear and the
     * probe bill nprobe·(N/k) = linear; cells coarsen as the corpus
