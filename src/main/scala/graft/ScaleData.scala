@@ -75,6 +75,26 @@ object ScaleData {
     * graded Jaccard band around its base — answer sizes scale
     * LINEARLY with the corpus. sf1 keeps the legacy scheme so its
     * committed anchor table stays valid byte-for-byte. */
+  /** Orders-only inflation (the referential-integrity okStep scheme:
+    * orderkey-shifted copies, custkeys unchanged) — callable
+    * standalone so ScaleStressSpec's sf10 SCD2-chain test can
+    * self-provision a 100x orders table when the full tmp/sf10
+    * fixture is absent, without paying the documents/embeddings
+    * inflation it doesn't need. Returns the okStep used, for callers
+    * (build) that inflate lineitem consistently. */
+  def inflateOrders(spark: SparkSession, base: String, out: String,
+      factor: Int): Long = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val okStep = orders.agg(max($"o_orderkey")).head.getLong(0) + 1
+    (0 until factor).map { c =>
+      orders.withColumn("o_orderkey", $"o_orderkey" + c * okStep)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println("[scaledata] wrote orders")
+    okStep
+  }
+
   def build(spark: SparkSession, base: String, out: String,
       factor: Int, docKeyedMarkers: Boolean = false): Unit = {
     import spark.implicits._
@@ -92,10 +112,7 @@ object ScaleData {
     // orders + lineitem: orderkey-shifted copies keep referential
     // integrity (every copied lineitem still joins its copied order;
     // custkeys unchanged — 10x orders per customer)
-    val okStep = rd("orders").agg(max($"o_orderkey")).head.getLong(0) + 1
-    wr((0 until factor).map { c =>
-      rd("orders").withColumn("o_orderkey", $"o_orderkey" + c * okStep)
-    }.reduce(_ unionByName _), "orders")
+    val okStep = inflateOrders(spark, base, out, factor)
     wr((0 until factor).map { c =>
       rd("lineitem").withColumn("l_orderkey", $"l_orderkey" + c * okStep)
     }.reduce(_ unionByName _), "lineitem")

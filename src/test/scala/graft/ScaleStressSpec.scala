@@ -30,8 +30,8 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r14.json"
-  private val PrevArtifactFile = "SCALE_r13.json"
+  private val ArtifactFile = "SCALE_r15.json"
+  private val PrevArtifactFile = "SCALE_r14.json"
 
   /** The COMPLETE set of metric names any test in this suite can
     * `record()` — the artifact's tamper-evidence (round-8 verdict
@@ -65,7 +65,10 @@ class ScaleStressSpec extends AnyFunSuite
     "scd2_manifest_metadata_savings", "scd2_manifest_ops_per_read",
     "scd2_manifest_ops_per_read_100v",
     "scd2_premanifest_listings_per_read_100v",
-    "scd2_manifest_metadata_savings_100v")
+    "scd2_manifest_metadata_savings_100v",
+    "scd2_manifest_ops_per_read_100v_sf10",
+    "scd2_premanifest_listings_per_read_100v_sf10",
+    "scd2_manifest_metadata_savings_100v_sf10")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -819,6 +822,106 @@ class ScaleStressSpec extends AnyFunSuite
     record("scd2_manifest_metadata_savings_100v", savings, 0.95)
     assert(savings >= 0.95,
       f"manifest saves too little metadata at 100 versions: $savings%.4f")
+  }
+
+  test("100-version SCD2 chain AT sf10: longevity x scale composed —" +
+      " manifest metadata stays ONE read") {
+    // round-14 verdict stretch #8: the two SCD2 longevity/scale proofs
+    // existed only SEPARATELY (100 versions at unit scale above; a
+    // 14-version chain at sf10 in BENCH_SF10) — this composes them.
+    // 100 sparse CDC merges over the 100x orders table (15M rows;
+    // custkey % 3200 slices, so each merge touches exactly ONE of the
+    // 32 buckets and each version dir holds an sf10-scale bucket
+    // rewrite), then the same present-vs-deleted manifest ops count.
+    // Self-provisions the 100x orders when tmp/sf10 is absent
+    // (ScaleData.inflateOrders — orders only; the documents/embeddings
+    // inflation this test doesn't need stays unpaid).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod => fpmod, lit => flit}
+    val base =
+      if (new java.io.File("tmp/sf10/orders.parquet").exists) "tmp/sf10"
+      else {
+        val out = "tmp/sf10_orders_scd2"
+        if (!new java.io.File(s"$out/orders.parquet/_SUCCESS").exists)
+          ScaleData.inflateOrders(spark, "/root/testdata/sf0.1", out, 100)
+        out
+      }
+    val dimDir = s"${System.getProperty("java.io.tmpdir")}" +
+      "/graft_stress_manifest100_sf10"
+    sources.Writers.rmrf(new java.io.File(dimDir))
+    val cutoff = "1997-01-01"
+    // The okStep copies share (custkey, orderdate) — SCD2's change
+    // extractor (latest per (cust, date)) collapses all 100 copies to
+    // ONE change, so the raw inflated table yields a unit-scale STATE
+    // (~49k rows — the first run of this test proved it by failing
+    // the scale assertion below). Give each copy its own change day
+    // deterministically: shift by o_orderkey % 41 days (41 is coprime
+    // to okStep=150000, so the 100 copies of a base order cycle
+    // through 41 distinct shifts — okStep % 100 = 0 is exactly why a
+    // %100 shift would NOT differentiate). State becomes ~1.75M rows
+    // pre-cutoff: the version dirs now hold sf10-scale bucket
+    // rewrites, which is the scale half this composition exists to
+    // exercise.
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+      .select($"o_orderkey", $"o_custkey",
+        expr("timestampadd(DAY, CAST(o_orderkey % 41 AS INT), o_orderdate)")
+          .as("o_orderdate"),
+        $"o_orderstatus", $"o_totalprice")
+    val wq = operators.WriterQueries
+    wq.scd2WriteVersion(wq.scd2History(
+      wq.scd2Changes(orders.filter($"o_orderdate" < cutoff))), dimDir, 0L)
+    // the 100 sparse slices, pre-verified nonempty on the docKeyed
+    // fixture (min 2000 rows per slice at factor 100)
+    val post = orders.filter($"o_orderdate" >= cutoff)
+      .filter(fpmod($"o_custkey", flit(3200L)) < 100L)
+      .localCheckpoint()
+    (0 until 100).foreach { k =>
+      val touched = wq.scd2MergeStep(dimDir, k.toLong,
+        post.filter(fpmod($"o_custkey", flit(3200L)) === k.toLong))
+      assert(touched == Seq(k % operators.WriterQueries.Scd2Buckets),
+        s"merge $k touched $touched — the %3200 slicing should hit " +
+          "exactly one bucket")
+    }
+    val maxV = 100L
+    def ops(body: => Unit): (Long, Long) = {
+      wq.scd2ListingCalls.set(0); wq.scd2ManifestReads.set(0)
+      body
+      (wq.scd2ListingCalls.get, wq.scd2ManifestReads.get)
+    }
+    def stateCount() = wq.scd2State(spark, dimDir, maxV).count()
+    var withManifest = 0L
+    val (mLists, mReads) = ops { withManifest = stateCount() }
+    assert(withManifest > 1000000L,
+      s"sf10 chain state suspiciously small: $withManifest rows — " +
+        "the scale half of the composition is missing")
+    val (fs, root) = sources.Writers.fsOf(spark, dimDir)
+    val manifests = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v"))
+    assert(manifests.length == 101,
+      s"expected 101 stamped manifests, found ${manifests.length}")
+    manifests.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, m), false))
+    var fallback = 0L
+    val (fLists, fReads) = ops { fallback = stateCount() }
+    info(s"100v x sf10 chain — manifest read: $mLists listings + " +
+      s"$mReads manifest reads over $withManifest state rows; " +
+      s"pre-manifest read: $fLists listings + $fReads manifest reads")
+    assert(fallback == withManifest,
+      s"listing-scan state diverges at 100v x sf10: $fallback vs " +
+        s"$withManifest rows")
+    assert(mLists == 0 && mReads == 1,
+      s"manifest read not O(1) at 100v x sf10: $mLists listings, " +
+        s"$mReads manifest reads")
+    assert(fLists == maxV + 1,
+      s"pre-manifest read should list all ${maxV + 1} version dirs: $fLists")
+    val savings = 1.0 - (mLists + mReads).toDouble / (fLists + fReads)
+    record("scd2_manifest_ops_per_read_100v_sf10",
+      (mLists + mReads).toDouble, 0.0)
+    record("scd2_premanifest_listings_per_read_100v_sf10",
+      fLists.toDouble, 0.0)
+    record("scd2_manifest_metadata_savings_100v_sf10", savings, 0.95)
+    assert(savings >= 0.95,
+      f"manifest saves too little metadata at 100v x sf10: $savings%.4f")
   }
 
   test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {
