@@ -397,14 +397,14 @@ object Similarity {
     * carries (vec_id, embedding, nrm, c_id) — inline (ivfTopK) or
     * reattached from a STORED assignment (w07). */
   def ivfProbe(emb: DataFrame, centroids: DataFrame, assigned: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, k: Int = 5): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     // queries probe their nprobe nearest centroids
     val qs = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
         $"nrm".as("q_nrm"))
-    ivfProbeQueries(qs, centroids, assigned, nprobe)
+    ivfProbeQueries(qs, centroids, assigned, nprobe, k)
   }
 
   /** [[ivfProbe]] with the QUERY frame explicit — (q_id, q_vec, q_nrm)
@@ -448,7 +448,7 @@ object Similarity {
   }
 
   def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
-      assigned: DataFrame, nprobe: Int): DataFrame = {
+      assigned: DataFrame, nprobe: Int, k: Int = 5): DataFrame = {
     val s = qs.sparkSession
     import s.implicits._
     // candidates = vectors in probed buckets; exact re-rank
@@ -458,7 +458,7 @@ object Similarity {
       .select($"q_id", $"vec_id",
         (dot($"q_vec", $"embedding") / ($"q_nrm" * $"nrm")).as("sim0"))
       .withColumn("rk", row_number().over(wRank))
-      .filter($"rk" <= 5)
+      .filter($"rk" <= k)
       .select($"q_id", $"vec_id", round($"sim0", 6).as("sim"), $"rk")
   }
 

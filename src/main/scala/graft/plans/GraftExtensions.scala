@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bm25TopkTvf.build))
     ext.injectTableFunction((HybridTopkTvf.identifier, HybridTopkTvf.info,
       HybridTopkTvf.build))
+    ext.injectTableFunction((KnnTopkTvf.identifier, KnnTopkTvf.info,
+      KnnTopkTvf.build))
   }
 }

@@ -74,6 +74,37 @@ object Bm25TopkTvf {
   }
 }
 
+/** `knn_topk(<embeddings view> [, k])` — s04's IVF approximate
+  * nearest neighbours over the named relation (columns `vec_id`,
+  * `embedding`): sampled coarse quantizer
+  * ([[graft.operators.Similarity.centModulus]] of the view's count,
+  * one count job at plan build), nprobe=2 probe, exact re-rank.
+  * Query vectors are the standard corpus slice (vec_id % 50 = 0).
+  * Returns (q_id, vec_id, sim, rk). */
+object KnnTopkTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("knn_topk")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    KnnTopkTvf.getClass.getName, "knn_topk")
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (names, k) = RetrievalTvfs.parse("knn_topk", args, nTables = 1)
+    val s = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val sim = graft.operators.Similarity
+    val emb = s.table(names.head).select(col("vec_id"), col("embedding"),
+      sim.norm(col("embedding")).as("nrm"))
+    val cents = emb
+      .filter(col("vec_id") % sim.centModulus(emb.count()) === 7)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    sim.ivfProbe(emb, cents, sim.ivfAssignment(emb, cents),
+        nprobe = 2, k = k.getOrElse(5))
+      .queryExecution.logical
+  }
+}
+
 /** `hybrid_topk(<docs view>, <embeddings view> [, k])` — s13's
   * BM25 + IVF reciprocal-rank fusion over the named relations
   * (`doc_id`/`text` and `vec_id`/`embedding`). Returns

@@ -588,6 +588,18 @@ class SqlParitySpec extends AnyFunSuite {
       canon(SparkEntry.queries("s12_bm25_lexical")(spark, sf)))
   }
 
+  test("knn_topk TVF: SQL call == s04's registered plan") {
+    register()
+    val viaSql = spark.sql("SELECT * FROM knn_topk('embeddings')")
+    val viaDsl = SparkEntry.queries("s04_knn_ivf")(spark, sf)
+    assert(viaSql.columns.sorted.sameElements(viaDsl.columns.sorted))
+    assert(canon(viaSql) == canon(viaDsl))
+    // and the k override cuts (top-2 is a strict per-query prefix)
+    val k2 = spark.sql("SELECT * FROM knn_topk('embeddings', 2)")
+    assert(k2.collect().forall(_.getInt(3) <= 2))
+    assert(canon(k2) == canon(viaDsl.filter("rk <= 2")))
+  }
+
   test("retrieval TVFs reject malformed arguments loudly") {
     register()
     val badK = intercept[Exception] {
