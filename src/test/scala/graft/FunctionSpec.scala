@@ -162,6 +162,33 @@ class FunctionSpec extends AnyFunSuite {
     assert(s.toString.contains("42"))
   }
 
+  test("union type malformed indexes fail loudly (negative paths)") {
+    // A NEGATIVE index would resolve GetStructField ordinal 0 — the
+    // TAG — silently serving the discriminator as a member value;
+    // rejected at registration instead.
+    val neg = intercept[Exception] {
+      one("extract_union(create_union(1, 'x', 42), -1)")
+    }
+    assert(neg.getMessage.contains("negative"),
+      s"unexpected: ${neg.getMessage}")
+    // An over-arity index must die in analysis (ordinal out of
+    // bounds), never return null or another member.
+    val over = intercept[Exception] {
+      one("extract_union(create_union(1, 'x', 42), 5)")
+    }
+    assert(over.getMessage != null)
+    // The index is part of the union's static shape — a non-literal
+    // (per-row) index is rejected with a usable message, not an
+    // unresolved-expression stack trace.
+    SparkTestSession.register()
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT extract_union(create_union(1, 'x', o_orderkey)," +
+          " o_orderkey % 2) FROM orders").collect()
+    }
+    assert(nonLit.getMessage.contains("literal"),
+      s"unexpected: ${nonLit.getMessage}")
+  }
+
   test("bloom_filter / in_bloom_filter") {
     SparkTestSession.register()
     val r = spark.sql(
