@@ -1697,17 +1697,39 @@ object Similarity {
     * properties. */
   def bm25Queries(qsh: DataFrame, postings: DataFrame, sizes: DataFrame,
       k: Int = 5): DataFrame = {
+    val (dfc, stats) = bm25Statics(postings, sizes)
+    bm25QueriesFrom(qsh, postings, sizes, dfc, stats, k)
+  }
+
+  /** BM25's INDEX STATICS — the per-shingle df regroup and the one-row
+    * (N, avgdl) frame. Both are properties of the index alone
+    * (invariant across batches under a frozen index), so a streaming
+    * serve run (st24) computes them ONCE and checkpoint-reuses them:
+    * before round 15 every micro-batch re-shuffled the ENTIRE stored
+    * postings for the df regroup and re-aggregated the sizes — the
+    * st22-serve lesson (index-proportional per-batch work) on the
+    * statistics side. Batch callers get them per call via
+    * [[bm25Queries]], which is the same arithmetic. */
+  def bm25Statics(postings: DataFrame, sizes: DataFrame)
+      : (DataFrame, DataFrame) = {
     val s = postings.sparkSession
     import s.implicits._
-    // df regrouped from the capped postings (≤ cap by construction);
-    // N = indexed docs, avgdl over the capped sizes — ONE broadcast
-    // one-row frame carrying both scalars, crossJoined once before the
-    // score aggregate (two separate stats.select crossJoins recomputed
-    // the sizes aggregation twice per call — twice per micro-batch in
-    // st24; round-14 advice). avgdl is constant on every row, so
-    // first() carries it through the groupBy deterministically.
-    val dfc = postings.groupBy($"g").agg(count(lit(1)).as("df"))
-    val stats = sizes.agg(count(lit(1)).as("nn"), avg($"n").as("avgdl"))
+    (postings.groupBy($"g").agg(count(lit(1)).as("df")),
+      sizes.agg(count(lit(1)).as("nn"), avg($"n").as("avgdl")))
+  }
+
+  /** The BM25 scoring core over EXPLICIT statics ([[bm25Statics]]'s
+    * shapes: dfc = (g, df); stats = one row (nn, avgdl)). ONE
+    * broadcast one-row stats frame, crossJoined once before the score
+    * aggregate (two separate stats.select crossJoins recomputed the
+    * sizes aggregation twice per call — round-14 advice). avgdl is
+    * constant on every row, so first() carries it through the groupBy
+    * deterministically. */
+  def bm25QueriesFrom(qsh: DataFrame, postings: DataFrame,
+      sizes: DataFrame, dfc: DataFrame, stats: DataFrame,
+      k: Int = 5): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
     val wRank = Window.partitionBy($"q_id")
       .orderBy(round($"score", 9).desc, $"doc_id")
     qsh.join(postings, "g")

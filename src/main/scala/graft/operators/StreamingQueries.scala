@@ -1430,6 +1430,14 @@ object StreamingQueries {
     val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
     val postings = pr.localCheckpoint()
     val sizes = szr.localCheckpoint()
+    // BM25's statistics are INDEX properties — df regroup and (N,
+    // avgdl) computed once per serve run and checkpoint-reused, so a
+    // micro-batch's bill is only its own probe join (before round 15
+    // every batch re-shuffled the whole stored postings for the df
+    // regroup — the st22-serve lesson on the statistics side)
+    val (dfc0, stats0) = Similarity.bm25Statics(postings, sizes)
+    val dfc = dfc0.localCheckpoint()
+    val stats = stats0.localCheckpoint()
     val queries = postings.select($"doc_id").distinct()
       .filter($"doc_id" % 50 === 0)
     val q = s.readStream
@@ -1441,7 +1449,8 @@ object StreamingQueries {
         val qsh = postings.join(b.select(col("doc_id")), "doc_id")
           .select(col("doc_id").as("q_id"), col("g"))
         graft.streaming.Streams.sinkMatchesIdempotent(
-          Similarity.bm25Queries(qsh, postings, sizes), id, dest)
+          Similarity.bm25QueriesFrom(qsh, postings, sizes, dfc, stats),
+          id, dest)
       }
       .start()
     try {
