@@ -301,6 +301,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("v02b: fixed-bin histogram scans two columns and broadcasts the" +
+      " 3-row extremes") {
+    val p = plan("v02b_histogram_fixed")
+    // pass-two joins the per-group extremes back to the fact rows —
+    // broadcast (3 rows), never a shuffle of the fact side on the flag
+    assert(p.contains("BroadcastHashJoin"),
+      s"extremes join not broadcast:\n$p")
+    // the scan is pruned to the two columns the histogram touches
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      s"histogram scan reads untouched columns:\n$p")
+    // bin arithmetic stays integral end-to-end (the cross-engine
+    // exactness device): no float division feeds the bin id
+    assert(p.contains("div"), s"no integer division in the plan:\n$p")
+  }
+
+  test("dq07: the audit joins on vec_id, no unbounded cartesian") {
+    // the only nested-loop the audit may contain is the broadcast
+    // centroid assignment (bounded by the ~constant centModulus cell
+    // count); a CartesianProduct would mean the recompute degraded to
+    // corpus x corpus
+    val p = plan("dq07_ivf_audit")
+    assert(!p.contains("CartesianProduct"),
+      s"dq07 planned an unbounded cartesian:\n$p")
+  }
+
   test("r02: interval-overlap join plans as an equi join on the bin id," +
       " not a nested loop") {
     // the whole point of the binning device: a bare overlap predicate
