@@ -1167,9 +1167,18 @@ object StreamingQueries {
     val routed = admitted
       .join(qg.withColumn("inqg", lit(1)), Seq("g"), "left")
       .na.fill(0, Seq("inqg"))
-    graft.sources.Writers.writeLexIndexLeg(routed,
-      admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
-      idx, leg)
+      .localCheckpoint() // the postings write AND the sizes flag scan it
+    // a size row is probe-relevant iff its doc has >=1 in-qg posting:
+    // every candidate the probe join can produce shares an in-qg g
+    // with a query, and a query doc's postings are in-qg by
+    // construction — so the serve's sizes read prunes to insz=1 with
+    // zero rows the probe could touch excluded. n still counts ALL
+    // the doc's capped postings (routing must not perturb the length
+    // terms).
+    val sizes = routed
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("inqg")).as("insz"))
+    graft.sources.Writers.writeLexIndexLeg(routed, sizes, idx, leg)
   }
 
   /** s11's static vector leg — independent of the lexical admissions,
@@ -1197,8 +1206,11 @@ object StreamingQueries {
     * posting, so excluding it cannot change any Jaccard — both the
     * query side (query-doc postings are in-qg by construction) and
     * the candidate side (the probe join is on g) see the identical
-    * rows the full read produced. Per-serve read bill: probe-
-    * reachable postings only, instead of the whole index. */
+    * rows the full read produced — and the sizes read prunes the
+    * same way (`insz=1`: docs with ≥1 probe-reachable posting; only
+    * such docs can appear as a query or candidate). Per-serve read
+    * bill: the probe-reachable slice of BOTH index legs, instead of
+    * the whole index. */
   private[graft] def lexServeStored(s: org.apache.spark.sql.SparkSession,
       idx: String, vec5: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -261,24 +261,36 @@ object Writers {
       .write.mode(SaveMode.Overwrite)
     (if (routed) w.partitionBy("inqg") else w)
       .parquet(s"$dest/postings/leg=$leg")
-    sizes.select("doc_id", "n")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dest/sizes/leg=$leg")
+    // sizes route by `insz` (doc has >=1 probe-reachable posting) the
+    // same way — after the postings prune, an unpruned sizes read
+    // would DOMINATE the serve bill (one row per admitted doc vs the
+    // probe-reachable posting slice)
+    val szRouted = sizes.columns.contains("insz")
+    val sw = sizes
+      .select((if (szRouted) Seq("doc_id", "n", "insz")
+               else Seq("doc_id", "n")).map(sizes.col): _*)
+      .write.mode(SaveMode.Overwrite)
+    (if (szRouted) sw.partitionBy("insz") else sw)
+      .parquet(s"$dest/sizes/leg=$leg")
   }
 
-  /** Read a ROUTED lexical index ([[writeLexIndexLeg]] with `inqg`)
-    * back pruned to the probe-reachable postings: the `inqg=1`
-    * partition filter is a directory-level prune, so a serve's
+  /** Read a ROUTED lexical index ([[writeLexIndexLeg]] with `inqg`/
+    * `insz`) back pruned to the probe-reachable rows on BOTH legs:
+    * the partition filters are directory-level prunes, so a serve's
     * posting read is bounded by the frozen query set's reach (≤ cap ×
     * query postings) instead of the whole index — the bill st23's
-    * probed-cell pruning pays on the vector side. Sizes stay full
-    * (one row per admitted doc; the Jaccard length terms need any
-    * candidate's size). */
+    * probed-cell pruning pays on the vector side — and the sizes
+    * read is bounded by the docs that can ever appear as a query or
+    * candidate (insz=1: ≥1 probe-reachable posting; the Jaccard
+    * length terms never touch any other doc). */
   def readLexIndexProbed(spark: SparkSession, dest: String)
       : (DataFrame, DataFrame) = (
     spark.read.parquet(s"$dest/postings")
       .filter(org.apache.spark.sql.functions.col("inqg") === 1)
       .select("g", "doc_id"),
-    spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
+    spark.read.parquet(s"$dest/sizes")
+      .filter(org.apache.spark.sql.functions.col("insz") === 1)
+      .select("doc_id", "n"))
 
   /** Bucket both join sides once, then join shuffle-free. The `merge`
     * hint pins SortMergeJoin (at fixture scale the size estimator would

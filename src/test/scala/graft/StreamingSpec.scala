@@ -1363,6 +1363,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(probedScan.contains("PartitionFilters: [") &&
         probedScan.contains("inqg"),
       s"probed read does not partition-prune on inqg:\n$probedScan")
+    // ... and the sizes leg prunes the same way (after the postings
+    // prune an unpruned sizes read would dominate the serve bill)
+    val fullSz = spark.read.parquet(s"$idx/sizes")
+    val nSzFull = fullSz.count()
+    val nSzProbed = fullSz.filter($"insz" === 1).count()
+    assert(nSzProbed < nSzFull,
+      s"every admitted doc is probe-reachable ($nSzProbed of $nSzFull)" +
+        " — the insz routing prunes nothing at this fixture")
+    val probedSzScan = sources.Writers.readLexIndexProbed(spark, idx)._2
+      .queryExecution.executedPlan.toString
+    assert(probedSzScan.contains("PartitionFilters: [") &&
+        probedSzScan.contains("insz"),
+      s"probed sizes read does not partition-prune on insz:\n$probedSzScan")
   }
 
   test("st23: checkpointed restart resumes IVF ADMISSION exactly-once," +
