@@ -625,7 +625,164 @@ object Audit {
         recomputed.filter($"c_id" =!= $"stored_c")))
   }
 
+  /** dq08 chain/injection constants, spliced into BOTH the builder and
+    * the oracle SQL from one definition (the dq06 df-cap lesson: a
+    * constant repeated as a literal in only one engine's text drifts
+    * silently). */
+  private val Dq08Cutoff = "1997-01-01"
+  private val Dq08Horizon = "1997-07-01"
+  private val Dq08DelMod = 5
+  private val Dq08DelRem = 3
+  private val Dq08MisBucket = 0
+
+  /** dq08: TABLE-MANIFEST CONSISTENCY audit — the third leg of the
+    * stored-artifact audit family (dq06 lexical index, dq07 IVF index,
+    * dq08 the SCD2 version chain's manifests), and the check every
+    * table format ships as `VERIFY`/`fsck`: do the chain's COMMIT
+    * RECORDS still describe the data dirs on disk? The audited chain is
+    * corrupted by construction, so every check fires on real
+    * violations: the standard 3-version chain (v0 pre-cutoff base,
+    * v1/v2 chronological merges — w10's construction) suffers
+    *   (a) a CRASH-STRANDED COMMIT: v2's data landed but its manifest
+    *       is gone (deleted — the exact state a writer crash between
+    *       data write and manifest stamp leaves);
+    *   (b) EXTERNAL RETENTION: v1's bucket dirs with bucket %
+    *       [[Dq08DelMod]] = [[Dq08DelRem]] deleted outside the vacuum
+    *       protocol (no horizon stamp, no manifest re-point);
+    *   (c) MIS-ROUTED ROWS: bucket [[Dq08MisBucket]]'s v0 rows appended
+    *       into the NEIGHBOR bucket's dir (a writer built at a different
+    *       bucketing constant — the failure mode the layout stamp
+    *       guards interactive reads against, here made visible to the
+    *       audit's row-level check).
+    * Checks, one row each (check_name, n_violations):
+    *   - dangling_claims: latest-manifest entries whose claimed
+    *     `v{ver}/bucket={b}` dir is MISSING — every as-of read that
+    *     trusts the manifest fails on a vanished path;
+    *   - stale_claims: entries whose claimed dir exists but a NEWER
+    *     version dir holds the bucket — reads through this manifest
+    *     silently serve out-of-date rows (the crash-stranded commit's
+    *     blast radius on correctness);
+    *   - unmanifested_buckets: buckets present in version dirs ABOVE
+    *     the latest committed manifest — data invisible to manifest-
+    *     first resolution until the listing top-up rescues it (the
+    *     recovery debt the crash left);
+    *   - misrouted_rows: rows physically under `bucket=b` whose
+    *     `pmod(cust_key, Scd2Buckets)` ≠ b — partition-pruned reads
+    *     never see them (rows lost without any path failing).
+    * Every count is DATA-DERIVED (which buckets each batch touches is
+    * set algebra over `orders`), so the DuckDB oracle recomputes all
+    * four from the source table — the same one-arithmetic-two-engines
+    * discipline as dq06/dq07 — while the Spark side computes them from
+    * the REAL artifacts: actual manifests read back, actual dir
+    * listings, one distributed parquet read for the row check.
+    *
+    * 100 TB: claims and disk state are ≤ Scd2Buckets entries per
+    * version (driver-side broadcast-class, the scd2MergeStep-collect
+    * precedent); the audit deliberately pays the pure O(versions)
+    * listing scan because it cannot resolve THROUGH the manifests it
+    * audits — once per audit run, not per read. The row-level check is
+    * one parallel scan of the chain's data files, the same bill as the
+    * vacuum compaction read; violation counts are map-side sums. */
+  val dq08ManifestAudit: Q = Q(
+    "dq08_manifest_audit",
+    s"""WITH pre AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets}
+      |      AS b FROM orders WHERE o_orderdate < '$Dq08Cutoff'),
+      |t1 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
+      |       FROM orders WHERE o_orderdate >= '$Dq08Cutoff'
+      |         AND o_orderdate < '$Dq08Horizon'),
+      |t2 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
+      |       FROM orders WHERE o_orderdate >= '$Dq08Horizon'),
+      |dangling AS (SELECT count(*) AS n FROM t1
+      |             WHERE b % $Dq08DelMod = $Dq08DelRem),
+      |stale AS (SELECT count(*) AS n FROM t2
+      |          WHERE b IN (SELECT b FROM t1
+      |                      WHERE b % $Dq08DelMod <> $Dq08DelRem)
+      |             OR (b IN (SELECT b FROM pre)
+      |                 AND b NOT IN (SELECT b FROM t1))),
+      |unmani AS (SELECT count(*) AS n FROM t2),
+      |misrouted AS (SELECT count(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey, o_orderdate FROM orders
+      |  WHERE o_orderdate < '$Dq08Cutoff'
+      |    AND o_custkey % ${WriterQueries.Scd2Buckets} = $Dq08MisBucket))
+      |SELECT 'dangling_claims' AS check_name,
+      |  CAST(n AS BIGINT) AS n_violations FROM dangling
+      |UNION ALL SELECT 'misrouted_rows', CAST(n AS BIGINT) FROM misrouted
+      |UNION ALL SELECT 'stale_claims', CAST(n AS BIGINT) FROM stale
+      |UNION ALL SELECT 'unmanifested_buckets', CAST(n AS BIGINT)
+      |FROM unmani""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_dq08_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.rmrf(new java.io.File(dest))
+    // the standard 3-version chain (w10's construction, real manifests)
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    WriterQueries.scd2WriteVersion(WriterQueries.scd2History(
+      WriterQueries.scd2Changes(orders.filter($"o_orderdate" < Dq08Cutoff))),
+      dest, 0L)
+    WriterQueries.scd2MergeStep(dest, 0L, orders.filter(
+      $"o_orderdate" >= Dq08Cutoff && $"o_orderdate" < Dq08Horizon))
+    WriterQueries.scd2MergeStep(dest, 1L,
+      orders.filter($"o_orderdate" >= Dq08Horizon))
+    val (fs, root) = graft.sources.Writers.fsOf(s, dest)
+    // (a) crash-stranded commit: v2's manifest gone, its data intact
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      WriterQueries.scd2ManifestName(2L)), false)
+    // (b) external retention: v1 bucket dirs deleted outside vacuum
+    WriterQueries.scd2DiskBuckets(s, dest)
+      .collect { case (b, 1L) if b % Dq08DelMod == Dq08DelRem => b }
+      .foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"v1/bucket=$b"), true))
+    // (c) mis-routed rows: the neighbor dir gets bucket 0's v0 state
+    s.read.schema(WriterQueries.Scd2Schema)
+      .parquet(s"$dest/v0/bucket=$Dq08MisBucket")
+      .write.mode("append")
+      .parquet(s"$dest/v0/bucket=${Dq08MisBucket + 1}")
+    manifestAuditChecks(s, dest)
+  }
+
+  /** dq08's four checks over an arbitrary chain dir — shared with
+    * AuditSpec's negative path (a CLEAN chain must audit to all-zeros;
+    * the driver oracle only ever sees the corruption-injected positive
+    * path). */
+  private[graft] def manifestAuditChecks(s: org.apache.spark.sql.SparkSession,
+      dimDir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (claimV, cmap) = WriterQueries.scd2LatestManifest(s, dimDir)
+      .getOrElse((-1L, Map.empty[Int, Long]))
+    val diskPairs = WriterQueries.scd2DiskBuckets(s, dimDir)
+    val claims = cmap.toSeq.toDF("b", "claim_v")
+    val disk = diskPairs.toDF("b", "disk_v")
+    val diskAsClaims = disk.select($"b", $"disk_v".as("claim_v"))
+    val diskLatest = disk.groupBy($"b").agg(max($"disk_v").as("latest_v"))
+    def audit(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_violations"))
+        .withColumn("check_name", lit(name))
+        .select($"check_name", $"n_violations")
+    // row-level check: one distributed read of every version dir (the
+    // bucket partition column comes from directory discovery)
+    val bucketedSchema = org.apache.spark.sql.types.StructType(
+      WriterQueries.Scd2Schema.fields :+
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType))
+    val misrouted = diskPairs.map(_._2).distinct.sorted
+      .map(v => s.read.schema(bucketedSchema).parquet(s"$dimDir/v$v"))
+      .reduceOption(_ unionByName _)
+      .map(_.filter(pmod($"cust_key",
+        lit(WriterQueries.Scd2Buckets.toLong)).cast("int") =!= $"bucket"))
+      .getOrElse(claims.limit(0))
+    audit("dangling_claims",
+        claims.join(diskAsClaims, Seq("b", "claim_v"), "left_anti"))
+      .unionByName(audit("misrouted_rows", misrouted))
+      .unionByName(audit("stale_claims",
+        claims.join(diskAsClaims, Seq("b", "claim_v"))
+          .join(diskLatest, "b").filter($"latest_v" > $"claim_v")))
+      .unionByName(audit("unmanifested_buckets",
+        disk.filter($"disk_v" > claimV).select($"b").distinct()))
+  }
+
   val all: Seq[Q] = Seq(dq01QualityAudit, dq02SourceQuality,
     dq03EmbeddingAudit, dq04DriftAudit, dq05SplitLeakage, dq06IndexAudit,
-    dq07IvfAudit)
+    dq07IvfAudit, dq08ManifestAudit)
 }

@@ -592,6 +592,48 @@ object WriterQueries {
     }.toMap
   }
 
+  /** dq08 accessors — the two sides a manifest audit compares. Both
+    * return small driver-side structures (≤ [[Scd2Buckets]] entries per
+    * version — broadcast-class, the scd2MergeStep-collect precedent);
+    * the audit's violation arithmetic itself runs as Spark anti-joins
+    * over these, plus one distributed read for the row-level check. */
+
+  /** The chain's latest COMMITTED manifest: (version, bucket→version
+    * claims). One root listing + one manifest read — the same metadata
+    * bill as one as-of resolution. */
+  private[graft] def scd2LatestManifest(s: org.apache.spark.sql.SparkSession,
+      dimDir: String): Option[(Long, Map[Int, Long])] = {
+    val (fs, root) = Writers.fsOf(s, dimDir)
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    manifestVersions(names.toSeq).sorted.lastOption
+      .map(v => v -> readManifest(fs, root, v))
+  }
+
+  /** Every (bucket, version) pair physically on disk — the GROUND
+    * TRUTH side. Deliberately the pure listing scan (one listStatus per
+    * version dir): an audit of the manifests cannot resolve THROUGH
+    * the manifests it is auditing, so it pays the O(versions) metadata
+    * bill the manifest normally saves — once per audit run, not per
+    * read. */
+  private[graft] def scd2DiskBuckets(s: org.apache.spark.sql.SparkSession,
+      dimDir: String): Seq[(Int, Long)] = {
+    val (fs, root) = Writers.fsOf(s, dimDir)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("v\\d+"))
+      .flatMap { st =>
+        val v = st.getPath.getName.drop(1).toLong
+        fs.listStatus(st.getPath).map(_.getPath.getName)
+          .filter(_.startsWith("bucket="))
+          .map(b => b.stripPrefix("bucket=").toInt -> v)
+      }.toSeq
+  }
+
+  /** The manifest file name for version `v` — dq08's crash-injection
+    * handle (deleting it models a writer that died between the data
+    * write and the commit stamp). */
+  private[graft] def scd2ManifestName(v: Long): String = s"$ManifestPrefix$v"
+
   /** (bucket → latest version ≤ maxV containing it) from an
     * already-fetched root listing — driver-side METADATA work. Taking
     * the listing as an argument lets [[scd2State]] derive the

@@ -302,4 +302,41 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dq08: a CLEAN chain audits to all-zeros, and a SANCTIONED " +
+      "vacuum stays clean (negative path)") {
+    // The driver oracle only ever sees dq08's corruption-injected
+    // positive path — this pins the converse twice over: (1) a freshly
+    // built chain with every manifest committed reports zero on all
+    // four checks; (2) the engine's OWN retention protocol (scd2Vacuum:
+    // compact, re-point manifests, stamp horizon, delete) must stay
+    // clean — the audit exists to catch EXTERNAL deletion, and a false
+    // positive after every sanctioned vacuum would page an operator on
+    // every healthy table.
+    import spark.implicits._
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_dq08clean").toString
+    sources.Writers.rmrf(new java.io.File(dest))
+    val cutoff = "1997-01-01"; val horizon = "1997-07-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    operators.WriterQueries.scd2WriteVersion(
+      operators.WriterQueries.scd2History(operators.WriterQueries
+        .scd2Changes(orders.filter($"o_orderdate" < cutoff))), dest, 0L)
+    operators.WriterQueries.scd2MergeStep(dest, 0L, orders.filter(
+      $"o_orderdate" >= cutoff && $"o_orderdate" < horizon))
+    operators.WriterQueries.scd2MergeStep(dest, 1L,
+      orders.filter($"o_orderdate" >= horizon))
+    def zeros(label: String): Unit = {
+      val got = operators.Audit.manifestAuditChecks(spark, dest)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == Set("dangling_claims", "misrouted_rows",
+        "stale_claims", "unmanifested_buckets"))
+      got.foreach { case (k, n) => assert(n == 0L, s"$label flagged $k=$n") }
+    }
+    zeros("clean chain")
+    operators.WriterQueries.scd2Vacuum(spark, dest, keepFrom = 1L)
+    zeros("post-vacuum chain")
+  }
+
 }
