@@ -222,13 +222,19 @@ object Dedup {
   }
 
   def minhashPairs(s: SparkSession, d: String, numHashes: Int,
+      bands: Int): DataFrame =
+    minhashPairsOf(Tables.documents(s, d), numHashes, bands)
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) relation — the
+    * form the `neardup_pairs` / `dedup_clusters` TVFs plan from a SQL
+    * prompt (the [[minhashSigsOf]] precedent). */
+  def minhashPairsOf(docs: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sigs = minhashSigs(s, d, numHashes)
+    val sigs = minhashSigsOf(docs, numHashes)
     val cands = bandCandidates(sigs, bands, numHashes / bands)
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", shingles(toks($"text")).as("sh"))
-    val sets = docs.select($"doc_id", $"sh")
+    val sets = docs.select($"doc_id", shingles(toks($"text")).as("sh"))
     cands
       .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")

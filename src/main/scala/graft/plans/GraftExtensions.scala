@@ -25,5 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HybridTopkTvf.build))
     ext.injectTableFunction((KnnTopkTvf.identifier, KnnTopkTvf.info,
       KnnTopkTvf.build))
+    // SQL-callable dedup: SELECT * FROM neardup_pairs(...) /
+    // dedup_clusters(...) — the d03/d06b plans behind a SQL prompt
+    ext.injectTableFunction((NeardupPairsTvf.identifier,
+      NeardupPairsTvf.info, NeardupPairsTvf.build))
+    ext.injectTableFunction((DedupClustersTvf.identifier,
+      DedupClustersTvf.info, DedupClustersTvf.build))
   }
 }

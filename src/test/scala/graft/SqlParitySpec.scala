@@ -600,6 +600,35 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(k2) == canon(viaDsl.filter("rk <= 2")))
   }
 
+  test("neardup_pairs TVF: SQL call == d03's registered plan") {
+    // dedup-family SQL closure (the bm25_topk motivation applied to
+    // the most operationally used pipeline): the TVF returns
+    // minhashPairsOf's logical plan verbatim, so equality here rides
+    // d03's hash-verified oracle transitively.
+    register()
+    val viaSql = spark.sql("SELECT * FROM neardup_pairs('documents')")
+    val viaDsl = SparkEntry.queries("d03_minhash_lsh")(spark, sf)
+    assert(viaSql.columns.sorted.sameElements(viaDsl.columns.sorted))
+    assert(canon(viaSql) == canon(viaDsl))
+  }
+
+  test("dedup_clusters TVF: SQL call == d06b's registered plan, and " +
+      "composes over a filtered view") {
+    register()
+    val viaSql = spark.sql("SELECT * FROM dedup_clusters('documents')")
+    val viaDsl = SparkEntry.queries("d06b_dup_clusters_lsh")(spark, sf)
+    assert(viaSql.columns.sorted.sameElements(viaDsl.columns.sorted))
+    assert(canon(viaSql) == canon(viaDsl))
+    // the named relation must BITE: clustering half the corpus is not
+    // the full answer restricted (pairs across the cut disappear)
+    import spark.implicits._
+    sources.Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
+      .createOrReplaceTempView("docs_even_dc")
+    val half = spark.sql("SELECT * FROM dedup_clusters('docs_even_dc')")
+    assert(half.filter($"doc_id" % 2 =!= 0).isEmpty)
+    assert(canon(half) != canon(viaDsl))
+  }
+
   test("retrieval TVFs reject malformed arguments loudly") {
     register()
     val badK = intercept[Exception] {
