@@ -971,6 +971,152 @@ object Dedup {
       maxClusterSize = 100000)
   }
 
+  /** d07b: FIXED-POINT SemDeDup — the differential-oracle twin d07's
+    * float path cannot be (the v02b move applied to the last
+    * no-oracle-capable capability): semantic dedup's full pipeline —
+    * cluster, assign, within-cell cosine gate — run end-to-end in
+    * exact cross-engine arithmetic, so DuckDB recomputes the IDENTICAL
+    * pair set. d07 stays registered as the float-k-means production
+    * shape (its Lloyd means are order-dependent IEEE sums — genuinely
+    * inexpressible differentially); d07b proves the CAPABILITY's
+    * arithmetic the way v02b proves v02's.
+    *
+    * Determinism devices (all three from s07's PQ training, whole-
+    * vector instead of per-subspace):
+    *   1. INTEGER GRID: embeddings snapped to floor(x·200+0.5) BIGINTs
+    *      — Lloyd's assignment distances are exact integer L2² and the
+    *      one refinement round's centroid state is integer (sum, count)
+    *      pairs, order-independent under any partitioning;
+    *   2. RATIONAL CENTROIDS, never rounded: final assignment compares
+    *      Σ(c_n·x_d − s_d)² (exact BIGINT) scaled by one IEEE division
+    *      by c_n² — correctly rounded, bit-identical cross-engine
+    *      (exact while cells stay under ~1.8M vectors: (2·106·c_n)²·64
+    *      ≤ 2⁶³; the trained-k discipline keeps real cells far below);
+    *   3. INTEGER THRESHOLD GATE: cos(a,b) ≥ 0.42 decided as
+    *      dot > 0 ∧ 2500·dot² ≥ 441·n2a·n2b — all BIGINT (0.42² =
+    *      441/2500 exactly), so the boundary cannot flicker on float
+    *      noise; the emitted `sim` is one exact-integer division by a
+    *      product-of-exact-doubles sqrt — deterministic to the bit,
+    *      then rounded to 6dp (the d03 jaccard convention).
+    * Seeds are the md5-rank top-16 (s07's seed device), k fixed at 16.
+    *
+    * 100 TB: identical bill shape to d07 — one broadcast-seed assign
+    * pass, one (c_id, dim) shuffle for the refinement, one broadcast-
+    * centroid encode, then within-cell pairs (at scale the cell cap
+    * rides [[semanticPairs]]' salter unchanged — the cap is a cluster-
+    * hygiene device orthogonal to the arithmetic proven here). */
+  val d07bSemanticDedupFixed: Q = Q(
+    "d07b_semantic_dedup_fixed",
+    """WITH q0 AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(x * 200.0 + 0.5) AS BIGINT)
+      |     FOR x IN embedding::DOUBLE[]] AS qx
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT qx AS cv, row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+      |    vec_id) AS c_id
+      |  FROM q0 QUALIFY c_id <= 16),
+      |assign0 AS (
+      |  SELECT vec_id, qx, c_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY list_sum([(qx[i] - cv[i]) * (qx[i] - cv[i])
+      |                         FOR i IN range(1, 65)]), c_id) AS rk
+      |  FROM q0 CROSS JOIN seeds QUALIFY rk = 1),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      |refined AS (
+      |  SELECT c_id, dim,
+      |    CAST(sum(qx[dim]) AS BIGINT) AS s_d,
+      |    CAST(count(*) AS BIGINT) AS c_n
+      |  FROM assign0 CROSS JOIN dims
+      |  GROUP BY c_id, dim),
+      |enc AS (
+      |  SELECT q.vec_id, r.c_id,
+      |    CAST(sum((r.c_n * q.qx[r.dim] - r.s_d)
+      |           * (r.c_n * q.qx[r.dim] - r.s_d)) AS BIGINT) AS i_int,
+      |    max(r.c_n) AS c_n
+      |  FROM q0 q CROSS JOIN refined r
+      |  GROUP BY q.vec_id, r.c_id),
+      |codes AS (
+      |  SELECT vec_id, c_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY CAST(i_int AS DOUBLE) / (c_n * c_n), c_id) AS rk
+      |  FROM enc QUALIFY rk = 1),
+      |cellv AS (SELECT c.vec_id, c.c_id, q.qx
+      |          FROM codes c JOIN q0 q USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.c_id AS cluster_id,
+      |    list_sum([a.qx[i] * b.qx[i] FOR i IN range(1, 65)]) AS dot,
+      |    list_sum([a.qx[i] * a.qx[i] FOR i IN range(1, 65)]) AS n2a,
+      |    list_sum([b.qx[i] * b.qx[i] FOR i IN range(1, 65)]) AS n2b
+      |  FROM cellv a JOIN cellv b
+      |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id)
+      |SELECT doc_a, doc_b, CAST(cluster_id AS INT) AS cluster_id,
+      |  round(dot / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)), 6)
+      |    AS sim
+      |FROM pairs
+      |WHERE dot > 0 AND 2500 * dot * dot >= 441 * n2a * n2b"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    // integer working set (the s07 grid), materialized once: seeds,
+    // the Lloyd round, the encode and the pair stage all derive from it
+    val q0 = Tables.embeddings(s, d).select($"vec_id",
+      transform($"embedding",
+        x => floor(x.cast("double") * 200.0 + 0.5).cast("long")).as("qx"))
+      .localCheckpoint()
+    // seed pick: distributed top-16 heap + broadcast rank (the s06/s07
+    // device — c_id labels must equal the oracle's md5-order exactly)
+    val seedPool = q0
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .orderBy($"h", $"vec_id").limit(16)
+      .localCheckpoint()
+    val seeds = graft.operators.Ranks
+      .tinyRank(seedPool, struct($"h", $"vec_id"), "c_id")
+      .select($"c_id".cast("int").as("c_id"), $"qx".as("cv"))
+    // one Lloyd round: integer argmin over broadcast seeds (struct-min
+    // = map-side-combinable argmin with the (d2, c_id) tie-break), then
+    // integer per-dim (sum, count) centroid state
+    val assign0 = q0.crossJoin(broadcast(seeds))
+      .groupBy($"vec_id")
+      .agg(min(struct(
+        aggregate(zip_with($"qx", $"cv", (x, c) => (x - c) * (x - c)),
+          lit(0L), _ + _).as("d2"), $"c_id", $"qx")).as("best"))
+      .select($"best.c_id".as("c_id"), $"best.qx".as("qx"))
+    val refined = assign0
+      .select($"c_id", posexplode($"qx").as(Seq("p", "x")))
+      .groupBy($"c_id", ($"p" + 1).as("dim"))
+      .agg(sum($"x").as("s_d"), count(lit(1)).as("c_n"))
+    // final assignment to the RATIONAL centroid s/c via exact
+    // Σ(c·x−s)² over one IEEE division by c² (s07's device 2)
+    val enc = q0.select($"vec_id", posexplode($"qx").as(Seq("p", "x")))
+      .select($"vec_id", ($"p" + 1).as("dim"), $"x")
+      .join(broadcast(refined), "dim")
+      .groupBy($"vec_id", $"c_id")
+      .agg(sum(($"c_n" * $"x" - $"s_d") * ($"c_n" * $"x" - $"s_d"))
+        .as("i_int"), max($"c_n").as("c_n"))
+    val codes = enc
+      .groupBy($"vec_id")
+      .agg(min(struct(($"i_int".cast("double") / ($"c_n" * $"c_n"))
+        .as("d2"), $"c_id")).as("best"))
+      .select($"vec_id", $"best.c_id".as("c_id"))
+    // within-cell pairs through the integer threshold gate
+    val cellv = q0.join(codes, "vec_id")
+    val left = cellv.select($"c_id", $"vec_id".as("doc_a"),
+      $"qx".as("qa"))
+    val right = cellv.select($"c_id".as("c2"), $"vec_id".as("doc_b"),
+      $"qx".as("qb"))
+    left.join(right, $"c_id" === $"c2" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"c_id",
+        idot($"qa", $"qb").as("dot"),
+        idot($"qa", $"qa").as("n2a"), idot($"qb", $"qb").as("n2b"))
+      .filter($"dot" > 0 &&
+        lit(2500L) * $"dot" * $"dot" >= lit(441L) * $"n2a" * $"n2b")
+      .select($"doc_a", $"doc_b", $"c_id".cast("int").as("cluster_id"),
+        round($"dot".cast("double") /
+          sqrt($"n2a".cast("double") * $"n2b".cast("double")), 6).as("sim"))
+  }
+
   /** d08: INCREMENTAL dedup — flag a new batch against the existing
     * corpus without ever comparing corpus x corpus (the production
     * shape for a continuously-ingesting pipeline; d01/d02 are the
@@ -1547,7 +1693,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(d01ExactDedup, d02NormalizedDedup, d03MinhashLsh,
     d04NgramJaccard, d05Simhash, d06DupClusters, d06bDupClustersLsh,
-    d07SemanticDedup, d08IncrementalDedup, d09LineDedup,
+    d07SemanticDedup, d07bSemanticDedupFixed, d08IncrementalDedup,
+    d09LineDedup,
     d10MinhashEstimate, d11RepeatedSpans, d11bMergedSpans,
     d12IncrementalNearDup, d13PrefixJaccard, d14CanonicalDocs,
     d15ContainmentJoin)

@@ -382,6 +382,40 @@ class DedupSpec extends AnyFunSuite {
     assert(again == capped.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("d07b's fixed-point sims track the float cosine they stand in for") {
+    // The grid (x -> floor(x*200+0.5)) quantizes each coordinate by at
+    // most 1/400, so a d07b pair's emitted integer-arithmetic sim must
+    // sit within the quantization error of the TRUE float cosine —
+    // pinning that the fixed-point twin measures the same quantity d07
+    // does, not a lookalike. Also pins the gate: every emitted pair
+    // clears the 0.42 threshold in the exact arithmetic.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = SparkEntry.queries("d07b_semantic_dedup_fixed")(spark, sf)
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val checked = out
+      .join(emb.select($"vec_id".as("doc_a"), $"embedding".as("va"),
+        $"nrm".as("na")), "doc_a")
+      .join(emb.select($"vec_id".as("doc_b"), $"embedding".as("vb"),
+        $"nrm".as("nb")), "doc_b")
+      .select($"sim",
+        (operators.Similarity.dot($"va", $"vb") / ($"na" * $"nb"))
+          .as("fsim"))
+      .collect()
+    assert(checked.nonEmpty, "d07b emitted no pairs on the fixture")
+    checked.foreach { r =>
+      val (sim, fsim) = (r.getDouble(0), r.getDouble(1))
+      assert(sim >= 0.42, s"gate leaked a below-threshold pair: $sim")
+      // 64 dims x 1/400-per-coordinate quantization + normalization -> a
+      // loose but sufficient envelope; the fixture's measured max gap is
+      // ~100x smaller
+      assert(math.abs(sim - fsim) < 0.05,
+        s"fixed-point sim $sim drifted from float cosine $fsim")
+    }
+  }
+
   test("exact dedup counts are consistent") {
     val r = SparkEntry.queries("d01_dedup_exact")(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
