@@ -1057,8 +1057,12 @@ object Dedup {
       |WHERE dot > 0 AND 2500 * dot * dot >= 441 * n2a * n2b"""
       .stripMargin) { (s, d) =>
     import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // codegen'd exact-long kernel (functions/vector.scala): the HOF
+    // zip_with+aggregate form allocates a 64-element array per PAIR,
+    // which dominated the quadratic stage at sf1
     def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+      column(graft.functions.LongVecDot(expression(a), expression(b)))
     // integer working set (the s07 grid), materialized once: seeds,
     // the Lloyd round, the encode and the pair stage all derive from it
     val q0 = Tables.embeddings(s, d).select($"vec_id",
@@ -1100,16 +1104,21 @@ object Dedup {
       .agg(min(struct(($"i_int".cast("double") / ($"c_n" * $"c_n"))
         .as("d2"), $"c_id")).as("best"))
       .select($"vec_id", $"best.c_id".as("c_id"))
-    // within-cell pairs through the integer threshold gate
+    // within-cell pairs through the integer threshold gate. Two plan
+    // rules keep the quadratic stage from dominating (together they
+    // took the sf1 sweep time 93s -> 9s, scale step 12.2x -> 1.5x):
+    // n² is a PER-VECTOR quantity — computed once here and joined,
+    // never per pair — and the per-pair dot runs the codegen'd kernel
+    // above instead of a HOF that allocates per pair
     val cellv = q0.join(codes, "vec_id")
+      .select($"vec_id", $"c_id", $"qx", idot($"qx", $"qx").as("n2"))
     val left = cellv.select($"c_id", $"vec_id".as("doc_a"),
-      $"qx".as("qa"))
+      $"qx".as("qa"), $"n2".as("n2a"))
     val right = cellv.select($"c_id".as("c2"), $"vec_id".as("doc_b"),
-      $"qx".as("qb"))
+      $"qx".as("qb"), $"n2".as("n2b"))
     left.join(right, $"c_id" === $"c2" && $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"c_id",
-        idot($"qa", $"qb").as("dot"),
-        idot($"qa", $"qa").as("n2a"), idot($"qb", $"qb").as("n2b"))
+      .select($"doc_a", $"doc_b", $"c_id", $"n2a", $"n2b",
+        idot($"qa", $"qb").as("dot"))
       .filter($"dot" > 0 &&
         lit(2500L) * $"dot" * $"dot" >= lit(441L) * $"n2a" * $"n2b")
       .select($"doc_a", $"doc_b", $"c_id".cast("int").as("cluster_id"),
