@@ -326,6 +326,28 @@ class PlanSpec extends AnyFunSuite {
       s"dq07 planned an unbounded cartesian:\n$p")
   }
 
+  test("d07b: the pair stage runs the exact-long codegen kernel and " +
+      "joins on the cell id") {
+    val p = plan("d07b_semantic_dedup_fixed")
+    // the quadratic stage's dot must be the zero-allocation kernel —
+    // the HOF form it replaced measured 3x the whole stage at sf1
+    assert(p.toLowerCase.contains("longvecdot"),
+      s"pair stage not on the codegen kernel:\n$p")
+    // within-cell pairs are an equi join on c_id; the only nested loop
+    // allowed is the bounded broadcast over the 16 seeds/centroids
+    assert(!p.contains("CartesianProduct"),
+      s"d07b planned an unbounded cartesian:\n$p")
+  }
+
+  test("dq08: the audit plans no unbounded cartesian") {
+    // claims/disk are <= Scd2Buckets-entry local frames and the row
+    // check is a union of pruned version-dir scans — nothing here may
+    // degrade to a cross join of data-proportional sides
+    val p = plan("dq08_manifest_audit")
+    assert(!p.contains("CartesianProduct"),
+      s"dq08 planned an unbounded cartesian:\n$p")
+  }
+
   test("r02: interval-overlap join plans as an equi join on the bin id," +
       " not a nested loop") {
     // the whole point of the binning device: a bare overlap predicate
