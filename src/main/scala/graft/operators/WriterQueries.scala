@@ -623,6 +623,10 @@ object WriterQueries {
         st.getPath.getName.matches("v\\d+"))
       .flatMap { st =>
         val v = st.getPath.getName.drop(1).toLong
+        // counted on the shared telemetry (scd2ListingCalls) so
+        // ScaleStressSpec can PIN the audit's documented O(versions)
+        // listing bill the same way it pins the read path's O(1)
+        scd2ListingCalls.incrementAndGet()
         fs.listStatus(st.getPath).map(_.getPath.getName)
           .filter(_.startsWith("bucket="))
           .map(b => b.stripPrefix("bucket=").toInt -> v)

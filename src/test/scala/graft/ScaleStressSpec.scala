@@ -63,6 +63,7 @@ class ScaleStressSpec extends AnyFunSuite
     "s10_prefilter_recall", "s10_postfilter_recall",
     "s11_lex_cap_agreement", "s11_lex_cap_work_reduction",
     "scd2_manifest_metadata_savings", "scd2_manifest_ops_per_read",
+    "dq08_audit_listings_100v",
     "scd2_manifest_ops_per_read_100v",
     "scd2_premanifest_listings_per_read_100v",
     "scd2_manifest_metadata_savings_100v",
@@ -795,6 +796,27 @@ class ScaleStressSpec extends AnyFunSuite
     var withManifest = 0L
     val (mLists, mReads) = ops { withManifest = stateCount() }
     assert(withManifest > 0)
+    // the manifest AUDIT at longevity (dq08's negative path composed
+    // with the 100-version chain): a clean century-old chain audits to
+    // all-zeros, and the audit's metadata bill is exactly the
+    // documented O(versions) pure-listing scan (one listStatus per
+    // version dir + ONE manifest read) — the deliberate price of not
+    // resolving through the artifact it audits, paid once per audit
+    // run while interactive reads stay at the O(1) pinned above.
+    val (aLists, aReads) = ops {
+      val audit = operators.Audit.manifestAuditChecks(spark, dimDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit.keySet == Set("dangling_claims", "misrouted_rows",
+        "stale_claims", "unmanifested_buckets"))
+      audit.foreach { case (k, n) =>
+        assert(n == 0L, s"clean 100v chain flagged $k=$n") }
+    }
+    assert(aReads == 1,
+      s"audit should read ONE manifest (the latest claims): $aReads")
+    assert(aLists == maxV + 1,
+      s"audit's listing scan should touch all ${maxV + 1} version dirs: " +
+        s"$aLists")
+    record("dq08_audit_listings_100v", aLists.toDouble, 0.0)
     val (fs, root) = sources.Writers.fsOf(spark, dimDir)
     val manifests = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("_manifest_v"))
