@@ -50,9 +50,38 @@ object Multimodal {
   }
 
   /** m02: typed-Dataset batch decode via mapPartitions with the stubbed
-    * codec — the production shape for real decoders. Rows-only driver
-    * check; exact values pinned in MultimodalSpec. */
-  val m02BatchDecode: Q = Q.noOracle("m02_batch_decode") { (s, d) =>
+    * codec — the production shape for real decoders (one codec context
+    * per partition, bounded memory, no per-row dispatch). HASH-ORACLED
+    * since round 15: the stub's banded byte-sums are integer-valued
+    * (see [[MultimodalStub.decodeStub]]), so the emitted norm is
+    * sqrt(exact BIGINT) — one correctly-rounded op both engines agree
+    * on to the bit — and DuckDB replays the whole "decode" from the
+    * same payload bytes (the m03 CTE pattern). What stays genuinely
+    * engine-side — the mapPartitions execution shape — is pinned by
+    * MultimodalSpec; the oracle proves the ARITHMETIC and the
+    * metadata (dims by format, byte counts, checksums). */
+  val m02BatchDecode: Q = Q(
+    "m02_batch_decode",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'img/fake-rgb'
+      |         ELSE 'audio/fake-pcm' END AS format,
+      |    CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS dim,
+      |    text FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, (i - 1) % dim AS band,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM m, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) r),
+      |sums AS (SELECT doc_id, band, CAST(sum(v) AS BIGINT) AS s
+      |         FROM b2 GROUP BY doc_id, band),
+      |norms AS (SELECT doc_id, sqrt(CAST(sum(s * s) AS DOUBLE))
+      |            AS feature_norm
+      |          FROM sums GROUP BY doc_id)
+      |SELECT m.doc_id, m.format,
+      |  CAST(octet_length(CAST(m.text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(m.text) AS checksum, CAST(m.dim AS INT) AS feature_dim,
+      |  n.feature_norm
+      |FROM m JOIN norms n USING (doc_id)""".stripMargin) { (s, d) =>
     decodePipeline(s, d).toDF()
   }
 
@@ -599,13 +628,20 @@ object Multimodal {
 object MultimodalStub {
 
   /** Fake "decode": derives a fixed-dim feature vector from payload
-    * bytes (16 banded byte-sums, normalized). NOT a real decoder. */
+    * bytes (16/8 banded byte-sums — m03's feature convention). NOT a
+    * real decoder; a codec binding replaces this function wholesale.
+    * The sums are INTEGER-VALUED doubles (≤ n_bytes·255 ≪ 2^53), so
+    * every downstream square/sum/sqrt is exact-then-correctly-rounded —
+    * the device that graduated m02 from rows-only to hash-oracled (the
+    * previous per-byte /255.0 made each band an order-sensitive IEEE
+    * sum no other engine could replay; one deferred scaling by a
+    * consumer that wants [0,1] features is the same numbers, exact). */
   def decodeStub(payload: Array[Byte], format: String): Array[Double] = {
     val dim = if (format.startsWith("img/")) 16 else 8
     val out = new Array[Double](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xFF) / 255.0
+      out(i % dim) += (payload(i) & 0xFF).toDouble
       i += 1
     }
     out
