@@ -31,5 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NeardupPairsTvf.info, NeardupPairsTvf.build))
     ext.injectTableFunction((DedupClustersTvf.identifier,
       DedupClustersTvf.info, DedupClustersTvf.build))
+    // SQL-callable STORED-index serving: bm25_serve(dir) /
+    // knn_serve(dir, view) — the build-once/serve-many half of the
+    // index lifecycle behind the same prompt
+    ext.injectTableFunction((Bm25ServeTvf.identifier, Bm25ServeTvf.info,
+      Bm25ServeTvf.build))
+    ext.injectTableFunction((KnnServeTvf.identifier, KnnServeTvf.info,
+      KnnServeTvf.build))
   }
 }

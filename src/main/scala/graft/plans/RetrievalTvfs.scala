@@ -105,6 +105,64 @@ object KnnTopkTvf {
   }
 }
 
+/** `bm25_serve(<index dir> [, k])` — s12's BM25 ranking SERVED from a
+  * stored w12-layout lexical index (postings + sizes read back from
+  * parquet; query docs are the standard doc_id % 50 = 0 slice of the
+  * stored postings). Closes the SQL prompt's index-LIFECYCLE gap:
+  * `bm25_topk` re-derives the index from a view on every call, which
+  * is the build bill — a deployment builds once (w12) and serves the
+  * stored artifact, and until this TVF that serve path was DSL-only.
+  * Because [[graft.operators.Similarity.lexIndex]] is deterministic,
+  * serving the stored index over the same corpus is row-identical to
+  * the inline build (the w12 oracle identity) — SqlParitySpec pins
+  * `bm25_serve(dir)` == `bm25_topk(view)` through a real write/read
+  * cycle. */
+object Bm25ServeTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("bm25_serve")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    Bm25ServeTvf.getClass.getName, "bm25_serve")
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (names, k) = RetrievalTvfs.parse("bm25_serve", args, nTables = 1)
+    val (postings, sizes) = graft.sources.Writers
+      .readLexIndex(SparkSession.active, names.head)
+    graft.operators.Similarity
+      .bm25FromIndex(postings, sizes, k.getOrElse(5))
+      .queryExecution.logical
+  }
+}
+
+/** `knn_serve(<index dir>, <embeddings view> [, k])` — [[KnnTopkTvf]]'s
+  * probe shape (nprobe=2, exact re-rank) against a STORED w07-layout
+  * IVF index: centroids and (vec_id, c_id) lists read back from
+  * parquet, the named corpus view re-attaching the vectors (st16's
+  * serve convention — lists never duplicate the embeddings). A stored
+  * index holding the same frozen quantizer and assignment is
+  * row-identical to the inline `knn_topk` — SqlParitySpec pins it
+  * through a real write/read cycle. */
+object KnnServeTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("knn_serve")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    KnnServeTvf.getClass.getName, "knn_serve")
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (names, k) = RetrievalTvfs.parse("knn_serve", args, nTables = 2)
+    val s = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val sim = graft.operators.Similarity
+    val emb = s.table(names(1)).select(col("vec_id"), col("embedding"),
+      sim.norm(col("embedding")).as("nrm"))
+    val (cents, lists) = graft.sources.Writers.readIvfIndex(s, names.head)
+    sim.ivfProbe(emb, cents, emb.join(lists, "vec_id"),
+        nprobe = 2, k = k.getOrElse(5))
+      .queryExecution.logical
+  }
+}
+
 /** `hybrid_topk(<docs view>, <embeddings view> [, k])` — s13's
   * BM25 + IVF reciprocal-rank fusion over the named relations
   * (`doc_id`/`text` and `vec_id`/`embedding`). Returns

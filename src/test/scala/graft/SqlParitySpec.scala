@@ -600,6 +600,48 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(k2) == canon(viaDsl.filter("rk <= 2")))
   }
 
+  test("bm25_serve / knn_serve TVFs: stored-index serving == the " +
+      "inline build, through a real write/read cycle") {
+    // the index-lifecycle half of the SQL closure: build once (w12's
+    // layouts), serve the stored artifact — and the serve must be
+    // row-identical to the inline TVF (the w12 oracle identity on the
+    // lexical side; frozen quantizer + stored assignment on the IVF
+    // side). A bogus dir must FAIL, proving the stored path is real.
+    register()
+    import spark.implicits._
+    val lexDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_lexserve").toString
+    sources.Writers.rmrf(new java.io.File(lexDir))
+    val (p, sz) = operators.Similarity
+      .lexIndex(sources.Tables.documents(spark, sf))
+    sources.Writers.writeLexIndex(p, sz, lexDir)
+    val served = spark.sql(s"SELECT * FROM bm25_serve('$lexDir')")
+    assert(canon(served) ==
+      canon(spark.sql("SELECT * FROM bm25_topk('documents')")))
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_ivfserve").toString
+    sources.Writers.rmrf(new java.io.File(ivfDir))
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb
+      .filter($"vec_id" % operators.Similarity.centModulusFor(spark, sf)
+        === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    sources.Writers.writeIvfIndex(cents,
+      operators.Similarity.ivfAssignment(emb, cents), ivfDir)
+    val kserved = spark.sql(
+      s"SELECT * FROM knn_serve('$ivfDir', 'embeddings')")
+    assert(canon(kserved) ==
+      canon(spark.sql("SELECT * FROM knn_topk('embeddings')")))
+    // engagement probe: a dir with no index must fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM bm25_serve('/nonexistent/graft_idx')")
+        .collect()
+    }
+  }
+
   test("neardup_pairs TVF: SQL call == d03's registered plan") {
     // dedup-family SQL closure (the bm25_topk motivation applied to
     // the most operationally used pipeline): the TVF returns
