@@ -1478,10 +1478,165 @@ object StreamingQueries {
         StructField("rk", IntegerType))))
   }
 
+  /** st25: CONTINUOUS MANIFEST AUDIT — dq08's table-format fsck run as
+    * a post-commit gate inside the CDC stream (st17's chain), closing
+    * the last lifecycle asymmetry: every stored artifact had streaming
+    * ADMISSION (st22/st23) and streaming SERVING (st16/st24), but its
+    * integrity audit ran only as a batch job. Here every micro-batch's
+    * merge is followed by the full four-check audit of the chain it
+    * just committed — the deployment shape where corruption is caught
+    * one commit after it happens, not at the next scheduled fsck.
+    *
+    * Two phases, one row per (phase, check):
+    *   - stream_max: the MAX violations any per-batch audit saw across
+    *     the whole run — all zeros, pinning that the engine's own
+    *     commit protocol never trips its own fsck (the dq08 negative
+    *     path, now composed with streaming exactly-once);
+    *   - post_corruption: the stream stops, the chain suffers dq08's
+    *     corruption (crash-stranded last commit: _manifest_v3 deleted;
+    *     external retention: v2's b%5=3 bucket dirs deleted; bucket
+    *     0's v0 rows mis-routed into the neighbor dir), and the same
+    *     audit must flip EVERY check with counts the oracle recomputes
+    *     from orders set algebra (claims fall back to manifest v2, so
+    *     the stale/dangling sets shift one version down vs dq08 —
+    *     chunk-2 buckets dangle, chunk-3 buckets go stale/unmanifested).
+    * Aggregating per-batch results by MAX keeps the output independent
+    * of micro-batch boundaries; the fixed-version injections do not —
+    * the builder REQUIRES the chain at v3 (one version per chunk, which
+    * processAllAvailable-per-append guarantees on a fresh checkpoint)
+    * and fails loudly rather than audit a chain shaped differently
+    * than the oracle's algebra assumes.
+    *
+    * 100 TB: the per-commit audit bill is dq08's (one manifest read +
+    * O(versions) listings + one chain scan) — in production it runs on
+    * the retention cadence (st21) rather than every batch; here every
+    * batch runs it because the POINT is the gate's per-commit shape. */
+  val st25ManifestAuditGate: Q = Q(
+    "st25_manifest_audit_gate",
+    s"""WITH pre AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets}
+      |      AS b FROM orders WHERE o_orderdate < '1997-01-01'),
+      |t1 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
+      |       FROM orders WHERE o_orderdate >= '1997-01-01'
+      |         AND o_orderdate < '1997-07-01'),
+      |t2 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
+      |       FROM orders WHERE o_orderdate >= '1997-07-01'
+      |         AND o_orderdate < '1998-01-01'),
+      |t3 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
+      |       FROM orders WHERE o_orderdate >= '1998-01-01'),
+      |dangling AS (SELECT count(*) AS n FROM t2 WHERE b % 5 = 3),
+      |stale AS (SELECT count(*) AS n FROM t3
+      |          WHERE (b IN (SELECT b FROM t2) AND b % 5 <> 3)
+      |             OR (b IN (SELECT b FROM t1)
+      |                 AND b NOT IN (SELECT b FROM t2))
+      |             OR (b IN (SELECT b FROM pre)
+      |                 AND b NOT IN (SELECT b FROM t1)
+      |                 AND b NOT IN (SELECT b FROM t2))),
+      |unmani AS (SELECT count(*) AS n FROM t3),
+      |misrouted AS (SELECT count(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey, o_orderdate FROM orders
+      |  WHERE o_orderdate < '1997-01-01'
+      |    AND o_custkey % ${WriterQueries.Scd2Buckets} = 0))
+      |SELECT 'stream_max' AS phase, check_name,
+      |  CAST(0 AS BIGINT) AS n_violations
+      |FROM (VALUES ('dangling_claims'), ('misrouted_rows'),
+      |      ('stale_claims'), ('unmanifested_buckets')) t(check_name)
+      |UNION ALL SELECT 'post_corruption', 'dangling_claims',
+      |  CAST(n AS BIGINT) FROM dangling
+      |UNION ALL SELECT 'post_corruption', 'misrouted_rows',
+      |  CAST(n AS BIGINT) FROM misrouted
+      |UNION ALL SELECT 'post_corruption', 'stale_claims',
+      |  CAST(n AS BIGINT) FROM stale
+      |UNION ALL SELECT 'post_corruption', 'unmanifested_buckets',
+      |  CAST(n AS BIGINT) FROM unmani""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType, DoubleType, TimestampType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st25_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val dim = s"$base/dim"
+    val cutoff = "1997-01-01"
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    WriterQueries.scd2WriteVersion(WriterQueries.scd2History(
+      WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff))),
+      dim, 0L)
+    // the post-commit gate's running maximum per check (foreachBatch
+    // runs sequentially on the driver — plain map, no races)
+    val streamMax = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    // one Trigger.AvailableNow run per chunk, checkpoint-continuous:
+    // a CONTINUOUSLY-running query races its trigger loop against the
+    // multi-file chunk write and can split one chunk across two
+    // micro-batches (observed at sf1, where the write window is wide —
+    // the v3 guard below caught it), which would both break the
+    // injections' fixed-version algebra AND merge a customer's later
+    // change before its earlier one. Writing strictly BEFORE the query
+    // starts removes the race; batch ids continue from the checkpoint
+    // across runs, so the chain is exactly v1/v2/v3.
+    def runChunk(): Unit = {
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderdate", TimestampType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          WriterQueries.scd2MergeStep(dim, id, b)
+          // the gate: audit the chain THIS commit just extended
+          Audit.manifestAuditChecks(s, dim).collect().foreach { r =>
+            val (k, n) = (r.getString(0), r.getLong(1))
+            streamMax(k) = math.max(streamMax(k), n)
+          }
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val bounds = Seq(("1997-01-01", "1997-07-01"),
+      ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
+    bounds.foreach { case (lo, hi) =>
+      orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .write.mode("append").parquet(src)
+      runChunk()
+    }
+    // determinism guard: the injections below name fixed versions, so
+    // the chain must be exactly one version per chunk (what a fresh
+    // checkpoint + processAllAvailable-per-append guarantees)
+    val latest = WriterQueries.scd2LatestVersion(s, dim)
+    require(latest == 3L,
+      s"st25 expects the 3-chunk chain at v3, found v$latest — the " +
+        "micro-batch structure drifted from the oracle's algebra")
+    // dq08's corruption, shifted onto the streamed chain
+    val (fs, root) = graft.sources.Writers.fsOf(s, dim)
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      WriterQueries.scd2ManifestName(3L)), false)
+    WriterQueries.scd2DiskBuckets(s, dim)
+      .collect { case (b, 2L) if b % 5 == 3 => b }
+      .foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"v2/bucket=$b"), true))
+    s.read.schema(WriterQueries.Scd2Schema).parquet(s"$dim/v0/bucket=0")
+      .write.mode("append").parquet(s"$dim/v0/bucket=1")
+    val post = Audit.manifestAuditChecks(s, dim)
+      .select(lit("post_corruption").as("phase"), $"check_name",
+        $"n_violations")
+    streamMax.keys.toSeq.sorted
+      .map(k => ("stream_max", k, streamMax(k)))
+      .toDF("phase", "check_name", "n_violations")
+      .unionByName(post)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
     st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
-    st21CdcRetention, st22LexAdmission, st23IvfAdmission, st24Bm25Serve)
+    st21CdcRetention, st22LexAdmission, st23IvfAdmission, st24Bm25Serve,
+    st25ManifestAuditGate)
 }
