@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bm25ServeTvf.build))
     ext.injectTableFunction((KnnServeTvf.identifier, KnnServeTvf.info,
       KnnServeTvf.build))
+    // SQL-callable table fsck: SELECT * FROM table_fsck('<chain dir>')
+    // — dq08's manifest audit against any chain, for the operator
+    // mid-incident
+    ext.injectTableFunction((TableFsckTvf.identifier, TableFsckTvf.info,
+      TableFsckTvf.build))
   }
 }

@@ -642,6 +642,43 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("table_fsck TVF: zeros on a clean chain, flips on corruption") {
+    // the audit family's operational surface: point the fsck at any
+    // chain dir from SQL. Clean chain -> all four checks zero; delete
+    // one claimed bucket dir outside the vacuum protocol -> the
+    // dangling check flips, through the exact manifestAuditChecks
+    // arithmetic dq08's oracle hash-verifies.
+    register()
+    import spark.implicits._
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_tvf_fsck").toString
+    sources.Writers.rmrf(new java.io.File(dest))
+    val cutoff = "1997-01-01"
+    val orders = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderstatus", $"o_totalprice")
+    operators.WriterQueries.scd2WriteVersion(
+      operators.WriterQueries.scd2History(operators.WriterQueries
+        .scd2Changes(orders.filter($"o_orderdate" < cutoff))), dest, 0L)
+    operators.WriterQueries.scd2MergeStep(dest, 0L,
+      orders.filter($"o_orderdate" >= cutoff))
+    def fsck(): Map[String, Long] =
+      spark.sql(s"SELECT * FROM table_fsck('$dest')").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = fsck()
+    assert(clean.keySet == Set("dangling_claims", "misrouted_rows",
+      "stale_claims", "unmanifested_buckets"))
+    clean.foreach { case (k, n) => assert(n == 0L, s"clean chain $k=$n") }
+    // external retention outside the vacuum protocol
+    val (fs, root) = sources.Writers.fsOf(spark, dest)
+    val claimed = operators.WriterQueries
+      .scd2DiskBuckets(spark, dest).collectFirst { case (b, 1L) => b }
+    assert(claimed.nonEmpty, "chain has no v1 buckets to corrupt")
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      s"v1/bucket=${claimed.get}"), true)
+    assert(fsck()("dangling_claims") == 1L, "fsck missed the corruption")
+  }
+
   test("neardup_pairs TVF: SQL call == d03's registered plan") {
     // dedup-family SQL closure (the bm25_topk motivation applied to
     // the most operationally used pipeline): the TVF returns
