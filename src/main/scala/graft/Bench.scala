@@ -92,7 +92,8 @@ object Bench {
     "p11_leakfree_split", "w08_scd2_history", "m04_shared_frames",
     "d14_canonical_docs", "st17_scd2_cdc", "q35b_quantile_rollup",
     "s08_range_search", "w09_incremental_optimize",
-    "d15_containment_join")
+    "d15_containment_join", "dq08_manifest_audit",
+    "d07b_semantic_dedup_fixed", "st25_manifest_audit_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
