@@ -628,12 +628,14 @@ object Audit {
   /** dq08 chain/injection constants, spliced into BOTH the builder and
     * the oracle SQL from one definition (the dq06 df-cap lesson: a
     * constant repeated as a literal in only one engine's text drifts
-    * silently). */
-  private val Dq08Cutoff = "1997-01-01"
-  private val Dq08Horizon = "1997-07-01"
-  private val Dq08DelMod = 5
-  private val Dq08DelRem = 3
-  private val Dq08MisBucket = 0
+    * silently). `private[operators]` because st25 reuses the SAME
+    * corruption on its streamed chain — its oracle and builder must
+    * splice these too, not restate them. */
+  private[operators] val Dq08Cutoff = "1997-01-01"
+  private[operators] val Dq08Horizon = "1997-07-01"
+  private[operators] val Dq08DelMod = 5
+  private[operators] val Dq08DelRem = 3
+  private[operators] val Dq08MisBucket = 0
 
   /** dq08: TABLE-MANIFEST CONSISTENCY audit — the third leg of the
     * stored-artifact audit family (dq06 lexical index, dq07 IVF index,

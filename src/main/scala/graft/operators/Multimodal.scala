@@ -80,8 +80,12 @@ object Multimodal {
       |SELECT m.doc_id, m.format,
       |  CAST(octet_length(CAST(m.text AS BLOB)) AS BIGINT) AS n_bytes,
       |  md5(m.text) AS checksum, CAST(m.dim AS INT) AS feature_dim,
-      |  n.feature_norm
-      |FROM m JOIN norms n USING (doc_id)""".stripMargin) { (s, d) =>
+      |  coalesce(n.feature_norm, 0.0) AS feature_norm
+      |FROM m LEFT JOIN norms n USING (doc_id)""".stripMargin) { (s, d) =>
+    // LEFT JOIN + coalesce (the m03 oracle's convention): an
+    // empty-payload doc has no band rows on the SQL side but the
+    // pipeline still emits its row with norm 0.0 — an inner join would
+    // silently drop it from the oracle only (review finding, round 15)
     decodePipeline(s, d).toDF()
   }
 

@@ -711,11 +711,30 @@ object StreamingQueries {
     * against the stored dimension + keyed windows over the BATCH —
     * corpus-proportional work only in the version rewrite, which a
     * row-level-merge table format eliminates. */
+  /** The streamed CDC source schema (orders' five change columns) and
+    * the three chronological chunk bounds, shared by st17/st21/st25 —
+    * ONE definition so the three streams can never silently read
+    * different projections or slice different windows (review finding,
+    * round 15; the first two bound edges are [[Audit.Dq08Cutoff]] /
+    * [[Audit.Dq08Horizon]] — the same constants dq08's and st25's
+    * oracle set-algebra splices). */
+  private[operators] val CdcBound3 = "1998-01-01"
+  private[operators] val CdcChunkBounds: Seq[(String, String)] = Seq(
+    (Audit.Dq08Cutoff, Audit.Dq08Horizon),
+    (Audit.Dq08Horizon, CdcBound3), (CdcBound3, "2999-01-01"))
+  private[operators] val CdcStreamSchema
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+  }
+
   val st17Scd2Cdc: Q = Q(
     "st17_scd2_cdc", WriterQueries.w08Scd2History.oracle.get) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.types.{StructType, StructField, LongType,
-      StringType, DoubleType, TimestampType, BooleanType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st17_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
     graft.sources.Writers.freshScratch(s, base, "src")
@@ -730,11 +749,7 @@ object StreamingQueries {
       WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff))),
       dim, 0L)
     val q = s.readStream
-      .schema(StructType(Seq(StructField("o_orderkey", LongType),
-        StructField("o_custkey", LongType),
-        StructField("o_orderdate", TimestampType),
-        StructField("o_orderstatus", StringType),
-        StructField("o_totalprice", DoubleType))))
+      .schema(CdcStreamSchema)
       .parquet(src)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -747,9 +762,7 @@ object StreamingQueries {
       .start()
     try {
       // three CHRONOLOGICAL chunks: SCD2 requires change order
-      val bounds = Seq(("1997-01-01", "1997-07-01"),
-        ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
-      bounds.foreach { case (lo, hi) =>
+      CdcChunkBounds.foreach { case (lo, hi) =>
         orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
           .write.mode("append").parquet(src)
         q.processAllAvailable()
@@ -1005,8 +1018,6 @@ object StreamingQueries {
     "st21_cdc_retention", WriterQueries.w11VersionVacuum.oracle.get) {
     (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.types.{StructType, StructField, LongType,
-      StringType, DoubleType, TimestampType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st21_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
     graft.sources.Writers.freshScratch(s, base, "src")
@@ -1020,11 +1031,7 @@ object StreamingQueries {
       WriterQueries.scd2Changes(orders.filter($"o_orderdate" < cutoff))),
       dim, 0L)
     val q = s.readStream
-      .schema(StructType(Seq(StructField("o_orderkey", LongType),
-        StructField("o_custkey", LongType),
-        StructField("o_orderdate", TimestampType),
-        StructField("o_orderstatus", StringType),
-        StructField("o_totalprice", DoubleType))))
+      .schema(CdcStreamSchema)
       .parquet(src)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -1042,9 +1049,7 @@ object StreamingQueries {
       }
       .start()
     try {
-      val bounds = Seq(("1997-01-01", "1997-07-01"),
-        ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
-      bounds.foreach { case (lo, hi) =>
+      CdcChunkBounds.foreach { case (lo, hi) =>
         orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
           .write.mode("append").parquet(src)
         q.processAllAvailable()
@@ -1514,18 +1519,20 @@ object StreamingQueries {
   val st25ManifestAuditGate: Q = Q(
     "st25_manifest_audit_gate",
     s"""WITH pre AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets}
-      |      AS b FROM orders WHERE o_orderdate < '1997-01-01'),
+      |      AS b FROM orders WHERE o_orderdate < '${Audit.Dq08Cutoff}'),
       |t1 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
-      |       FROM orders WHERE o_orderdate >= '1997-01-01'
-      |         AND o_orderdate < '1997-07-01'),
+      |       FROM orders WHERE o_orderdate >= '${Audit.Dq08Cutoff}'
+      |         AND o_orderdate < '${Audit.Dq08Horizon}'),
       |t2 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
-      |       FROM orders WHERE o_orderdate >= '1997-07-01'
-      |         AND o_orderdate < '1998-01-01'),
+      |       FROM orders WHERE o_orderdate >= '${Audit.Dq08Horizon}'
+      |         AND o_orderdate < '$CdcBound3'),
       |t3 AS (SELECT DISTINCT o_custkey % ${WriterQueries.Scd2Buckets} AS b
-      |       FROM orders WHERE o_orderdate >= '1998-01-01'),
-      |dangling AS (SELECT count(*) AS n FROM t2 WHERE b % 5 = 3),
+      |       FROM orders WHERE o_orderdate >= '$CdcBound3'),
+      |dangling AS (SELECT count(*) AS n FROM t2
+      |             WHERE b % ${Audit.Dq08DelMod} = ${Audit.Dq08DelRem}),
       |stale AS (SELECT count(*) AS n FROM t3
-      |          WHERE (b IN (SELECT b FROM t2) AND b % 5 <> 3)
+      |          WHERE (b IN (SELECT b FROM t2)
+      |                 AND b % ${Audit.Dq08DelMod} <> ${Audit.Dq08DelRem})
       |             OR (b IN (SELECT b FROM t1)
       |                 AND b NOT IN (SELECT b FROM t2))
       |             OR (b IN (SELECT b FROM pre)
@@ -1534,8 +1541,9 @@ object StreamingQueries {
       |unmani AS (SELECT count(*) AS n FROM t3),
       |misrouted AS (SELECT count(*) AS n FROM (
       |  SELECT DISTINCT o_custkey, o_orderdate FROM orders
-      |  WHERE o_orderdate < '1997-01-01'
-      |    AND o_custkey % ${WriterQueries.Scd2Buckets} = 0))
+      |  WHERE o_orderdate < '${Audit.Dq08Cutoff}'
+      |    AND o_custkey % ${WriterQueries.Scd2Buckets}
+      |      = ${Audit.Dq08MisBucket}))
       |SELECT 'stream_max' AS phase, check_name,
       |  CAST(0 AS BIGINT) AS n_violations
       |FROM (VALUES ('dangling_claims'), ('misrouted_rows'),
@@ -1549,14 +1557,12 @@ object StreamingQueries {
       |UNION ALL SELECT 'post_corruption', 'unmanifested_buckets',
       |  CAST(n AS BIGINT) FROM unmani""".stripMargin) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.types.{StructType, StructField, LongType,
-      StringType, DoubleType, TimestampType}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_st25_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
     graft.sources.Writers.freshScratch(s, base, "src")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val dim = s"$base/dim"
-    val cutoff = "1997-01-01"
+    val cutoff = Audit.Dq08Cutoff
     val orders = Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate",
         $"o_orderstatus", $"o_totalprice")
@@ -1578,11 +1584,7 @@ object StreamingQueries {
     // across runs, so the chain is exactly v1/v2/v3.
     def runChunk(): Unit = {
       val q = s.readStream
-        .schema(StructType(Seq(StructField("o_orderkey", LongType),
-          StructField("o_custkey", LongType),
-          StructField("o_orderdate", TimestampType),
-          StructField("o_orderstatus", StringType),
-          StructField("o_totalprice", DoubleType))))
+        .schema(CdcStreamSchema)
         .parquet(src)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1599,9 +1601,7 @@ object StreamingQueries {
         .start()
       try q.awaitTermination() finally q.stop()
     }
-    val bounds = Seq(("1997-01-01", "1997-07-01"),
-      ("1997-07-01", "1998-01-01"), ("1998-01-01", "2999-01-01"))
-    bounds.foreach { case (lo, hi) =>
+    CdcChunkBounds.foreach { case (lo, hi) =>
       orders.filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
         .write.mode("append").parquet(src)
       runChunk()
@@ -1613,16 +1613,21 @@ object StreamingQueries {
     require(latest == 3L,
       s"st25 expects the 3-chunk chain at v3, found v$latest — the " +
         "micro-batch structure drifted from the oracle's algebra")
-    // dq08's corruption, shifted onto the streamed chain
+    // dq08's corruption, shifted onto the streamed chain — the SAME
+    // shared constants the oracle text splices (Audit.Dq08*), never
+    // restated as literals (the dq06 df-cap lesson)
     val (fs, root) = graft.sources.Writers.fsOf(s, dim)
     fs.delete(new org.apache.hadoop.fs.Path(root,
       WriterQueries.scd2ManifestName(3L)), false)
     WriterQueries.scd2DiskBuckets(s, dim)
-      .collect { case (b, 2L) if b % 5 == 3 => b }
+      .collect { case (b, 2L)
+        if b % Audit.Dq08DelMod == Audit.Dq08DelRem => b }
       .foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root,
         s"v2/bucket=$b"), true))
-    s.read.schema(WriterQueries.Scd2Schema).parquet(s"$dim/v0/bucket=0")
-      .write.mode("append").parquet(s"$dim/v0/bucket=1")
+    s.read.schema(WriterQueries.Scd2Schema)
+      .parquet(s"$dim/v0/bucket=${Audit.Dq08MisBucket}")
+      .write.mode("append")
+      .parquet(s"$dim/v0/bucket=${Audit.Dq08MisBucket + 1}")
     val post = Audit.manifestAuditChecks(s, dim)
       .select(lit("post_corruption").as("phase"), $"check_name",
         $"n_violations")

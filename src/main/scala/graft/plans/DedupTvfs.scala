@@ -53,7 +53,16 @@ object NeardupPairsTvf {
   * [[NeardupPairsTvf]] pair stage contracted to connected components
   * (large/small-star, O(log² n) rounds at any component diameter).
   * Returns (doc_id, cluster_id); cluster_id = min doc_id of the
-  * component; singleton docs are absent (same contract as d06b). */
+  * component; singleton docs are absent (same contract as d06b).
+  *
+  * Cost caveat: the star contraction ITERATES AT PLAN BUILD (driver-
+  * rounds of distributed jobs — the hybrid_topk count-job precedent
+  * taken further), so even `EXPLAIN` over this TVF pays the full
+  * clustering, and each fresh `spark.sql` of the text re-runs it. The
+  * SQL form is the interactive entry point; a pipeline that reuses
+  * cluster assignments should materialize the DSL's output
+  * (d06b / [[graft.operators.Dedup.connectedComponentsStars]]) once
+  * instead of re-invoking the TVF. */
 object DedupClustersTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("dedup_clusters")
