@@ -70,7 +70,13 @@ case class FloatVecDot(left: Expression, right: Expression)
   * HOF formulation's per-pair intermediate array measured 3x the whole
   * stage). Exact while |Σ aᵢbᵢ| < 2⁶³ — the caller's documented grid
   * bound; overflow wraps like any long arithmetic, identical to the
-  * oracle's BIGINT only below the bound, which d07b's scaladoc pins. */
+  * oracle's BIGINT only below the bound, which d07b's scaladoc pins.
+  *
+  * STRICT on length: mismatched array lengths THROW (round-15 advice)
+  * instead of silently truncating to the shorter vector — d07b's
+  * oracle hardcodes the fixture's 64 dims, so a ragged embedding
+  * would otherwise change the dot on the Spark side only and drift
+  * from the oracle without any signal. */
 case class LongVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -88,7 +94,10 @@ case class LongVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw LongVecDot.lengthMismatch(n, y.numElements())
+    }
     var s = 0L
     var i = 0
     while (i < n) {
@@ -103,7 +112,11 @@ case class LongVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.LongVecDot.lengthMismatch(
+         |    $n, $b.numElements());
+         |}
          |long ${ev.value}_acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
@@ -114,6 +127,16 @@ case class LongVecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object LongVecDot {
+  /** Shared by the interpreted and codegen paths so the two can never
+    * disagree on the failure mode (must be public — generated code
+    * calls it from another package). */
+  def lengthMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"lvec_dot: array length mismatch ($a vs $b) — exact fixed-point" +
+        " dots are only defined over equal-dimension vectors")
 }
 
 /** Euclidean norm over array<float> in double precision. */

@@ -1004,7 +1004,30 @@ object Dedup {
     * pass, one (c_id, dim) shuffle for the refinement, one broadcast-
     * centroid encode, then within-cell pairs (at scale the cell cap
     * rides [[semanticPairs]]' salter unchanged — the cap is a cluster-
-    * hygiene device orthogonal to the arithmetic proven here). */
+    * hygiene device orthogonal to the arithmetic proven here).
+    *
+    * The gate's grid bound is ENFORCED at runtime ([[D07bMaxN2]],
+    * round-15 advice): Spark's 2500·dot² runs in 64-bit Long while
+    * DuckDB's list_sum promotes to HUGEINT, so beyond the bound the
+    * engines would diverge SILENTLY — the guard turns an out-of-range
+    * corpus into a loud per-row error instead. */
+  /** The largest per-vector Σqxᵢ² d07b's integer gate is PROVABLY
+    * wrap-free under: with n2a, n2b ≤ M = 6.0e7, Cauchy–Schwarz gives
+    * dot² ≤ n2a·n2b ≤ M², so 2500·dot² ≤ 9.0e18 < 2⁶³−1 and
+    * 441·n2a·n2b ≤ 1.6e18 — every Long product in the gate stays
+    * exact. (The fixture grid sits orders of magnitude below: 64 dims
+    * × (|x|≤1 → qx ≤ 200)² = 2.56e6.) */
+  val D07bMaxN2 = 60000000L
+
+  /** Per-row loud enforcement of [[D07bMaxN2]] — no extra job, stays
+    * inside whole-stage codegen; an out-of-range corpus fails with the
+    * bound in the message instead of silently wrapping away from the
+    * HUGEINT-exact oracle. */
+  private[graft] def d07bN2Guard(n2: Column): Column =
+    when(n2 <= D07bMaxN2, n2).otherwise(raise_error(format_string(
+      s"d07b: per-vector squared norm %d exceeds the $D07bMaxN2 grid " +
+        "bound — the integer threshold gate would overflow Long", n2)))
+
   val d07bSemanticDedupFixed: Q = Q(
     "d07b_semantic_dedup_fixed",
     """WITH q0 AS (
@@ -1111,7 +1134,8 @@ object Dedup {
     // never per pair — and the per-pair dot runs the codegen'd kernel
     // above instead of a HOF that allocates per pair
     val cellv = q0.join(codes, "vec_id")
-      .select($"vec_id", $"c_id", $"qx", idot($"qx", $"qx").as("n2"))
+      .select($"vec_id", $"c_id", $"qx",
+        d07bN2Guard(idot($"qx", $"qx")).as("n2"))
     val left = cellv.select($"c_id", $"vec_id".as("doc_a"),
       $"qx".as("qa"), $"n2".as("n2a"))
     val right = cellv.select($"c_id".as("c2"), $"vec_id".as("doc_b"),

@@ -59,7 +59,16 @@ object Multimodal {
     * same payload bytes (the m03 CTE pattern). What stays genuinely
     * engine-side — the mapPartitions execution shape — is pinned by
     * MultimodalSpec; the oracle proves the ARITHMETIC and the
-    * metadata (dims by format, byte counts, checksums). */
+    * metadata (dims by format, byte counts, checksums).
+    *
+    * PARITY PRECONDITION (round-15 advice): the oracle bands by
+    * CHARACTER (ascii over length) while the pipeline bands the UTF-8
+    * BYTES of text.cast(binary) — identical iff the corpus is pure
+    * ASCII. DuckDB 1.0 cannot index blob bytes (no substring/get_bit
+    * over BLOB), so the precondition is ASSERTED instead of the oracle
+    * rewritten: MultimodalSpec fails loudly if any fixture doc carries
+    * a multi-byte character. The same precondition covers the whole
+    * character-banded family (m03/m03b/m04/m05). */
   val m02BatchDecode: Q = Q(
     "m02_batch_decode",
     """WITH m AS (

@@ -382,6 +382,24 @@ class DedupSpec extends AnyFunSuite {
     assert(again == capped.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("d07b's n2 guard fails loudly past the grid bound, passes under it") {
+    // round-15 advice: Spark's 2500·dot² gate runs in Long while
+    // DuckDB's runs in HUGEINT — beyond the documented grid bound the
+    // engines would diverge silently. The guard converts that into a
+    // per-row error carrying the bound.
+    import spark.implicits._
+    val over = Seq(operators.Dedup.D07bMaxN2 + 1).toDF("n2")
+      .select(operators.Dedup.d07bN2Guard($"n2").as("g"))
+    val e = intercept[Exception](over.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("grid bound")), s"wrong error: $e")
+    val under = Seq(operators.Dedup.D07bMaxN2).toDF("n2")
+      .select(operators.Dedup.d07bN2Guard($"n2").as("g"))
+      .collect()(0).getLong(0)
+    assert(under == operators.Dedup.D07bMaxN2)
+  }
+
   test("d07b's fixed-point sims track the float cosine they stand in for") {
     // The grid (x -> floor(x*200+0.5)) quantizes each coordinate by at
     // most 1/400, so a d07b pair's emitted integer-arithmetic sim must

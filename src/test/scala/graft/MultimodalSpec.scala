@@ -14,6 +14,26 @@ class MultimodalSpec extends AnyFunSuite {
       .decodeStub("abc".getBytes, "audio/fake-pcm").length == 8)
   }
 
+  test("fixture text is ASCII-only — the multimodal oracles' parity precondition") {
+    // The m02/m03-family oracles band payloads by CHARACTER
+    // (ascii(substr(text, i, 1)) over length(text)) while the Spark
+    // pipelines band the UTF-8 BYTES of text.cast(binary). The two
+    // agree iff every character is single-byte — i.e. the corpus is
+    // pure ASCII (round-15 advice: DuckDB 1.0 has no blob byte
+    // indexing, so the precondition is ASSERTED rather than the oracle
+    // rewritten). octet_length == char_length holds exactly when no
+    // character needs a multi-byte encoding.
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+    val nonAscii = docs.filter(
+      octet_length(col("text").cast("binary")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents carry non-ASCII text — the multimodal " +
+        "character-banded oracles no longer match the byte-banded " +
+        "pipelines; see Multimodal.scala m02 scaladoc")
+  }
+
   test("batch decode pipeline: feature dims follow format, checksums match md5") {
     val rows = operators.Multimodal.decodePipeline(spark, sf).collect()
     assert(rows.length == 500)

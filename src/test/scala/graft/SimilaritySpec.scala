@@ -86,6 +86,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaSql == 3.0 * 2.0 + 1e8 * 1e8 + 7.0 * 11.0)
   }
 
+  test("lvec_dot throws on ragged arrays instead of silently truncating") {
+    // round-15 advice: d07b's oracle hardcodes 64 dims, so a
+    // short/ragged embedding must ERROR on the Spark side, not change
+    // the dot silently (the old behavior truncated to min length)
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(column(graft.functions.LongVecDot(
+        expression($"a"), expression($"b"))).as("d")).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+    // equal lengths still exact
+    val ok = Seq((Seq(3L, 1000000L), Seq(2L, 1000000L))).toDF("a", "b")
+      .select(column(graft.functions.LongVecDot(
+        expression($"a"), expression($"b"))).as("d"))
+      .collect()(0).getLong(0)
+    assert(ok == 6L + 1000000L * 1000000L)
+  }
+
   test("k-means: k clusters survive, SSE drops, assignments reproducible") {
     val (assign, sses) = operators.Similarity.kmeans(spark, sf)
     val rows = assign.collect()
