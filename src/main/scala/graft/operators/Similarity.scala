@@ -447,6 +447,20 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
   }
 
+  /** Probe-query frame from an EXPLICIT embedding relation
+    * (vec_id, embedding) — the TVF query-parameterization glue
+    * (round-15 verdict ask #1): maps any registered view into
+    * [[ivfProbeQueries]]' (q_id, q_vec, q_nrm) convention with the
+    * same [[norm]] the corpus side computes, so a query view equal to
+    * the standard `vec_id % 50 = 0` corpus slice reproduces
+    * [[ivfProbe]]'s answer row-for-row. */
+  def knnQueries(emb0: DataFrame): DataFrame = {
+    val s = emb0.sparkSession
+    import s.implicits._
+    emb0.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+      norm($"embedding").as("q_nrm"))
+  }
+
   def ivfProbeQueries(qs: DataFrame, centroids: DataFrame,
       assigned: DataFrame, nprobe: Int, k: Int = 5): DataFrame = {
     val s = qs.sparkSession
@@ -1444,6 +1458,23 @@ object Similarity {
       .withColumn("lrk", row_number().over(wLex))
       .filter($"lrk" <= k)
       .select($"q_id", $"doc_id", $"lrk")
+  }
+
+  /** Query postings from an EXPLICIT query relation (doc_id, text) —
+    * the lexical half of the TVF query parameterization (round-15
+    * verdict ask #1): distinct shingles of the query text in the
+    * corpus shingle definition. No df-cap is applied on the query
+    * side — the probe join against the index's postings restricts
+    * scoring to the index's own (already-capped) vocabulary, which is
+    * exactly how the registry convention behaves: a query view equal
+    * to the standard `doc_id % 50 = 0` corpus slice produces the SAME
+    * (q_id, g) pairs the capped-postings slice does, because shingles
+    * outside the vocabulary never survive the join in either form. */
+  def lexQueryShingles(qdocs: DataFrame): DataFrame = {
+    val s = qdocs.sparkSession
+    import s.implicits._
+    qdocs.select($"doc_id".as("q_id"),
+      explode(Dedup.shingles(Dedup.toks($"text"))).as("g"))
   }
 
   /** Probe an index pair (inline-built or read back from w12's stored

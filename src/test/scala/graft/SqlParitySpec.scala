@@ -600,6 +600,44 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(k2) == canon(viaDsl.filter("rk <= 2")))
   }
 
+  test("bm25_topk / knn_topk TVFs: explicit query relation — the " +
+      "default slice reproduced verbatim, an arbitrary view bites") {
+    // round-15 verdict ask #1: the TVFs pinned the query set to the
+    // registry's id % 50 = 0 convention — a SQL user's first real
+    // question is "top-k for THESE queries". The default must stay
+    // hash-identical (every pre-round-16 pin rides it), and an
+    // explicit view equal to the slice must reproduce it EXACTLY —
+    // query shingles outside the index vocabulary never survive the
+    // probe join, so the two constructions coincide by construction.
+    register()
+    import spark.implicits._
+    sources.Tables.documents(spark, sf).filter($"doc_id" % 50 === 0)
+      .createOrReplaceTempView("q_slice_docs")
+    assert(canon(spark.sql(
+        "SELECT * FROM bm25_topk('documents', 'q_slice_docs')")) ==
+      canon(spark.sql("SELECT * FROM bm25_topk('documents')")))
+    // an arbitrary query view CHANGES the answer (different query set,
+    // same corpus/index) — the relation argument genuinely bites
+    sources.Tables.documents(spark, sf).filter($"doc_id" % 50 === 7)
+      .createOrReplaceTempView("q_alt_docs")
+    val alt = spark.sql(
+      "SELECT * FROM bm25_topk('documents', 'q_alt_docs', 3)").collect()
+    assert(alt.nonEmpty)
+    assert(alt.forall(r => r.getLong(0) % 50 == 7 && r.getInt(2) <= 3))
+    // vector side: same two claims
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 50 === 0)
+      .createOrReplaceTempView("q_slice_emb")
+    assert(canon(spark.sql(
+        "SELECT * FROM knn_topk('embeddings', 'q_slice_emb')")) ==
+      canon(spark.sql("SELECT * FROM knn_topk('embeddings')")))
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 50 === 7)
+      .createOrReplaceTempView("q_alt_emb")
+    val kalt = spark.sql(
+      "SELECT * FROM knn_topk('embeddings', 'q_alt_emb', 2)").collect()
+    assert(kalt.nonEmpty)
+    assert(kalt.forall(r => r.getLong(0) % 50 == 7 && r.getInt(3) <= 2))
+  }
+
   test("bm25_serve / knn_serve TVFs: stored-index serving == the " +
       "inline build, through a real write/read cycle") {
     // the index-lifecycle half of the SQL closure: build once (w12's
@@ -635,6 +673,18 @@ class SqlParitySpec extends AnyFunSuite {
       s"SELECT * FROM knn_serve('$ivfDir', 'embeddings')")
     assert(canon(kserved) ==
       canon(spark.sql("SELECT * FROM knn_topk('embeddings')")))
+    // the explicit-query forms over the STORED artifacts reproduce
+    // their defaults (round-15 ask #1 on the serve twins)
+    sources.Tables.documents(spark, sf).filter($"doc_id" % 50 === 0)
+      .createOrReplaceTempView("q_slice_docs_serve")
+    assert(canon(spark.sql(
+        s"SELECT * FROM bm25_serve('$lexDir', 'q_slice_docs_serve')")) ==
+      canon(served))
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 50 === 0)
+      .createOrReplaceTempView("q_slice_emb_serve")
+    assert(canon(spark.sql(s"SELECT * FROM knn_serve('$ivfDir', " +
+        "'embeddings', 'q_slice_emb_serve')")) ==
+      canon(kserved))
     // engagement probe: a dir with no index must fail loudly
     intercept[Exception] {
       spark.sql("SELECT * FROM bm25_serve('/nonexistent/graft_idx')")
@@ -710,11 +760,20 @@ class SqlParitySpec extends AnyFunSuite {
 
   test("retrieval TVFs reject malformed arguments loudly") {
     register()
+    // a non-positive k still fails the literal check ('five' would now
+    // parse as a query-VIEW name under the round-16 grammar and fail
+    // at catalog resolution instead — also loudly)
     val badK = intercept[Exception] {
-      spark.sql("SELECT * FROM bm25_topk('documents', 'five')").collect()
+      spark.sql("SELECT * FROM bm25_topk('documents', 0)").collect()
     }
     assert(badK.getMessage.contains("positive integer literal"),
       s"unexpected: ${badK.getMessage}")
+    val badView = intercept[Exception] {
+      spark.sql("SELECT * FROM bm25_topk('documents', 'no_such_view_xyz')")
+        .collect()
+    }
+    assert(badView.getMessage.contains("no_such_view_xyz"),
+      s"unexpected: ${badView.getMessage}")
     val badTable = intercept[Exception] {
       spark.sql("SELECT * FROM hybrid_topk('documents')").collect()
     }
