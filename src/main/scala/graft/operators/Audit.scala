@@ -468,7 +468,24 @@ object Audit {
       .select($"doc_id",
         when($"doc_id" % 13 === 2, substring_index($"text", " ", 20))
           .otherwise($"text").as("text"))
-    val vocab = pr.select($"g").distinct()
+    lexAuditChecks(cur, pr, szr)
+  }
+
+  /** dq06's four checks over an arbitrary (current-corpus, stored
+    * postings, stored sizes) triple — factored out (round-15 verdict
+    * ask #2) so the `index_fsck` SQL TVF can point them at ANY stored
+    * w12-layout index + corpus view, exactly like [[ivfAuditChecks]]
+    * on the vector side. `cur` carries (doc_id, text); the recount
+    * uses the INDEX's own vocabulary (distinct stored shingles), never
+    * a recomputed cap — the audit judges the index by its frozen
+    * contract. */
+  private[graft] def lexAuditChecks(cur: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    val vocab = postings.select($"g").distinct()
     val recount = cur
       .select($"doc_id", explode(Dedup.shingles(Dedup.toks($"text"))).as("g"))
       .join(vocab, "g")
@@ -479,13 +496,13 @@ object Audit {
         .withColumn("check_name", lit(name))
         .select($"check_name", $"n_violations")
     audit("missing_docs",
-        recount.join(szr, Seq("doc_id"), "left_anti"))
+        recount.join(sizes, Seq("doc_id"), "left_anti"))
       .unionByName(audit("orphaned_docs",
-        szr.join(curIds, Seq("doc_id"), "left_anti")))
+        sizes.join(curIds, Seq("doc_id"), "left_anti")))
       .unionByName(audit("orphaned_postings",
-        pr.join(curIds, Seq("doc_id"), "left_anti")))
+        postings.join(curIds, Seq("doc_id"), "left_anti")))
       .unionByName(audit("size_drift",
-        szr.join(recount, "doc_id").filter($"n" =!= $"n2")))
+        sizes.join(recount, "doc_id").filter($"n" =!= $"n2")))
   }
 
   /** dq07: STORED IVF-INDEX CONSISTENCY audit — dq06's vector twin

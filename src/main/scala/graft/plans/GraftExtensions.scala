@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // mid-incident
     ext.injectTableFunction((TableFsckTvf.identifier, TableFsckTvf.info,
       TableFsckTvf.build))
+    // SQL-callable INDEX fsck: index_fsck('<index dir>', '<corpus
+    // view>') — dq06/dq07's stored-index audits against any w12/w07
+    // layout (the dir's structure selects the check set)
+    ext.injectTableFunction((IndexFsckTvf.identifier, IndexFsckTvf.info,
+      IndexFsckTvf.build))
   }
 }
