@@ -30,8 +30,8 @@ class ScaleStressSpec extends AnyFunSuite
   private val Copies = 10
   private val Dim = 64
 
-  private val ArtifactFile = "SCALE_r15.json"
-  private val PrevArtifactFile = "SCALE_r14.json"
+  private val ArtifactFile = "SCALE_r16.json"
+  private val PrevArtifactFile = "SCALE_r15.json"
 
   /** The COMPLETE set of metric names any test in this suite can
     * `record()` — the artifact's tamper-evidence (round-8 verdict
@@ -69,7 +69,12 @@ class ScaleStressSpec extends AnyFunSuite
     "scd2_manifest_metadata_savings_100v",
     "scd2_manifest_ops_per_read_100v_sf10",
     "scd2_premanifest_listings_per_read_100v_sf10",
-    "scd2_manifest_metadata_savings_100v_sf10")
+    "scd2_manifest_metadata_savings_100v_sf10",
+    "lex100leg_serve_read_fraction_10legs",
+    "lex100leg_serve_read_fraction_100legs",
+    "lex100leg_sizes_read_fraction_100legs",
+    "lex100leg_admit_cost_ratio",
+    "lex100leg_replay_stable")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -944,6 +949,131 @@ class ScaleStressSpec extends AnyFunSuite
     record("scd2_manifest_metadata_savings_100v_sf10", savings, 0.95)
     assert(savings >= 0.95,
       f"manifest saves too little metadata at 100v x sf10: $savings%.4f")
+  }
+
+  test("100-leg lexical admission chain AT sf1: replay-idempotent, " +
+      "serve read fraction flat in leg count, admission cost per leg flat") {
+    // round-15 verdict ask #4: longevity x scale is proven for the
+    // SCD2 chain (100 versions at sf10 above) but the index legs
+    // stopped at 3-4 admission legs (st22/st23). This composes the
+    // same two axes on the index lifecycle: ONE frozen reindex
+    // (vocabulary + probe-reachable g-set over the full sf1 corpus),
+    // then 100 st22-style admission legs (1% of the corpus each)
+    // through the exact lexAdmit/writeLexIndexLeg path the streaming
+    // query ships. Three claims, each the 100 TB failure mode it
+    // guards against:
+    //  - serve read FRACTION flat in leg count (at 10 legs and at 100
+    //    legs the probed read touches the same ~share of stored rows —
+    //    a serve bill proportional to CORPUS reach, never to chain
+    //    length);
+    //  - admission cost per leg flat (a leg tokenizes its own batch
+    //    and joins the frozen artifacts — it never reads the
+    //    accumulated index, so leg 95 costs what leg 5 cost; the
+    //    failure mode is ~10x growth, the noise band is ~1x);
+    //  - replay idempotence at depth (re-running a mid-chain leg
+    //    byte-preserves the stored index — the writeLexIndexLeg
+    //    overwrite contract holding after 100 legs, not just st22's
+    //    3).
+    import spark.implicits._
+    val sq = operators.StreamingQueries
+    val docsPath =
+      if (new java.io.File("tmp/sf1/documents.parquet").exists)
+        "tmp/sf1/documents.parquet"
+      else {
+        // documents-only self-provision (the sf10-orders pattern):
+        // inflate 10x from sf0.1 with the suite's marker scheme
+        val out = "tmp/sf1_docs_lex100"
+        if (!new java.io.File(s"$out/_SUCCESS").exists) {
+          val d01 = spark.read
+            .parquet("/root/testdata/sf0.1/documents.parquet")
+          (0 until 10).map { c =>
+            val t =
+              if (c == 0) $"text"
+              else concat_ws(" ", transform(split($"text", " "),
+                (tok, i) => when(i % 10 < c,
+                  concat(lit("mrk"), (i % 10).cast("string")))
+                  .otherwise(tok)))
+            d01.select(($"doc_id" + c * 100000L).as("doc_id"),
+              t.as("text"))
+          }.reduce(_ unionByName _).write.parquet(out)
+        }
+        out
+      }
+    val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
+    val nDocs = docs.count()
+    assert(nDocs >= 50000L, s"sf1 docs fixture too small: $nDocs")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stress_lex100"
+    sources.Writers.rmrf(new java.io.File(base))
+    val idx = s"$base/index"
+    // ONE reindex: frozen vocabulary + frozen probe-reachable g-set
+    val vocab = sq.lexFreezeVocab(spark, docs, base)
+    val qg = sq.lexFreezeProbeSet(spark, docs, vocab, base)
+    val Legs = 100
+    val legSecs = Array.ofDim[Double](Legs)
+    def servedFractions(): (Double, Double) = {
+      val (pr, szr) = sources.Writers.readLexIndexProbed(spark, idx)
+      val (pa, sza) = sources.Writers.readLexIndex(spark, idx)
+      (pr.count().toDouble / pa.count(),
+        szr.count().toDouble / sza.count())
+    }
+    var fraction10 = 0.0
+    (0 until Legs).foreach { k =>
+      val t0 = System.nanoTime
+      sq.lexAdmit(vocab, qg, docs.filter($"doc_id" % Legs === k),
+        idx, f"$k%03d")
+      legSecs(k) = (System.nanoTime - t0) / 1e9
+      if (k == 9) fraction10 = servedFractions()._1
+    }
+    val (fraction100, szFraction100) = servedFractions()
+    info(f"serve read fraction: $fraction10%.4f at 10 legs, " +
+      f"$fraction100%.4f at 100 legs (sizes $szFraction100%.4f)")
+    // flat in leg count: the share of stored postings a serve reads
+    // must not grow with the chain (a corpus property, not a chain
+    // property); generous 1.5x band for composition drift
+    assert(fraction100 <= fraction10 * 1.5 + 0.01,
+      f"serve read fraction grew with leg count: $fraction10%.4f -> " +
+        f"$fraction100%.4f")
+    assert(fraction100 < 0.25,
+      f"serve reads too much of the stored index: $fraction100%.4f")
+    // admission cost flat: medians over early/late leg windows (leg 0
+    // excluded — JIT/first-write warmup); the failure mode this
+    // guards (admission reading the accumulated index) would read
+    // ~9x here, far outside the 3x host-noise band
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val early = median(legSecs.slice(5, 15).toSeq)
+    val late = median(legSecs.slice(90, 100).toSeq)
+    val costRatio = late / early
+    info(f"admission s/leg: early median $early%.3f, late median " +
+      f"$late%.3f, ratio $costRatio%.3f")
+    assert(costRatio < 3.0,
+      f"admission cost grew with chain length: $costRatio%.3fx")
+    // replay idempotence at depth: re-admit leg 050's batch verbatim;
+    // the stored index must be row-identical (count + content hash on
+    // both legs of the layout)
+    // content signature = count + order-independent bit_xor of row
+    // hashes (a SUM of xxhash64 overflows Long under ANSI)
+    def indexSig(): (Long, Long, Long, Long) = {
+      val p = spark.read.parquet(s"$idx/postings")
+        .withColumn("h", xxhash64($"g", $"doc_id", $"inqg"))
+      val sz = spark.read.parquet(s"$idx/sizes")
+        .withColumn("h", xxhash64($"doc_id", $"n", $"insz"))
+      (p.count(), p.selectExpr("bit_xor(h)").head.getLong(0),
+        sz.count(), sz.selectExpr("bit_xor(h)").head.getLong(0))
+    }
+    val before = indexSig()
+    sq.lexAdmit(vocab, qg, docs.filter($"doc_id" % Legs === 50),
+      idx, f"${50}%03d")
+    val after = indexSig()
+    assert(after == before,
+      s"replayed leg 050 changed the stored index: $before -> $after")
+    record("lex100leg_serve_read_fraction_10legs", fraction10, 0.0)
+    record("lex100leg_serve_read_fraction_100legs", fraction100, 0.0)
+    record("lex100leg_sizes_read_fraction_100legs", szFraction100, 0.0)
+    record("lex100leg_admit_cost_ratio", costRatio, 0.0)
+    record("lex100leg_replay_stable",
+      if (after == before) 1.0 else 0.0, 1.0)
   }
 
   test("10x corpus: LSH (s02) and IVF (s04) ANN hold top-5 recall vs brute (s01)") {
