@@ -49,6 +49,31 @@ object NeardupPairsTvf {
   }
 }
 
+/** Plan-build memo for [[DedupClustersTvf]] — the [[TvfViewCounts]]
+  * move applied to a whole ITERATIVE build: the star contraction runs
+  * driver-rounds of distributed jobs at plan build, so before this
+  * memo every fresh `spark.sql` of the same text (and every EXPLAIN)
+  * re-ran the full clustering. Keyed like the count memo — (session,
+  * view name, analyzed-plan semanticHash) — so a re-registered view
+  * DEFINITION re-clusters while repeat invocations splice the cached
+  * result plan (whose localCheckpointed rounds stay alive in the
+  * session's block manager). Same staleness caveat as the count memo:
+  * files changing UNDER an unchanged definition are not detected —
+  * re-register the view (or a new session) to re-cluster. */
+private[graft] object TvfClusterPlans {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
+      LogicalPlan]()
+  @volatile private[graft] var misses = 0L
+
+  def planOf(name: String, df: org.apache.spark.sql.DataFrame)(
+      build: => LogicalPlan): LogicalPlan = {
+    val key = (df.sparkSession, name,
+      df.queryExecution.analyzed.semanticHash())
+    cache.computeIfAbsent(key, _ => { misses += 1; build })
+  }
+}
+
 /** `dedup_clusters(<docs view>)` — d06b's duplicate clusters: the
   * [[NeardupPairsTvf]] pair stage contracted to connected components
   * (large/small-star, O(log² n) rounds at any component diameter).
@@ -57,12 +82,13 @@ object NeardupPairsTvf {
   *
   * Cost caveat: the star contraction ITERATES AT PLAN BUILD (driver-
   * rounds of distributed jobs — the hybrid_topk count-job precedent
-  * taken further), so even `EXPLAIN` over this TVF pays the full
-  * clustering, and each fresh `spark.sql` of the text re-runs it. The
-  * SQL form is the interactive entry point; a pipeline that reuses
-  * cluster assignments should materialize the DSL's output
-  * (d06b / [[graft.operators.Dedup.connectedComponentsStars]]) once
-  * instead of re-invoking the TVF. */
+  * taken further), so the FIRST `spark.sql` (or EXPLAIN) of a given
+  * view pays the full clustering; repeat invocations reuse the
+  * memoized result plan ([[TvfClusterPlans]], round-16) until the
+  * view is re-registered with a different definition. A pipeline that
+  * reuses cluster assignments across sessions should still
+  * materialize the DSL's output
+  * (d06b / [[graft.operators.Dedup.connectedComponentsStars]]). */
 object DedupClustersTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("dedup_clusters")
@@ -76,11 +102,13 @@ object DedupClustersTvf {
     val s = SparkSession.active
     import org.apache.spark.sql.functions.col
     val dedup = graft.operators.Dedup
-    dedup.connectedComponentsStars(
-        dedup.minhashPairsOf(s.table(names.head), numHashes = 64,
-            bands = 16)
-          .select(col("doc_a"), col("doc_b")))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .queryExecution.logical
+    val docs = s.table(names.head)
+    TvfClusterPlans.planOf(names.head, docs) {
+      dedup.connectedComponentsStars(
+          dedup.minhashPairsOf(docs, numHashes = 64, bands = 16)
+            .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .queryExecution.logical
+    }
   }
 }

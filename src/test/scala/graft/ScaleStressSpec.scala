@@ -74,7 +74,11 @@ class ScaleStressSpec extends AnyFunSuite
     "lex100leg_serve_read_fraction_100legs",
     "lex100leg_sizes_read_fraction_100legs",
     "lex100leg_admit_cost_ratio",
-    "lex100leg_replay_stable")
+    "lex100leg_replay_stable",
+    "ivf100leg_serve_read_fraction_10legs",
+    "ivf100leg_serve_read_fraction_100legs",
+    "ivf100leg_admit_cost_ratio",
+    "ivf100leg_replay_stable")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -1073,6 +1077,119 @@ class ScaleStressSpec extends AnyFunSuite
     record("lex100leg_sizes_read_fraction_100legs", szFraction100, 0.0)
     record("lex100leg_admit_cost_ratio", costRatio, 0.0)
     record("lex100leg_replay_stable",
+      if (after == before) 1.0 else 0.0, 1.0)
+  }
+
+  test("100-leg IVF admission chain AT sf1: replay-idempotent, probed-" +
+      "cell serve read fraction flat in leg count, admission cost flat") {
+    // the vector-side twin of the 100-leg lexical proof above (same
+    // round-15 ask #4): one frozen reindex (sampled quantizer over the
+    // full sf1 embedding corpus), then 100 st23-style admission legs
+    // through the shipped ivfAdmit/appendIvfListsLeg path, serving a
+    // FIXED standing query set with the list scan pruned to its
+    // probed cells (st23's serve contract — queries and quantizer are
+    // frozen, so the probed-cell set is a constant of the run).
+    import spark.implicits._
+    val sq = operators.StreamingQueries
+    val embPath =
+      if (new java.io.File("tmp/sf1/embeddings.parquet").exists)
+        "tmp/sf1/embeddings.parquet"
+      else {
+        // embeddings-only self-provision: 10x from sf0.1 with the
+        // suite's per-(copy, dim) noise scheme
+        val out = "tmp/sf1_emb_ivf100"
+        if (!new java.io.File(s"$out/_SUCCESS").exists) {
+          val e01 = spark.read
+            .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          (0 until 10).map { c =>
+            val noise = array((0 until Dim).map(i => lit(noiseW(c, i))): _*)
+            e01.select(($"vec_id" + c * 100000L).as("vec_id"),
+              zip_with($"embedding", noise,
+                (x, n) => (x.cast("double") + n).cast("float"))
+                .as("embedding"))
+          }.reduce(_ unionByName _).write.parquet(out)
+        }
+        out
+      }
+    val emb = spark.read.parquet(embPath)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val nVecs = emb.count()
+    assert(nVecs >= 20000L, s"sf1 embeddings fixture too small: $nVecs")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stress_ivf100"
+    sources.Writers.rmrf(new java.io.File(base))
+    val idx = s"$base/index"
+    // ONE reindex: frozen sampled quantizer, persisted under the index
+    val cents = emb
+      .filter($"vec_id" % operators.Similarity.centModulus(nVecs) === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    cents.write.parquet(s"$idx/centroids")
+    val centsCk = spark.read.parquet(s"$idx/centroids")
+      .select($"c_id", $"c_vec", $"c_nrm").localCheckpoint()
+    // the standing query set a serve endpoint owns (small and FROZEN
+    // — the st23 contract; a 10-query set keeps its probed-cell reach
+    // well under the quantizer's cell count, so the prune has teeth)
+    val qs = emb.filter($"vec_id" % 5000 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"nrm".as("q_nrm")).localCheckpoint()
+    val probedCells = operators.Similarity
+      .probeCellsOf(qs, centsCk, nprobe = 2)
+    assert(probedCells.nonEmpty)
+    val Legs = 100
+    val legSecs = Array.ofDim[Double](Legs)
+    def serveFraction(): Double = {
+      val (_, lists) = sources.Writers.readIvfIndex(spark, idx)
+      lists.filter($"c_id".isin(probedCells: _*)).count().toDouble /
+        lists.count()
+    }
+    var fraction10 = 0.0
+    (0 until Legs).foreach { k =>
+      val t0 = System.nanoTime
+      sq.ivfAdmit(centsCk, emb.filter($"vec_id" % Legs === k), idx,
+        f"$k%03d")
+      legSecs(k) = (System.nanoTime - t0) / 1e9
+      if (k == 9) fraction10 = serveFraction()
+    }
+    val fraction100 = serveFraction()
+    info(f"probed-cell serve read fraction: $fraction10%.4f at 10 " +
+      f"legs, $fraction100%.4f at 100 legs " +
+      f"(${probedCells.size} cells probed)")
+    assert(fraction100 <= fraction10 * 1.5 + 0.01,
+      f"probed read fraction grew with leg count: $fraction10%.4f -> " +
+        f"$fraction100%.4f")
+    assert(fraction100 < 0.25,
+      f"serve reads too much of the stored lists: $fraction100%.4f")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val early = median(legSecs.slice(5, 15).toSeq)
+    val late = median(legSecs.slice(90, 100).toSeq)
+    val costRatio = late / early
+    info(f"admission s/leg: early median $early%.3f, late median " +
+      f"$late%.3f, ratio $costRatio%.3f")
+    assert(costRatio < 3.0,
+      f"admission cost grew with chain length: $costRatio%.3fx")
+    // replay idempotence at depth (count + order-independent xor)
+    def listsSig(): (Long, Long) = {
+      val l = spark.read.parquet(s"$idx/lists")
+        .withColumn("h", xxhash64($"vec_id", $"c_id"))
+      (l.count(), l.selectExpr("bit_xor(h)").head.getLong(0))
+    }
+    val before = listsSig()
+    sq.ivfAdmit(centsCk, emb.filter($"vec_id" % Legs === 50), idx,
+      f"${50}%03d")
+    val after = listsSig()
+    assert(after == before,
+      s"replayed leg 050 changed the stored lists: $before -> $after")
+    // and the serve itself still answers from the chained index
+    val served = sq.ivfServeStored(spark, idx, emb, centsCk, qs,
+      probedCells)
+    assert(served.count() > 0, "serve over the 100-leg index is empty")
+    record("ivf100leg_serve_read_fraction_10legs", fraction10, 0.0)
+    record("ivf100leg_serve_read_fraction_100legs", fraction100, 0.0)
+    record("ivf100leg_admit_cost_ratio", costRatio, 0.0)
+    record("ivf100leg_replay_stable",
       if (after == before) 1.0 else 0.0, 1.0)
   }
 
