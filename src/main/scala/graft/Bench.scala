@@ -93,7 +93,8 @@ object Bench {
     "d14_canonical_docs", "st17_scd2_cdc", "q35b_quantile_rollup",
     "s08_range_search", "w09_incremental_optimize",
     "d15_containment_join", "dq08_manifest_audit",
-    "d07b_semantic_dedup_fixed", "st25_manifest_audit_gate")
+    "d07b_semantic_dedup_fixed", "st25_manifest_audit_gate",
+    "st26_index_audit_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1637,11 +1637,191 @@ object StreamingQueries {
       .unionByName(post)
   }
 
+  /** st26's corruption-recipe constants, spliced into BOTH the builder
+    * and the oracle SQL from one definition (the dq06 df-cap / Dq08*
+    * discipline): deletions (doc_id % DelMod == DelRem vanish from the
+    * "current" corpus), text drift (% DriftMod == DriftRem truncated
+    * to their first 20 tokens), and not-yet-admitted ADDITIONS
+    * (relabeled copies of % CopyMod == CopyRem docs at CopyOffset —
+    * the offset clears every fixture's id range incl. sf10's 499,999
+    * max, so copies can never collide with a real doc). */
+  private[operators] val St26DelMod = 11L
+  private[operators] val St26DelRem = 5L
+  private[operators] val St26DriftMod = 13L
+  private[operators] val St26DriftRem = 2L
+  private[operators] val St26CopyMod = 17L
+  private[operators] val St26CopyRem = 3L
+  private[operators] val St26CopyOffset = 100000000L
+
+  /** st26: the CONTINUOUS INDEX AUDIT — st25's per-commit-gate shape
+    * applied to the OTHER stored-artifact family, closing the last
+    * streaming-cadence asymmetry: the SCD2 chain had admission
+    * (st17), retention (st21) and a streaming fsck gate (st25), while
+    * the serving indexes had admission (st22/st23), serving
+    * (st16/st20/st24) and only BATCH audits (dq06/dq07). Here every
+    * admission leg is followed by the full four-check lexical-index
+    * audit of the artifact it just extended ([[graft.operators.Audit
+    * .lexAuditChecks]] — the exact plans dq06's oracle hash-verifies
+    * and `index_fsck` exposes to SQL).
+    *
+    * Two phases, one row per (phase, check):
+    *   - stream_max: the MAX violations any per-leg audit saw — all
+    *     zeros, pinning a NONTRIVIAL invariant: after every commit the
+    *     stored index describes EXACTLY the admitted sub-corpus (no
+    *     missing docs among the admitted, no orphans, and zero size
+    *     drift — the admitted slice's stored vocabulary provably
+    *     recounts every admitted doc to its stored n, because a
+    *     frozen-vocab shingle of an admitted doc IS a stored posting);
+    *   - post_corruption: the stream stops and the audit runs against
+    *     a corpus that moved on without reindexing — deletions
+    *     ([[St26DelMod]]), text drift ([[St26DriftMod]]), and
+    *     not-yet-admitted additions ([[St26CopyMod]] relabeled
+    *     copies) — flipping EVERY check with counts the oracle
+    *     recomputes from the same set algebra over `documents`.
+    * Because the stream admits the WHOLE corpus under the full-corpus
+    * frozen vocabulary, the oracle's rebuilt index equals the streamed
+    * artifact exactly — so the post-corruption hashes also pin the
+    * stream's admission COMPLETENESS (a dropped batch would shift
+    * every orphan/drift count).
+    *
+    * One Trigger.AvailableNow run per chunk (the st25 lesson): writes
+    * strictly precede the query, so chunk k is exactly batch k and the
+    * admitted-so-far predicate the gate audits against is
+    * deterministic; a loud require pins the batch structure.
+    *
+    * 100 TB: the per-commit audit bill is dq06's — one tokenize of the
+    * admitted corpus + g/doc_id-keyed joins, the same class as one
+    * reindex pass; production runs it on the retention cadence, here
+    * it runs per-commit because the gate's shape is the point. */
+  val st26IndexAuditGate: Q = Q(
+    "st26_index_audit_gate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |dfs AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      |postings AS (SELECT s.doc_id, s.g FROM sh s JOIN dfs USING (g)
+      |             WHERE df <= ${Similarity.S11LexDfCap}),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+      |vocab AS (SELECT DISTINCT g FROM postings),
+      |cur AS (SELECT doc_id,
+      |          CASE WHEN doc_id % $St26DriftMod = $St26DriftRem
+      |            THEN array_to_string((string_split(text, ' '))[1:20], ' ')
+      |            ELSE text END AS text
+      |        FROM documents WHERE doc_id % $St26DelMod <> $St26DelRem
+      |        UNION ALL
+      |        SELECT doc_id + $St26CopyOffset, text FROM documents
+      |        WHERE doc_id % $St26CopyMod = $St26CopyRem),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM cur),
+      |csh AS (SELECT DISTINCT doc_id,
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |        FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |recount AS (SELECT c.doc_id, count(*) AS n2
+      |            FROM csh c JOIN vocab USING (g) GROUP BY c.doc_id),
+      |missing AS (SELECT count(*) AS n FROM recount r
+      |            LEFT JOIN sizes s USING (doc_id) WHERE s.doc_id IS NULL),
+      |orph_d AS (SELECT count(*) AS n FROM sizes s
+      |           LEFT JOIN cur c USING (doc_id) WHERE c.doc_id IS NULL),
+      |orph_p AS (SELECT count(*) AS n FROM postings p
+      |           LEFT JOIN cur c USING (doc_id) WHERE c.doc_id IS NULL),
+      |drift AS (SELECT count(*) AS n FROM sizes s
+      |          JOIN recount r USING (doc_id) WHERE s.n <> r.n2)
+      |SELECT 'stream_max' AS phase, check_name,
+      |  CAST(0 AS BIGINT) AS n_violations
+      |FROM (VALUES ('missing_docs'), ('orphaned_docs'),
+      |      ('orphaned_postings'), ('size_drift')) t(check_name)
+      |UNION ALL SELECT 'post_corruption', 'missing_docs',
+      |  CAST(n AS BIGINT) FROM missing
+      |UNION ALL SELECT 'post_corruption', 'orphaned_docs',
+      |  CAST(n AS BIGINT) FROM orph_d
+      |UNION ALL SELECT 'post_corruption', 'orphaned_postings',
+      |  CAST(n AS BIGINT) FROM orph_p
+      |UNION ALL SELECT 'post_corruption', 'size_drift',
+      |  CAST(n AS BIGINT) FROM drift""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st26_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val idx = s"$base/index"
+    val docs = Tables.documents(s, d)
+    // REINDEX over the full corpus (st22's artifacts), then seed the
+    // stored index with the pre-stream third through the same
+    // admission path the stream uses
+    val vocab = lexFreezeVocab(s, docs, base)
+    val qg = lexFreezeProbeSet(s, docs, vocab, base)
+    lexAdmit(vocab, qg, docs.filter($"doc_id" % 3 === 0), idx, "base")
+    // the gate's running maximum per check (foreachBatch is driver-
+    // sequential — plain map, no races) + the admitted-so-far
+    // remainders the gate audits against
+    val streamMax = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long](0L)
+    val seenIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runChunk(): Unit = {
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          lexAdmit(vocab, qg, b, idx, id.toString)
+          seenIds += id
+          admitted += id + 1 // chunk k carries the doc_id % 3 == k slice
+          // the gate: audit the index THIS commit just extended,
+          // against exactly the corpus admitted so far
+          val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
+          val cur = docs.filter(($"doc_id" % 3).isin(admitted.toSeq: _*))
+          Audit.lexAuditChecks(cur, pr, szr).collect().foreach { r =>
+            val (k, n) = (r.getString(0), r.getLong(1))
+            streamMax(k) = math.max(streamMax(k), n)
+          }
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Seq(1L, 2L).foreach { k =>
+      docs.filter($"doc_id" % 3 === k).select($"doc_id", $"text")
+        .write.mode("append").parquet(src)
+      runChunk()
+    }
+    // determinism guard: the admitted-so-far predicate names chunk
+    // remainders by batch id, so the batch structure must be exactly
+    // one chunk per batch (what AvailableNow-per-chunk guarantees)
+    require(seenIds.toSeq == Seq(0L, 1L),
+      s"st26 expects batch ids 0,1 for the two chunks, saw $seenIds — " +
+        "the micro-batch structure drifted from the gate's predicate")
+    // the corpus moves on WITHOUT a reindex: deletions, drift, and
+    // additions awaiting admission — the same shared constants the
+    // oracle text splices
+    val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
+    val cur = docs.filter($"doc_id" % St26DelMod =!= St26DelRem)
+      .select($"doc_id",
+        when($"doc_id" % St26DriftMod === St26DriftRem,
+          substring_index($"text", " ", 20))
+          .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % St26CopyMod === St26CopyRem)
+        .select(($"doc_id" + St26CopyOffset).as("doc_id"), $"text"))
+    val post = Audit.lexAuditChecks(cur, pr, szr)
+      .select(lit("post_corruption").as("phase"), $"check_name",
+        $"n_violations")
+    streamMax.keys.toSeq.sorted
+      .map(k => ("stream_max", k, streamMax(k)))
+      .toDF("phase", "check_name", "n_violations")
+      .unionByName(post)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
     st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
     st21CdcRetention, st22LexAdmission, st23IvfAdmission, st24Bm25Serve,
-    st25ManifestAuditGate)
+    st25ManifestAuditGate, st26IndexAuditGate)
 }

@@ -20,6 +20,45 @@ class AuditSpec extends AnyFunSuite {
     assert(rows("lineitem_discount_domain") == 0L)
   }
 
+  test("st26's gate is not vacuous: a half-landed commit (postings " +
+      "without sizes) fires at the next audit") {
+    // st26's stream_max rows pin all-zeros on healthy commits; this is
+    // the ENGAGEMENT probe proving those zeros are earned — the same
+    // audit over a chain where one leg's sizes vanished (a crash
+    // between the two layout writes) must flip missing_docs, because
+    // the leg's docs still have stored postings (so they recount
+    // against the stored vocabulary) but no length rows to serve with.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val sq = operators.StreamingQueries
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st26_probe"
+    sources.Writers.rmrf(new java.io.File(base))
+    val idx = s"$base/index"
+    val docs = sources.Tables.documents(spark, sf)
+    val vocab = sq.lexFreezeVocab(spark, docs, base)
+    val qg = sq.lexFreezeProbeSet(spark, docs, vocab, base)
+    sq.lexAdmit(vocab, qg, docs.filter($"doc_id" % 3 === 0), idx, "base")
+    sq.lexAdmit(vocab, qg, docs.filter($"doc_id" % 3 === 1), idx, "0")
+    def gate(): Map[String, Long] = {
+      val (pr, szr) = sources.Writers.readLexIndex(spark, idx)
+      operators.Audit.lexAuditChecks(
+          docs.filter(($"doc_id" % 3).isin(0L, 1L)), pr, szr)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val healthy = gate()
+    assert(healthy.values.forall(_ == 0L),
+      s"healthy two-leg chain audited non-zero: $healthy")
+    // the crash: leg 0's sizes never landed
+    sources.Writers.rmrf(new java.io.File(s"$idx/sizes/leg=0"))
+    val fired = gate()
+    assert(fired("missing_docs") > 0L,
+      s"gate did not fire on the half-landed commit: $fired")
+    assert(fired("orphaned_docs") == 0L &&
+      fired("orphaned_postings") == 0L,
+      s"corruption leaked into unrelated checks: $fired")
+  }
+
   test("dq02: per-source verdicts agree with independently computed fractions") {
     import org.apache.spark.sql.functions._
     val s = spark
