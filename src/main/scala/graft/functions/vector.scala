@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
   * list_dot_product — oracle compatibility is preserved.
   */
 
-/** dot(a, b) over array<float> in double precision. */
+/** dot(a, b) over array<float> in double precision. STRICT on length
+  * (round-16 self-review): the explicit-query TVF forms make ragged
+  * vectors user-reachable — a 32-dim query against the 64-dim corpus
+  * must throw, not return a plausible truncated similarity (the
+  * LongVecDot discipline applied to the float kernels). */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -36,7 +40,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw LongVecDot.lengthMismatch(n, y.numElements())
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -51,7 +58,11 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.LongVecDot.lengthMismatch(
+         |    $n, $b.numElements());
+         |}
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc +=
@@ -130,13 +141,14 @@ case class LongVecDot(left: Expression, right: Expression)
 }
 
 object LongVecDot {
-  /** Shared by the interpreted and codegen paths so the two can never
-    * disagree on the failure mode (must be public — generated code
-    * calls it from another package). */
+  /** Shared by ALL the dot kernels' interpreted and codegen paths so
+    * they can never disagree on the failure mode (must be public —
+    * generated code calls it from another package). */
   def lengthMismatch(a: Int, b: Int): IllegalArgumentException =
     new IllegalArgumentException(
-      s"lvec_dot: array length mismatch ($a vs $b) — exact fixed-point" +
-        " dots are only defined over equal-dimension vectors")
+      s"vector dot kernel: array length mismatch ($a vs $b) — dots are" +
+        " only defined over equal-dimension vectors; ragged inputs" +
+        " would silently truncate instead of erroring")
 }
 
 /** Euclidean norm over array<float> in double precision. */
@@ -199,7 +211,10 @@ case class DoubleVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw LongVecDot.lengthMismatch(n, y.numElements())
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -214,7 +229,11 @@ case class DoubleVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.LongVecDot.lengthMismatch(
+         |    $n, $b.numElements());
+         |}
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);

@@ -1019,14 +1019,37 @@ object Dedup {
     * × (|x|≤1 → qx ≤ 200)² = 2.56e6.) */
   val D07bMaxN2 = 60000000L
 
-  /** Per-row loud enforcement of [[D07bMaxN2]] — no extra job, stays
+  /** Per-COORDINATE bound making Σqxᵢ² itself computable without
+    * wrapping (the round-16 self-review finding: a squared norm that
+    * already wrapped inside the dot kernel could land negative or
+    * small-positive and sneak PAST the [[D07bMaxN2]] check): with
+    * every |qxᵢ| ≤ 3.0e8, 64 · (3.0e8)² = 5.76e18 < 2⁶³−1, so the
+    * kernel's sum is exact and the n2 the gate sees is the true
+    * value. */
+  val D07bMaxCoord = 300000000L
+
+  /** Per-row loud enforcement of the grid bounds — no extra job, stays
     * inside whole-stage codegen; an out-of-range corpus fails with the
     * bound in the message instead of silently wrapping away from the
-    * HUGEINT-exact oracle. */
+    * HUGEINT-exact oracle. Applied to the grid vector at its one
+    * materialization point, so every downstream consumer (seeds,
+    * Lloyd, encode, pair gate) sees only coordinates whose squares
+    * sum exactly. */
+  private[graft] def d07bGridGuard(qx: Column): Column =
+    when(!exists(qx, x => abs(x) > D07bMaxCoord), qx)
+      .otherwise(raise_error(lit(
+        s"d07b: a grid coordinate exceeds |x| <= $D07bMaxCoord — the " +
+          "squared-norm kernel would overflow Long")))
+
+  /** Loud enforcement of [[D07bMaxN2]] on the (now provably exact —
+    * see [[d07bGridGuard]]) per-vector squared norm; the n2 >= 0 leg
+    * is belt-and-braces against any future caller that skips the grid
+    * guard. */
   private[graft] def d07bN2Guard(n2: Column): Column =
-    when(n2 <= D07bMaxN2, n2).otherwise(raise_error(format_string(
-      s"d07b: per-vector squared norm %d exceeds the $D07bMaxN2 grid " +
-        "bound — the integer threshold gate would overflow Long", n2)))
+    when(n2 >= 0L && n2 <= D07bMaxN2, n2).otherwise(
+      raise_error(format_string(
+        s"d07b: per-vector squared norm %d exceeds the $D07bMaxN2 grid " +
+          "bound — the integer threshold gate would overflow Long", n2)))
 
   val d07bSemanticDedupFixed: Q = Q(
     "d07b_semantic_dedup_fixed",
@@ -1089,8 +1112,8 @@ object Dedup {
     // integer working set (the s07 grid), materialized once: seeds,
     // the Lloyd round, the encode and the pair stage all derive from it
     val q0 = Tables.embeddings(s, d).select($"vec_id",
-      transform($"embedding",
-        x => floor(x.cast("double") * 200.0 + 0.5).cast("long")).as("qx"))
+      d07bGridGuard(transform($"embedding",
+        x => floor(x.cast("double") * 200.0 + 0.5).cast("long"))).as("qx"))
       .localCheckpoint()
     // seed pick: distributed top-16 heap + broadcast rank (the s06/s07
     // device — c_id labels must equal the oracle's md5-order exactly)

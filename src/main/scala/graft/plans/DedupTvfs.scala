@@ -54,23 +54,29 @@ object NeardupPairsTvf {
   * driver-rounds of distributed jobs at plan build, so before this
   * memo every fresh `spark.sql` of the same text (and every EXPLAIN)
   * re-ran the full clustering. Keyed like the count memo — (session,
-  * view name, analyzed-plan semanticHash) — so a re-registered view
-  * DEFINITION re-clusters while repeat invocations splice the cached
-  * result plan (whose localCheckpointed rounds stay alive in the
-  * session's block manager). Same staleness caveat as the count memo:
-  * files changing UNDER an unchanged definition are not detected —
-  * re-register the view (or a new session) to re-cluster. */
+  * view name), holding the LATEST definition's (semanticHash, plan)
+  * only — so a re-registered view DEFINITION re-clusters AND releases
+  * the superseded plan (round-16 self-review: a hash-in-the-key map
+  * never evicted, pinning every prior clustering's localCheckpointed
+  * blocks for the JVM's lifetime; dropping the entry lets the
+  * ContextCleaner reclaim those blocks once the plan is unreferenced),
+  * while repeat invocations splice the cached result plan (whose
+  * checkpointed rounds stay alive in the session's block manager).
+  * Same staleness caveat as the count memo: files changing UNDER an
+  * unchanged definition are not detected — re-register the view (or a
+  * new session) to re-cluster. */
 private[graft] object TvfClusterPlans {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
-      LogicalPlan]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Int, LogicalPlan)]()
   @volatile private[graft] var misses = 0L
 
   def planOf(name: String, df: org.apache.spark.sql.DataFrame)(
       build: => LogicalPlan): LogicalPlan = {
-    val key = (df.sparkSession, name,
-      df.queryExecution.analyzed.semanticHash())
-    cache.computeIfAbsent(key, _ => { misses += 1; build })
+    val h = df.queryExecution.analyzed.semanticHash()
+    cache.compute((df.sparkSession, name), (_, old) =>
+      if (old != null && old._1 == h) old
+      else { misses += 1; (h, build) })._2
   }
 }
 

@@ -35,7 +35,18 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * (a function's trailing relation slots may be optional — the query
   * relation defaults to the registry's `id % 50 = 0` corpus slice so
   * every pre-round-16 call form keeps its hash-verified meaning), one
-  * optional trailing integer literal overrides the top-k. */
+  * optional trailing integer literal overrides the top-k.
+  *
+  * ID-NAMESPACE CONTRACT for explicit query relations (round-16
+  * self-review): query ids share the corpus id namespace. A query
+  * whose id EQUALS a corpus doc/vec id is treated as that corpus
+  * member — the standard self-exclusion applies and that one corpus
+  * row never appears in its own ranking (the s12/s04 convention every
+  * serve path relies on). External queries that are NOT corpus
+  * members must carry ids OUTSIDE the corpus id range (e.g. negative,
+  * or offset past max(id)) — then no exclusion fires and the full
+  * corpus is ranked, including any near-identical doc. SqlParitySpec
+  * pins both semantics. */
 private[plans] object RetrievalTvfs {
 
   def parse(fn: String, args: Seq[Expression], nTables: Int)
@@ -71,28 +82,32 @@ private[plans] object RetrievalTvfs {
   * Spark job per TVF call AT PLAN BUILD (even `EXPLAIN` pays it), so
   * interactive re-invocations of the same view re-ran it every time.
   *
-  * Keyed by (session, view name, analyzed-plan semanticHash): a view
-  * RE-REGISTERED with a different definition resolves to a different
-  * analyzed plan, so the memo self-invalidates exactly when the
-  * catalog entry changes; re-registering the identical definition
-  * keeps the cached count (same relation, same rows). Entries are one
-  * Long per (session, view) — unbounded growth would need unbounded
-  * distinct view definitions in one session. */
+  * Keyed by (session, view name), holding the LATEST definition's
+  * (analyzed-plan semanticHash, count) only: a view RE-REGISTERED
+  * with a different definition resolves to a different analyzed
+  * plan, so the memo re-counts exactly when the catalog entry
+  * changes AND drops the superseded entry (round-16 self-review: a
+  * hash-in-the-key map never evicted, so a session that re-registers
+  * a view per data refresh leaked one entry per refresh forever);
+  * re-registering the identical definition keeps the cached count
+  * (same relation, same rows). The map holds at most one Long per
+  * (session, view name). */
 private[graft] object TvfViewCounts {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
-      java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Int, Long)]()
   // test instrumentation: PlanSpec asserts one count JOB across two
   // invocations by watching misses
   @volatile private[graft] var misses = 0L
 
   def countOf(name: String, df: DataFrame): Long = {
-    val key = (df.sparkSession, name,
-      df.queryExecution.analyzed.semanticHash())
-    cache.computeIfAbsent(key, _ => {
-      misses += 1
-      java.lang.Long.valueOf(df.count())
-    }).longValue()
+    val h = df.queryExecution.analyzed.semanticHash()
+    cache.compute((df.sparkSession, name), (_, old) =>
+      if (old != null && old._1 == h) old
+      else {
+        misses += 1
+        (h, df.count())
+      })._2
   }
 }
 

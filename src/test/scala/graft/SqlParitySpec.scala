@@ -638,6 +638,47 @@ class SqlParitySpec extends AnyFunSuite {
     assert(kalt.forall(r => r.getLong(0) % 50 == 7 && r.getInt(3) <= 2))
   }
 
+  test("explicit query relations: disjoint-id queries rank the FULL " +
+      "corpus (no self-exclusion), colliding ids are corpus members") {
+    // the id-namespace contract (round-16 self-review): self-exclusion
+    // is keyed on id equality, so a query re-using a corpus id is
+    // treated AS that corpus member, while an out-of-range id ranks
+    // everything — its own source doc included. Pin both: the same
+    // query text under an OFFSET id must surface its source doc
+    // (typically at rank 1), which the colliding-id form excludes.
+    register()
+    import spark.implicits._
+    val Off = 50000000L
+    sources.Tables.documents(spark, sf).filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + Off).as("doc_id"), $"text")
+      .createOrReplaceTempView("q_offset_docs")
+    val off = spark.sql(
+      "SELECT * FROM bm25_topk('documents', 'q_offset_docs')").collect()
+    assert(off.nonEmpty)
+    // every offset query's ranking now CONTAINS its own source doc...
+    val hitsOwn = off.filter(r => r.getLong(1) == r.getLong(0) - Off)
+    assert(hitsOwn.nonEmpty,
+      "offset queries never surfaced their own source docs — " +
+        "self-exclusion leaked into the disjoint-id namespace")
+    // ...which the colliding-id (corpus-slice) form never does
+    sources.Tables.documents(spark, sf).filter($"doc_id" % 50 === 0)
+      .createOrReplaceTempView("q_colliding_docs")
+    val coll = spark.sql(
+      "SELECT * FROM bm25_topk('documents', 'q_colliding_docs')").collect()
+    assert(coll.forall(r => r.getLong(1) != r.getLong(0)),
+      "a corpus-id query ranked itself — the s12 convention broke")
+    // vector side: an offset query's top hit is its own vector, sim ~1
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + Off).as("vec_id"), $"embedding")
+      .createOrReplaceTempView("q_offset_emb")
+    val koff = spark.sql(
+      "SELECT * FROM knn_topk('embeddings', 'q_offset_emb', 1)").collect()
+    assert(koff.nonEmpty)
+    assert(koff.forall(r => r.getLong(1) == r.getLong(0) - Off &&
+      r.getDouble(2) > 0.999999),
+      "an offset query's nearest neighbour is not its own source vector")
+  }
+
   test("bm25_serve / knn_serve TVFs: stored-index serving == the " +
       "inline build, through a real write/read cycle") {
     // the index-lifecycle half of the SQL closure: build once (w12's
