@@ -1028,18 +1028,25 @@ object Dedup {
     * value. */
   val D07bMaxCoord = 300000000L
 
-  /** Per-row loud enforcement of the grid bounds — no extra job, stays
-    * inside whole-stage codegen; an out-of-range corpus fails with the
-    * bound in the message instead of silently wrapping away from the
-    * HUGEINT-exact oracle. Applied to the grid vector at its one
-    * materialization point, so every downstream consumer (seeds,
-    * Lloyd, encode, pair gate) sees only coordinates whose squares
-    * sum exactly. */
-  private[graft] def d07bGridGuard(qx: Column): Column =
-    when(!exists(qx, x => abs(x) > D07bMaxCoord), qx)
+  /** Loud per-COORDINATE quantization onto the grid: floor(x·200+0.5)
+    * guarded to [[D07bMaxCoord]] INSIDE the transform lambda — checked
+    * once per element with no second pass over the array (a
+    * when(exists(...), qx) form evaluated the whole 64-element
+    * transform twice per row — self-review round 2), and bounded
+    * SYMMETRICALLY without abs() (abs(Long.MinValue) wraps negative
+    * under non-ANSI semantics, so a double→long cast that saturated
+    * to MinValue would have slipped an abs()-based check; the
+    * two-sided compare catches both saturation ends under ANSI and
+    * non-ANSI alike). Applied at the grid's one materialization
+    * point, so every downstream consumer (seeds, Lloyd, encode, pair
+    * gate) sees only coordinates whose squares sum exactly. */
+  private[graft] def d07bGridCell(x: Column): Column = {
+    val q = floor(x.cast("double") * 200.0 + 0.5).cast("long")
+    when(q <= D07bMaxCoord && q >= -D07bMaxCoord, q)
       .otherwise(raise_error(lit(
         s"d07b: a grid coordinate exceeds |x| <= $D07bMaxCoord — the " +
           "squared-norm kernel would overflow Long")))
+  }
 
   /** Loud enforcement of [[D07bMaxN2]] on the (now provably exact —
     * see [[d07bGridGuard]]) per-vector squared norm; the n2 >= 0 leg
@@ -1112,8 +1119,7 @@ object Dedup {
     // integer working set (the s07 grid), materialized once: seeds,
     // the Lloyd round, the encode and the pair stage all derive from it
     val q0 = Tables.embeddings(s, d).select($"vec_id",
-      d07bGridGuard(transform($"embedding",
-        x => floor(x.cast("double") * 200.0 + 0.5).cast("long"))).as("qx"))
+      transform($"embedding", d07bGridCell(_)).as("qx"))
       .localCheckpoint()
     // seed pick: distributed top-16 heap + broadcast rank (the s06/s07
     // device — c_id labels must equal the oracle's md5-order exactly)

@@ -53,31 +53,19 @@ object NeardupPairsTvf {
   * move applied to a whole ITERATIVE build: the star contraction runs
   * driver-rounds of distributed jobs at plan build, so before this
   * memo every fresh `spark.sql` of the same text (and every EXPLAIN)
-  * re-ran the full clustering. Keyed like the count memo — (session,
-  * view name), holding the LATEST definition's (semanticHash, plan)
-  * only — so a re-registered view DEFINITION re-clusters AND releases
-  * the superseded plan (round-16 self-review: a hash-in-the-key map
-  * never evicted, pinning every prior clustering's localCheckpointed
-  * blocks for the JVM's lifetime; dropping the entry lets the
-  * ContextCleaner reclaim those blocks once the plan is unreferenced),
-  * while repeat invocations splice the cached result plan (whose
-  * checkpointed rounds stay alive in the session's block manager).
-  * Same staleness caveat as the count memo: files changing UNDER an
-  * unchanged definition are not detected — re-register the view (or a
-  * new session) to re-cluster. */
-private[graft] object TvfClusterPlans {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (Int, LogicalPlan)]()
-  @volatile private[graft] var misses = 0L
-
+  * re-ran the full clustering. One [[LatestEntryMemo]] instance (see
+  * its scaladoc for the latest-entry / lock-free-hit semantics): a
+  * re-registered view DEFINITION re-clusters AND releases the
+  * superseded plan (letting the ContextCleaner reclaim its
+  * localCheckpointed blocks once unreferenced), while repeat
+  * invocations splice the cached result plan (whose checkpointed
+  * rounds stay alive in the session's block manager). Same staleness
+  * caveat as the count memo: files changing UNDER an unchanged
+  * definition are not detected — re-register the view (or a new
+  * session) to re-cluster. */
+private[graft] object TvfClusterPlans extends LatestEntryMemo[LogicalPlan] {
   def planOf(name: String, df: org.apache.spark.sql.DataFrame)(
-      build: => LogicalPlan): LogicalPlan = {
-    val h = df.queryExecution.analyzed.semanticHash()
-    cache.compute((df.sparkSession, name), (_, old) =>
-      if (old != null && old._1 == h) old
-      else { misses += 1; (h, build) })._2
-  }
+      build: => LogicalPlan): LogicalPlan = getOrBuild(name, df)(build)
 }
 
 /** `dedup_clusters(<docs view>)` — d06b's duplicate clusters: the

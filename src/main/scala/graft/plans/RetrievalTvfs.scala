@@ -82,33 +82,14 @@ private[plans] object RetrievalTvfs {
   * Spark job per TVF call AT PLAN BUILD (even `EXPLAIN` pays it), so
   * interactive re-invocations of the same view re-ran it every time.
   *
-  * Keyed by (session, view name), holding the LATEST definition's
-  * (analyzed-plan semanticHash, count) only: a view RE-REGISTERED
-  * with a different definition resolves to a different analyzed
-  * plan, so the memo re-counts exactly when the catalog entry
-  * changes AND drops the superseded entry (round-16 self-review: a
-  * hash-in-the-key map never evicted, so a session that re-registers
-  * a view per data refresh leaked one entry per refresh forever);
+  * One [[LatestEntryMemo]] instance (see its scaladoc for the
+  * latest-entry / lock-free-hit semantics): a re-registered view
+  * DEFINITION re-counts and releases the superseded entry;
   * re-registering the identical definition keeps the cached count
-  * (same relation, same rows). The map holds at most one Long per
-  * (session, view name). */
-private[graft] object TvfViewCounts {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (Int, Long)]()
-  // test instrumentation: PlanSpec asserts one count JOB across two
-  // invocations by watching misses
-  @volatile private[graft] var misses = 0L
-
-  def countOf(name: String, df: DataFrame): Long = {
-    val h = df.queryExecution.analyzed.semanticHash()
-    cache.compute((df.sparkSession, name), (_, old) =>
-      if (old != null && old._1 == h) old
-      else {
-        misses += 1
-        (h, df.count())
-      })._2
-  }
+  * (same relation, same rows). */
+private[graft] object TvfViewCounts extends LatestEntryMemo[Long] {
+  def countOf(name: String, df: DataFrame): Long =
+    getOrBuild(name, df)(df.count())
 }
 
 /** `bm25_topk(<docs view> [, <queries view>] [, k])` — s12's BM25

@@ -400,6 +400,26 @@ class DedupSpec extends AnyFunSuite {
     assert(under == operators.Dedup.D07bMaxN2)
   }
 
+  test("d07b's grid guard fires on BOTH saturation ends, per element") {
+    // self-review round 2: an abs()-based bound would wrap on a
+    // negatively-saturated cast and pass; the two-sided compare must
+    // fire on large-positive AND large-negative coordinates, and pass
+    // exact in-range quantization through unchanged
+    import spark.implicits._
+    import org.apache.spark.sql.functions.transform
+    def grid(x: Float): () => Long = () =>
+      Seq(Seq(x)).toDF("v")
+        .select(transform($"v", operators.Dedup.d07bGridCell(_)).as("q"))
+        .collect()(0).getSeq[Long](0).head
+    assert(grid(1.0f)() == 200L)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val pos = intercept[Exception](grid(3.0e6f)())
+    assert(msgs(pos).exists(_.contains("grid coordinate")), s"wrong: $pos")
+    val neg = intercept[Exception](grid(-3.0e6f)())
+    assert(msgs(neg).exists(_.contains("grid coordinate")), s"wrong: $neg")
+  }
+
   test("d07b's fixed-point sims track the float cosine they stand in for") {
     // The grid (x -> floor(x*200+0.5)) quantizes each coordinate by at
     // most 1/400, so a d07b pair's emitted integer-arithmetic sim must
