@@ -94,7 +94,7 @@ object Bench {
     "s08_range_search", "w09_incremental_optimize",
     "d15_containment_join", "dq08_manifest_audit",
     "d07b_semantic_dedup_fixed", "st25_manifest_audit_gate",
-    "st26_index_audit_gate")
+    "st26_index_audit_gate", "st27_ivf_audit_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1041,15 +1041,51 @@ object Dedup {
     * point, so every downstream consumer (seeds, Lloyd, encode, pair
     * gate) sees only coordinates whose squares sum exactly. */
   private[graft] def d07bGridCell(x: Column): Column = {
-    val q = floor(x.cast("double") * 200.0 + 0.5).cast("long")
-    when(q <= D07bMaxCoord && q >= -D07bMaxCoord, q)
-      .otherwise(raise_error(lit(
-        s"d07b: a grid coordinate exceeds |x| <= $D07bMaxCoord — the " +
-          "squared-norm kernel would overflow Long")))
+    val scaled = x.cast("double") * 200.0 + 0.5
+    val q = floor(scaled).cast("long")
+    // NaN FIRST, and on the PRE-floor double (round-16 advice):
+    // Spark's floor(double) already RETURNS LongType, so floor(NaN)
+    // has silently become 0 before any isnan could see it — coordinate
+    // 0 would sail through the two-sided range check instead of
+    // erroring, the exact silent-miscount the guard exists to prevent.
+    // NULL already fell through to the error branch (three-valued
+    // compare), but is routed explicitly so the message names the
+    // cause. ±Infinity needs no branch: the long conversion saturates
+    // to Long.Min/MaxValue, which the two-sided compare catches.
+    when(isnan(scaled) || scaled.isNull, raise_error(lit(
+        "d07b: a NaN/NULL embedding coordinate cannot be " +
+          "grid-quantized — the integer gate's arithmetic would be " +
+          "silently wrong")))
+      .otherwise(when(q <= D07bMaxCoord && q >= -D07bMaxCoord, q)
+        .otherwise(raise_error(lit(
+          s"d07b: a grid coordinate exceeds |x| <= $D07bMaxCoord — the " +
+            "squared-norm kernel would overflow Long"))))
   }
 
+  /** The dimensionality the [[D07bMaxCoord]] wrap-free proof is
+    * stated for: 64 · (3.0e8)² = 5.76e18 < 2⁶³−1, but the same
+    * per-coordinate bound wraps the squared-norm SUM for d ≥ 103
+    * (d · 9.0e16 > 2⁶³) — and a wrapped sum can land back inside
+    * [0, [[D07bMaxN2]]] and slip past [[d07bN2Guard]]. Enforced at
+    * the grid's one materialization point ([[d07bGrid]], round-16
+    * advice) so the proof's precondition is a runtime fact, not a
+    * comment. */
+  val D07bMaxDims = 64
+
+  /** The grid's ONE materialization point: the per-element
+    * quantization guard ([[d07bGridCell]]) under the per-vector
+    * dimensionality guard ([[D07bMaxDims]]) — every downstream
+    * consumer (seeds, Lloyd, encode, pair gate) sees only vectors
+    * whose coordinate squares provably sum without wrapping. */
+  private[graft] def d07bGrid(emb: Column): Column =
+    when(size(emb) <= D07bMaxDims,
+        transform(emb, d07bGridCell(_)))
+      .otherwise(raise_error(lit(
+        s"d07b: embedding dimensionality exceeds $D07bMaxDims — the " +
+          "squared-norm sum could wrap Long and bypass the n2 gate")))
+
   /** Loud enforcement of [[D07bMaxN2]] on the (now provably exact —
-    * see [[d07bGridGuard]]) per-vector squared norm; the n2 >= 0 leg
+    * see [[d07bGrid]]) per-vector squared norm; the n2 >= 0 leg
     * is belt-and-braces against any future caller that skips the grid
     * guard. */
   private[graft] def d07bN2Guard(n2: Column): Column =
@@ -1119,7 +1155,7 @@ object Dedup {
     // integer working set (the s07 grid), materialized once: seeds,
     // the Lloyd round, the encode and the pair stage all derive from it
     val q0 = Tables.embeddings(s, d).select($"vec_id",
-      transform($"embedding", d07bGridCell(_)).as("qx"))
+      d07bGrid($"embedding").as("qx"))
       .localCheckpoint()
     // seed pick: distributed top-16 heap + broadcast rank (the s06/s07
     // device — c_id labels must equal the oracle's md5-order exactly)

@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // layout (the dir's structure selects the check set)
     ext.injectTableFunction((IndexFsckTvf.identifier, IndexFsckTvf.info,
       IndexFsckTvf.build))
+    // Memo-invalidation verb: graft_refresh('<view>') — drops the
+    // plan-build memos (counts, clusterings) for the named view
+    ext.injectTableFunction((GraftRefreshTvf.identifier,
+      GraftRefreshTvf.info, GraftRefreshTvf.build))
   }
 }

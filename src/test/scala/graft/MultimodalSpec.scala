@@ -34,6 +34,23 @@ class MultimodalSpec extends AnyFunSuite {
         "pipelines; see Multimodal.scala m02 scaladoc")
   }
 
+  test("the ASCII guard guards: a synthetic multi-byte doc trips the " +
+      "predicate") {
+    // round-16 verdict stretch: the precondition assert above only
+    // ever sees the (clean) fixture, so nothing proved the predicate
+    // itself catches a violation. One char needing two UTF-8 bytes
+    // must — and only it may — trip octet_length != char_length.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fixture = Seq((1L, "plain ascii words"),
+      (2L, "café au lait")).toDF("doc_id", "text")
+    val trips = fixture.filter(
+      octet_length(col("text").cast("binary")) =!= length(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(trips == Seq(2L),
+      s"the guard predicate must catch exactly the multi-byte doc: $trips")
+  }
+
   test("batch decode pipeline: feature dims follow format, checksums match md5") {
     val rows = operators.Multimodal.decodePipeline(spark, sf).collect()
     assert(rows.length == 500)

@@ -687,4 +687,47 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("SELECT * FROM knn_topk('emb_memo_v')")
     assert(plans.TvfViewCounts.misses - m0 == 2)
   }
+
+  test("TVF memo staleness: appended files under an UNCHANGED view " +
+      "definition re-count; graft_refresh evicts explicitly") {
+    // round-16 advice (medium): the memo keyed only on the analyzed
+    // plan's semanticHash, which is rootPath-stable across file
+    // appends — so a view re-registered with the IDENTICAL definition
+    // over a grown directory kept serving the stale count for the
+    // whole session. The key now mixes the file listing in, and
+    // graft_refresh('<view>') closes the residual windows (a frozen
+    // temp-view listing, an in-place same-name rewrite) by explicit
+    // eviction.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_memo_fp").toString
+    sources.Writers.rmrf(new java.io.File(dir))
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 4 === 0)
+      .write.parquet(dir)
+    def reg(): Unit =
+      spark.read.parquet(dir).createOrReplaceTempView("emb_fp_v")
+    reg()
+    val m0 = plans.TvfViewCounts.misses
+    spark.sql("SELECT * FROM knn_topk('emb_fp_v')")
+    assert(plans.TvfViewCounts.misses - m0 == 1)
+    // grow the directory, re-register the SAME definition: the
+    // semanticHash is unchanged (rootPath equality), the listing isn't
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 4 === 1)
+      .write.mode("append").parquet(dir)
+    reg()
+    spark.sql("SELECT * FROM knn_topk('emb_fp_v')")
+    assert(plans.TvfViewCounts.misses - m0 == 2,
+      "appended files under an unchanged view definition must re-count")
+    spark.sql("SELECT * FROM knn_topk('emb_fp_v')")
+    assert(plans.TvfViewCounts.misses - m0 == 2,
+      "the grown listing's entry must itself memoize")
+    // the explicit verb: eviction under UNCHANGED data re-counts once
+    val r = spark.sql("SELECT * FROM graft_refresh('emb_fp_v')")
+      .collect()(0)
+    assert(r.getString(0) == "emb_fp_v" && r.getBoolean(1))
+    spark.sql("SELECT * FROM knn_topk('emb_fp_v')")
+    assert(plans.TvfViewCounts.misses - m0 == 3,
+      "graft_refresh must force the next call to rebuild")
+    sources.Writers.rmrf(new java.io.File(dir))
+  }
 }

@@ -733,6 +733,77 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("bm25_topk / bm25_serve: free-text query => '<text>' == the " +
+      "one-row explicit view, and ranks the full corpus") {
+    // round-16 verdict ask #3: a SQL user's very first prompt is a
+    // string, not a registered view. The literal must flow through the
+    // SAME explicit-view path (one-row relation under FreeTextQueryId)
+    // — pinned verbatim against a hand-registered one-row view — and
+    // the negative id must put the query OUTSIDE the corpus namespace,
+    // so no self-exclusion fires and the query's own source doc can
+    // surface.
+    register()
+    import spark.implicits._
+    val sample = sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(1)
+      .collect()(0)
+    val (srcId, text) = (sample.getLong(0), sample.getString(1))
+    val lit = text.replace("\\", "\\\\").replace("'", "''")
+    Seq((plans.RetrievalTvfs.FreeTextQueryId, text)).toDF("doc_id", "text")
+      .createOrReplaceTempView("q_free_view")
+    val viaText = spark.sql(
+      s"SELECT * FROM bm25_topk('documents', query => '$lit')")
+    val viaView = spark.sql(
+      "SELECT * FROM bm25_topk('documents', 'q_free_view')")
+    assert(canon(viaText) == canon(viaView),
+      "free-text form must equal the one-row explicit-view form verbatim")
+    val rows = viaText.collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getLong(0) == plans.RetrievalTvfs.FreeTextQueryId))
+    assert(rows.exists(_.getLong(1) == srcId),
+      "a full-document free-text query did not surface its source doc — " +
+        "self-exclusion leaked into the free-text namespace")
+    // k composes with the named argument
+    val k1 = spark.sql(
+      s"SELECT * FROM bm25_topk('documents', query => '$lit', 1)")
+    assert(k1.collect().forall(_.getInt(2) <= 1))
+    // the serve twin takes the same form, against a stored index
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_freeserve").toString
+    sources.Writers.rmrf(new java.io.File(dir))
+    val (p, sz) = operators.Similarity
+      .lexIndex(sources.Tables.documents(spark, sf))
+    sources.Writers.writeLexIndex(p, sz, dir)
+    assert(canon(spark.sql(
+        s"SELECT * FROM bm25_serve('$dir', query => '$lit')")) ==
+      canon(viaText),
+      "bm25_serve's free-text form must equal bm25_topk's")
+    // misuse fails loudly: free text + an explicit query view is
+    // ambiguous, and unknown named arguments are rejected
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM bm25_topk('documents', 'q_free_view', query => 'x')"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM bm25_topk('documents', foo => 'x')"))
+  }
+
+  test("graft_refresh TVF: reports eviction state per memo") {
+    // the memo-invalidation verb's SQL surface (PlanSpec pins the
+    // re-count behavior; here: the returned row is honest about
+    // whether anything was evicted)
+    register()
+    val r0 = spark.sql(
+      "SELECT * FROM graft_refresh('graft_no_such_view')").collect()(0)
+    assert(r0.getString(0) == "graft_no_such_view" &&
+      !r0.getBoolean(1) && !r0.getBoolean(2))
+    sources.Tables.embeddings(spark, sf)
+      .createOrReplaceTempView("emb_refresh_v")
+    spark.sql("SELECT * FROM knn_topk('emb_refresh_v')") // populates memo
+    val r1 = spark.sql(
+      "SELECT * FROM graft_refresh('emb_refresh_v')").collect()(0)
+    assert(r1.getBoolean(1), "a populated count memo must report eviction")
+  }
+
   test("table_fsck TVF: zeros on a clean chain, flips on corruption") {
     // the audit family's operational surface: point the fsck at any
     // chain dir from SQL. Clean chain -> all four checks zero; delete
