@@ -726,6 +726,18 @@ class SqlParitySpec extends AnyFunSuite {
     assert(canon(spark.sql(s"SELECT * FROM knn_serve('$ivfDir', " +
         "'embeddings', 'q_slice_emb_serve')")) ==
       canon(kserved))
+    // an ARBITRARY query view through the READ-PRUNED stored path
+    // (round-17: the explicit-query serve semi-joins the lists against
+    // the view's probed cells) must equal the inline probe verbatim —
+    // the pruning is a semantic no-op by construction, and this pin
+    // would catch a dropped cell
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" % 50 === 7)
+      .createOrReplaceTempView("q_alt_emb_serve")
+    assert(canon(spark.sql(s"SELECT * FROM knn_serve('$ivfDir', " +
+        "'embeddings', 'q_alt_emb_serve')")) ==
+      canon(spark.sql(
+        "SELECT * FROM knn_topk('embeddings', 'q_alt_emb_serve')")),
+      "the read-pruned arbitrary-view serve diverged from the inline probe")
     // engagement probe: a dir with no index must fail loudly
     intercept[Exception] {
       spark.sql("SELECT * FROM bm25_serve('/nonexistent/graft_idx')")
