@@ -1076,13 +1076,19 @@ object Dedup {
     * quantization guard ([[d07bGridCell]]) under the per-vector
     * dimensionality guard ([[D07bMaxDims]]) — every downstream
     * consumer (seeds, Lloyd, encode, pair gate) sees only vectors
-    * whose coordinate squares provably sum without wrapping. */
+    * whose coordinate squares provably sum without wrapping. A NULL
+    * array gets its own message (size(NULL) is NULL, which would
+    * otherwise fall into the dimensionality branch and misdiagnose
+    * the row — the operator would hunt for over-wide vectors instead
+    * of the NULL). */
   private[graft] def d07bGrid(emb: Column): Column =
-    when(size(emb) <= D07bMaxDims,
-        transform(emb, d07bGridCell(_)))
-      .otherwise(raise_error(lit(
-        s"d07b: embedding dimensionality exceeds $D07bMaxDims — the " +
-          "squared-norm sum could wrap Long and bypass the n2 gate")))
+    when(emb.isNull, raise_error(lit(
+        "d07b: a NULL embedding cannot be grid-quantized")))
+      .otherwise(when(size(emb) <= D07bMaxDims,
+          transform(emb, d07bGridCell(_)))
+        .otherwise(raise_error(lit(
+          s"d07b: embedding dimensionality exceeds $D07bMaxDims — the " +
+            "squared-norm sum could wrap Long and bypass the n2 gate"))))
 
   /** Loud enforcement of [[D07bMaxN2]] on the (now provably exact —
     * see [[d07bGrid]]) per-vector squared norm; the n2 >= 0 leg

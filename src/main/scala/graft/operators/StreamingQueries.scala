@@ -1329,6 +1329,22 @@ object StreamingQueries {
       .localCheckpoint()
   }
 
+  /** The ONE reindex-and-seed sequence every IVF admission harness
+    * starts from (st23, st27, AuditSpec's engagement probes — before
+    * round 17 each restated it, the drift class the round-10 review
+    * flagged on the lexical side): freeze the sampled quantizer over
+    * the full corpus, persist it under the index, and admit the
+    * pre-stream third (`vec_id % 3 == 0`) through the same admission
+    * path the stream uses. Returns the frozen centroid frame. */
+  private[graft] def ivfReindexAndSeed(s: org.apache.spark.sql.SparkSession,
+      d: String, emb: org.apache.spark.sql.DataFrame, idx: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cents = ivfFreezeCentroids(s, d, emb, idx)
+    ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    cents
+  }
+
   /** One admission leg: assign `batch`'s vectors ONLY under the frozen
     * centroids, land them as leg `leg` inside the stored lists —
     * OVERWRITTEN on replay. */
@@ -1369,11 +1385,8 @@ object StreamingQueries {
     val dest = s"$base/dest"; val idx = s"$base/index"
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    // REINDEX: freeze the sampled quantizer over the full corpus and
-    // persist it under the index, then seed the stored lists with the
-    // pre-stream third through the same admission path the stream uses
-    val cents = ivfFreezeCentroids(s, d, emb, idx)
-    ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    // REINDEX + SEED (the shared st23/st27 harness)
+    val cents = ivfReindexAndSeed(s, d, emb, idx)
     // the serve statics: the fixed query set (s04's rule) and its
     // probed-cell set — both frozen, so the per-serve list scan is
     // partition-pruned to these cells for the whole run. The collect
@@ -1935,11 +1948,8 @@ object StreamingQueries {
     val idx = s"$base/index"
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    // REINDEX over the full corpus (st23's artifacts), then seed the
-    // stored lists with the pre-stream third through the same
-    // admission path the stream uses
-    val cents = ivfFreezeCentroids(s, d, emb, idx)
-    ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    // REINDEX + SEED (the shared st23/st27 harness)
+    val cents = ivfReindexAndSeed(s, d, emb, idx)
     // the gate's running maximum per check (foreachBatch is driver-
     // sequential — plain map, no races) + the admitted-so-far
     // remainders the gate audits against

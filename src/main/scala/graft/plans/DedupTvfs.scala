@@ -59,10 +59,13 @@ object NeardupPairsTvf {
   * superseded plan (letting the ContextCleaner reclaim its
   * localCheckpointed blocks once unreferenced), while repeat
   * invocations splice the cached result plan (whose checkpointed
-  * rounds stay alive in the session's block manager). Same staleness
-  * caveat as the count memo: files changing UNDER an unchanged
-  * definition are not detected — re-register the view (or a new
-  * session) to re-cluster. */
+  * rounds stay alive in the session's block manager). Staleness is
+  * the shared memo contract (round 17): the key mixes in the file
+  * LISTING of every file-backed leaf, so appended/overwritten files
+  * re-cluster once the catalog serves the new listing; the residual
+  * windows (a temp view's frozen listing, an in-place same-name
+  * rewrite) are closed by re-registering the view or
+  * `graft_refresh('<view>')`. */
 private[graft] object TvfClusterPlans extends LatestEntryMemo[LogicalPlan] {
   def planOf(name: String, df: org.apache.spark.sql.DataFrame)(
       build: => LogicalPlan): LogicalPlan = getOrBuild(name, df)(build)
@@ -79,7 +82,8 @@ private[graft] object TvfClusterPlans extends LatestEntryMemo[LogicalPlan] {
   * taken further), so the FIRST `spark.sql` (or EXPLAIN) of a given
   * view pays the full clustering; repeat invocations reuse the
   * memoized result plan ([[TvfClusterPlans]], round-16) until the
-  * view is re-registered with a different definition. A pipeline that
+  * view's definition OR file listing changes, or
+  * `graft_refresh('<view>')` evicts it (round 17). A pipeline that
   * reuses cluster assignments across sessions should still
   * materialize the DSL's output
   * (d06b / [[graft.operators.Dedup.connectedComponentsStars]]). */

@@ -298,9 +298,18 @@ object Bm25ServeTvf {
   * partitions at read, with zero plan-build jobs and zero driver
   * collects (PlanSpec asserts the DPP filter reaches the scan;
   * SqlParitySpec pins the pruned serve row-identical to the inline
-  * probe). The lexical twin still scans its full postings for
-  * arbitrary queries — that one needs a layout revision, sketched
-  * (deliberately unbuilt) in PLANS.md. */
+  * probe). Contract: the pruning subquery RE-EXECUTES the query view
+  * (DPP subqueries are separate executions by design), so the view
+  * must be re-execution-stable — which every Spark view whose
+  * randomness is analysis-seeded is (rand()/TABLESAMPLE fix their
+  * seeds at analysis; both executions share this ONE analyzed plan),
+  * and the cost of the second execution is the query-side probe
+  * again, bounded by the (small, by the serving asymmetry) query
+  * view. A view whose underlying FILES mutate mid-query could probe
+  * different cells than it pruned — the same torn read a full-scan
+  * serve over mutating storage already risks. The lexical twin still
+  * scans its full postings for arbitrary queries — that one needs a
+  * layout revision, sketched (deliberately unbuilt) in PLANS.md. */
 object KnnServeTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("knn_serve")

@@ -55,33 +55,48 @@ private[graft] class LatestEntryMemo[V] {
   private[graft] def misses: Long = missCount.get()
 
   /** Definition + data fingerprint: semanticHash of the analyzed plan,
-    * mixed with the sorted input-file listing of every file-source
-    * leaf. Listing a cached InMemoryFileIndex is a driver-side map
+    * mixed with the input-file listing of every file-source leaf —
+    * INCLUDING leaves inside subquery expressions (IN/EXISTS/scalar:
+    * a view filtered by `IN (SELECT ... FROM allow)` must re-derive
+    * when `allow`'s files change, and plain foreach never visits
+    * them). Listing a cached InMemoryFileIndex is a driver-side map
     * read (no filesystem hit); a fresh catalog resolution has already
-    * paid the listing for its own scan. */
+    * paid the listing for its own scan. The per-relation combine is an
+    * order-insensitive one-pass sum of path hashes — no sort, no copy
+    * — so a hit over a 10⁵-file table costs one array walk, not an
+    * O(F log F) sort on every call. */
   private def fingerprint(df: DataFrame): Int = {
     val analyzed = df.queryExecution.analyzed
     var h = analyzed.semanticHash()
-    analyzed.foreach {
+    (analyzed +: analyzed.subqueriesAll).foreach(_.foreach {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          h = 31 * h + fs.location.inputFiles.toSeq.sorted.hashCode()
+          var fh = 0
+          val files = fs.location.inputFiles
+          var i = 0
+          while (i < files.length) { fh += files(i).hashCode; i += 1 }
+          h = 31 * h + (fh ^ files.length)
         case _ =>
       }
       case _ =>
-    }
+    })
     h
   }
 
-  /** The session's name→entry map, creating it on first use; dead
+  /** The session's name→entry map, creating it on first use. Dead
     * sessions' maps are dropped here (WeakHashMap alone cannot collect
     * them — a memoized plan strongly references its session through
     * its leaf relations, so the value chain keeps the weak key
-    * reachable until this explicit purge). */
-  private def innerFor(s: SparkSession): ConcurrentHashMap[String, (Int, V)] =
+    * reachable until this explicit purge) — but ONLY on the miss path
+    * (`purge`): a hit pays one short synchronized map read, never an
+    * all-sessions scan, preserving the cheap-hit contract. */
+  private def innerFor(s: SparkSession, purge: Boolean)
+      : ConcurrentHashMap[String, (Int, V)] =
     sessions.synchronized {
-      val it = sessions.keySet.iterator
-      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      if (purge) {
+        val it = sessions.keySet.iterator
+        while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      }
       var m = sessions.get(s)
       if (m == null) {
         m = new ConcurrentHashMap[String, (Int, V)]()
@@ -92,18 +107,21 @@ private[graft] class LatestEntryMemo[V] {
 
   def getOrBuild(name: String, df: DataFrame)(build: => V): V = {
     val h = fingerprint(df)
-    val inner = innerFor(df.sparkSession)
+    val inner = innerFor(df.sparkSession, purge = false)
     val hit = inner.get(name)
     if (hit != null && hit._1 == h) hit._2
-    else inner.compute(name, (_, old) =>
-      if (old != null && old._1 == h) old
-      else { missCount.incrementAndGet(); (h, build) })._2
+    else {
+      innerFor(df.sparkSession, purge = true)
+      inner.compute(name, (_, old) =>
+        if (old != null && old._1 == h) old
+        else { missCount.incrementAndGet(); (h, build) })._2
+    }
   }
 
   /** Drop the session's entry for `name` (the `graft_refresh` verb) —
-    * returns whether an entry existed. Covers the two staleness
-    * windows the data fingerprint cannot see (frozen temp-view
-    * listings, in-place same-name rewrites). */
+    * returns whether an entry existed. Covers the staleness windows
+    * the data fingerprint cannot see (frozen temp-view listings,
+    * in-place same-name rewrites, listing-hash collisions). */
   def invalidate(s: SparkSession, name: String): Boolean =
     sessions.synchronized { Option(sessions.get(s)) }
       .exists(_.remove(name) != null)

@@ -77,8 +77,7 @@ class AuditSpec extends AnyFunSuite {
     val emb = sources.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding",
         operators.Similarity.norm($"embedding").as("nrm"))
-    val cents = sq.ivfFreezeCentroids(spark, sf, emb, idx)
-    sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 0), idx, "base")
+    val cents = sq.ivfReindexAndSeed(spark, sf, emb, idx)
     sq.ivfAdmit(cents, emb.filter($"vec_id" % 3 === 1), idx, "0")
     def gate(): Map[String, Long] = {
       val (rc, rl) = sources.Writers.readIvfIndex(spark, idx)

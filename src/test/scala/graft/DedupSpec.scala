@@ -438,6 +438,14 @@ class DedupSpec extends AnyFunSuite {
       .select(operators.Dedup.d07bGrid($"v").as("q")).collect())
     assert(msgs(wide).exists(_.contains("dimensionality")),
       s"wrong error: $wide")
+    // a NULL array must name ITSELF, not masquerade as a
+    // dimensionality violation (size(NULL) is NULL — the three-valued
+    // compare would otherwise route it to the dims branch)
+    val nul = intercept[Exception](
+      Seq(Some(Seq(1.0f)), None).toDF("v")
+        .select(operators.Dedup.d07bGrid($"v").as("q")).collect())
+    assert(msgs(nul).exists(_.contains("NULL embedding")),
+      s"wrong error: $nul")
     // in-range vectors pass the SAME entry point unchanged
     val ok = Seq(Seq.fill(operators.Dedup.D07bMaxDims)(1.0f)).toDF("v")
       .select(operators.Dedup.d07bGrid($"v").as("q"))

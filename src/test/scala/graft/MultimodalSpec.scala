@@ -5,6 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** The ONE multi-byte-text predicate: octet_length of the UTF-8
+    * bytes != char_length holds exactly when some character needs a
+    * multi-byte encoding. Shared by the fixture precondition assert
+    * AND its engagement probe below — a copy in each test would let
+    * the probe keep passing against a stale predicate after the
+    * precondition's was edited (the round-17 review's point). */
+  private def multiByteText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    octet_length(col("text").cast("binary")) =!= length(col("text"))
+  }
+
   test("stub decoder is deterministic and shape-correct") {
     val f1 = operators.MultimodalStub.decodeStub("abc".getBytes, "img/fake-rgb")
     val f2 = operators.MultimodalStub.decodeStub("abc".getBytes, "img/fake-rgb")
@@ -23,11 +34,8 @@ class MultimodalSpec extends AnyFunSuite {
     // indexing, so the precondition is ASSERTED rather than the oracle
     // rewritten). octet_length == char_length holds exactly when no
     // character needs a multi-byte encoding.
-    import org.apache.spark.sql.functions._
     val docs = sources.Tables.documents(spark, sf)
-    val nonAscii = docs.filter(
-      octet_length(col("text").cast("binary")) =!= length(col("text")))
-      .count()
+    val nonAscii = docs.filter(multiByteText).count()
     assert(nonAscii == 0L,
       s"$nonAscii documents carry non-ASCII text — the multimodal " +
         "character-banded oracles no longer match the byte-banded " +
@@ -40,12 +48,10 @@ class MultimodalSpec extends AnyFunSuite {
     // ever sees the (clean) fixture, so nothing proved the predicate
     // itself catches a violation. One char needing two UTF-8 bytes
     // must — and only it may — trip octet_length != char_length.
-    import org.apache.spark.sql.functions._
     import spark.implicits._
     val fixture = Seq((1L, "plain ascii words"),
       (2L, "café au lait")).toDF("doc_id", "text")
-    val trips = fixture.filter(
-      octet_length(col("text").cast("binary")) =!= length(col("text")))
+    val trips = fixture.filter(multiByteText)
       .collect().map(_.getLong(0)).toSeq
     assert(trips == Seq(2L),
       s"the guard predicate must catch exactly the multi-byte doc: $trips")
