@@ -445,18 +445,17 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
   }
 
-  /** The distinct probed cells as a RELATION (no collect) — the
-    * declarative sibling of [[probeCellsOf]] for callers whose query
-    * set is NOT frozen (knn_serve with an explicit query view,
-    * round-16 verdict "what's wrong" #2): semi-joining the stored
-    * c_id-partitioned lists against this frame is a semantic no-op
-    * ([[ivfProbeQueries]]' candidate join is on c_id, so non-probed
-    * cells never score) and lets dynamic partition pruning skip the
-    * non-probed list partitions at READ — the plan-side half of the
-    * PLANS.md read-pruning note, with zero plan-build jobs and zero
-    * driver collects. Built on the same [[probeRows]] the probe uses,
-    * so the pruned scan can never drop a cell the probe would
-    * touch. */
+  /** The distinct probed cells as a RELATION — [[probeCellsOf]]'s
+    * plan, exposed so callers can compose it before the bounded
+    * collect. (A declarative semi-join of the stored lists against
+    * this frame was tried as knn_serve's read-pruning device and
+    * measured NOT pruning: Spark's dynamic partition pruning marks
+    * the stats-less derived build side onlyInBroadcast and degrades
+    * the filter to literal true when no exchange is reusable — so
+    * the serve path collects this bounded frame instead and pushes a
+    * literal partition filter.) Built on the same [[probeRows]] the
+    * probe uses, so a pruned scan can never drop a cell the probe
+    * would touch. */
   def probeCellsDf(qs: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val s = qs.sparkSession

@@ -290,26 +290,28 @@ object Bm25ServeTvf {
   * an arbitrary query view's probed cells are not known at write
   * time, so the explicit-query serve used to READ THE FULL STORED
   * LISTS. The lists are c_id-partitioned (w07), so the fix is
-  * plan-side only: the stored lists are semi-joined against the
-  * query view's own probed-cell relation
-  * ([[graft.operators.Similarity.probeCellsDf]] — a semantic no-op,
-  * since the probe's candidate join is on c_id and non-probed cells
-  * never score) and dynamic partition pruning skips the non-probed
-  * partitions at read, with zero plan-build jobs and zero driver
-  * collects (PlanSpec asserts the DPP filter reaches the scan;
-  * SqlParitySpec pins the pruned serve row-identical to the inline
-  * probe). Contract: the pruning subquery RE-EXECUTES the query view
-  * (DPP subqueries are separate executions by design), so the view
-  * must be re-execution-stable — which every Spark view whose
+  * plan-side only: the query view's probed-cell set is computed at
+  * plan build ([[graft.operators.Similarity.probeCellsOf]] — one
+  * bounded job, at most one row per centroid, the exact device
+  * st23's serve uses for its frozen query set) and pushed as a
+  * literal `c_id IN (...)` partition filter, a semantic no-op since
+  * the probe's candidate join is on c_id and non-probed cells never
+  * score (PlanSpec asserts the EXECUTED scan reads only probed
+  * partitions; SqlParitySpec pins the pruned serve row-identical to
+  * the inline probe). Contract: the probed-cells job executes the
+  * query view at plan build (EXPLAIN pays it — the dedup_clusters
+  * precedent) and the main probe executes it again at run, so the
+  * view must be re-execution-stable — which every Spark view whose
   * randomness is analysis-seeded is (rand()/TABLESAMPLE fix their
-  * seeds at analysis; both executions share this ONE analyzed plan),
-  * and the cost of the second execution is the query-side probe
-  * again, bounded by the (small, by the serving asymmetry) query
-  * view. A view whose underlying FILES mutate mid-query could probe
+  * seeds at analysis; both executions share this ONE analyzed plan).
+  * A view whose underlying FILES mutate mid-query could probe
   * different cells than it pruned — the same torn read a full-scan
-  * serve over mutating storage already risks. The lexical twin still
-  * scans its full postings for arbitrary queries — that one needs a
-  * layout revision, sketched (deliberately unbuilt) in PLANS.md. */
+  * serve over mutating storage already risks. (A declarative
+  * semi-join + dynamic partition pruning was MEASURED degrading to a
+  * no-op filter here — see the builder comment — so the literal
+  * filter is deliberate, not naive.) The lexical twin still scans
+  * its full postings for arbitrary queries — that one needs a layout
+  * revision, sketched (deliberately unbuilt) in PLANS.md. */
 object KnnServeTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("knn_serve")
@@ -329,10 +331,21 @@ object KnnServeTvf {
       case Some(q) =>
         val qs = sim.knnQueries(s.table(q))
         // read-prune the stored lists to THIS query view's probed
-        // cells (semantic no-op — see the scaladoc's scale note)
-        // before the vectors are re-attached
-        val pruned = lists.join(sim.probeCellsDf(qs, cents, nprobe = 2),
-          Seq("c_id"), "left_semi")
+        // cells (semantic no-op — see the scaladoc's scale note),
+        // STATICALLY: one bounded job at plan build (probeCellsOf —
+        // at most one row per centroid, st23's audited serve device
+        // generalized to arbitrary views) pushed as a literal
+        // partition filter. A declarative semi-join + dynamic
+        // partition pruning was tried first and MEASURED failing:
+        // the optimizer marks the pruning onlyInBroadcast (the
+        // derived build side has no stats, so standalone-subquery
+        // benefit can't be proven) and no broadcast exchange matches
+        // at physical planning, so the filter degrades to literal
+        // true and the scan reads every partition again (200/200 at
+        // sf1, with and without AQE, with and without a broadcast
+        // hint). The literal IN prunes unconditionally.
+        val probed = sim.probeCellsOf(qs, cents, nprobe = 2)
+        val pruned = lists.filter(col("c_id").isin(probed: _*))
         sim.ivfProbeQueries(qs, cents, emb.join(pruned, "vec_id"),
           nprobe = 2, k = k.getOrElse(5))
       case None => sim.ivfProbe(emb, cents, emb.join(lists, "vec_id"),
