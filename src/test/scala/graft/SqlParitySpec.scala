@@ -799,6 +799,39 @@ class SqlParitySpec extends AnyFunSuite {
       "SELECT * FROM bm25_topk('documents', foo => 'x')"))
   }
 
+  test("degenerate query inputs return EMPTY results, never throw: " +
+      "an empty query view through the pruned serve, a sub-shingle text") {
+    // edge contract pins: (a) an EMPTY query view through knn_serve's
+    // read-pruned path builds an empty probed-cell filter (isin with
+    // zero values) — the scan prunes to nothing and the serve returns
+    // zero rows, it must not fail at analysis; (b) a free-text query
+    // shorter than one 3-token shingle has no query postings, so BM25
+    // returns zero rows — a prompt typo degrades, it doesn't error.
+    register()
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_edge_idx").toString
+    sources.Writers.rmrf(new java.io.File(dir))
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb
+      .filter($"vec_id" % operators.Similarity.centModulusFor(spark, sf)
+        === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    sources.Writers.writeIvfIndex(cents,
+      operators.Similarity.ivfAssignment(emb, cents), dir)
+    sources.Tables.embeddings(spark, sf).filter($"vec_id" < 0)
+      .createOrReplaceTempView("q_empty_emb")
+    assert(spark.sql(s"SELECT * FROM knn_serve('$dir', 'embeddings', " +
+      "'q_empty_emb')").collect().isEmpty)
+    assert(spark.sql(
+      "SELECT * FROM bm25_topk('documents', query => 'ab')")
+      .collect().isEmpty)
+    sources.Writers.rmrf(new java.io.File(dir))
+  }
+
   test("graft_refresh TVF: reports eviction state per memo") {
     // the memo-invalidation verb's SQL surface (PlanSpec pins the
     // re-count behavior; here: the returned row is honest about
