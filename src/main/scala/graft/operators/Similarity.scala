@@ -1797,6 +1797,61 @@ object Similarity {
       .select($"q_id", $"doc_id", $"rk")
   }
 
+  /** The DISTINCT v2-layout bucket ids a query shingle set lands in —
+    * [[probeCellsOf]]'s device on the lexical side (round-17 verdict
+    * ask #1): `pmod(hash(g), B)` is the EXACT write-side bucketing
+    * expression ([[graft.sources.Writers.writeLexIndexV2]] — Spark's
+    * murmur3 `hash` on the same string column, so query and stored
+    * rows can never disagree on a shingle's bucket). One bounded job:
+    * the collect is ≤ min(B, |distinct query shingles|) ints, and B
+    * is a stamped write-time constant — the same metadata class as
+    * the IVF centroid table. */
+  def lexBucketsOf(qsh: DataFrame, buckets: Int): Seq[Int] = {
+    val s = qsh.sparkSession
+    import s.implicits._
+    qsh.select(pmod(hash($"g"), lit(buckets)).as("gb")).distinct()
+      .as[Int].collect().toSeq.sorted
+  }
+
+  /** BM25 over a STORED index for an EXPLICIT query relation
+    * (doc_id, text) — the ONE serve implementation shared by the SQL
+    * TVF ([[graft.plans.Bm25ServeTvf]]) and the registered v2-cycle
+    * query (w13), dispatching on the index dir's layout stamp:
+    *
+    *   - v2 (g-hash-bucketed postings): the query view is shingled
+    *     and MATERIALIZED ONCE (eager localCheckpoint — the knn_serve
+    *     snapshot discipline: the bucket probe at plan build and the
+    *     scoring probe at run read the same snapshot, so an unstable
+    *     view can't score shingles the prune dropped), its buckets
+    *     collected in one bounded job ([[lexBucketsOf]]) and pushed
+    *     as a literal `gb IN (...)` partition filter — the read is
+    *     ≤ min(B, |query shingles|) partitions instead of the full
+    *     posting set. Semantic no-op: a shingle's every posting row
+    *     lives in exactly one bucket, so the df regroup over the
+    *     pruned read is exact and shingles outside the query never
+    *     join; N/avgdl ride the (never-bucketed, one-row-per-doc)
+    *     sizes leg whole.
+    *   - v1 (no stamp): the full-posting read, byte-identical to the
+    *     pre-v2 serve.
+    *
+    * SqlParitySpec pins v2 == v1 == inline `bm25_topk` row-identically
+    * through real write/read cycles; PlanSpec asserts the EXECUTED
+    * scan's partition count. */
+  def bm25ServeQueries(s: SparkSession, dir: String, qdocs: DataFrame,
+      k: Int = 5): DataFrame = {
+    val qsh0 = lexQueryShingles(qdocs)
+    graft.sources.Writers.lexLayoutOf(s, dir) match {
+      case Some(b) =>
+        val qsh = qsh0.localCheckpoint()
+        val (postings, sizes) = graft.sources.Writers
+          .readLexIndexBuckets(s, dir, lexBucketsOf(qsh, b))
+        bm25Queries(qsh, postings, sizes, k)
+      case None =>
+        val (postings, sizes) = graft.sources.Writers.readLexIndex(s, dir)
+        bm25Queries(qsh0, postings, sizes, k)
+    }
+  }
+
   val all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03CosineDedup, s04KnnIvf,
     s04bKnnIvfTrained,
     s05Quantize, s06Kmeans, s07KnnPq, s07bKnnIvfPq, s08RangeSearch,

@@ -1658,13 +1658,16 @@ object StreamingQueries {
     * (relabeled copies of % CopyMod == CopyRem docs at CopyOffset —
     * the offset clears every fixture's id range incl. sf10's 499,999
     * max, so copies can never collide with a real doc). */
-  private[operators] val St26DelMod = 11L
-  private[operators] val St26DelRem = 5L
-  private[operators] val St26DriftMod = 13L
-  private[operators] val St26DriftRem = 2L
-  private[operators] val St26CopyMod = 17L
-  private[operators] val St26CopyRem = 3L
-  private[operators] val St26CopyOffset = 100000000L
+  // aliases of Audit's ONE corruption recipe (round-17 advice: dq06/
+  // dq07/st26/st27 must corrupt identically, so the moduli have one
+  // definition — Audit.AuditDelMod etc. — spliced everywhere)
+  private[operators] val St26DelMod = Audit.AuditDelMod
+  private[operators] val St26DelRem = Audit.AuditDelRem
+  private[operators] val St26DriftMod = Audit.AuditDriftMod
+  private[operators] val St26DriftRem = Audit.AuditDriftRem
+  private[operators] val St26CopyMod = Audit.AuditCopyMod
+  private[operators] val St26CopyRem = Audit.AuditCopyRem
+  private[operators] val St26CopyOffset = Audit.AuditCopyOffset
 
   /** st26: the CONTINUOUS INDEX AUDIT — st25's per-commit-gate shape
     * applied to the OTHER stored-artifact family, closing the last
@@ -1838,13 +1841,14 @@ object StreamingQueries {
     * ADDITIONS (relabeled copies of % CopyMod == CopyRem vectors at
     * CopyOffset — the offset clears every fixture's vec_id range, so
     * copies can never collide with a real vector). */
-  private[operators] val St27DelMod = 11L
-  private[operators] val St27DelRem = 5L
-  private[operators] val St27DriftMod = 13L
-  private[operators] val St27DriftRem = 2L
-  private[operators] val St27CopyMod = 17L
-  private[operators] val St27CopyRem = 3L
-  private[operators] val St27CopyOffset = 100000000L
+  // same aliasing as St26* — one recipe, one definition (Audit.*)
+  private[operators] val St27DelMod = Audit.AuditDelMod
+  private[operators] val St27DelRem = Audit.AuditDelRem
+  private[operators] val St27DriftMod = Audit.AuditDriftMod
+  private[operators] val St27DriftRem = Audit.AuditDriftRem
+  private[operators] val St27CopyMod = Audit.AuditCopyMod
+  private[operators] val St27CopyRem = Audit.AuditCopyRem
+  private[operators] val St27CopyOffset = Audit.AuditCopyOffset
 
   /** st27: the CONTINUOUS IVF-INDEX AUDIT — st26's per-commit-gate
     * shape on st23's admission legs, closing the last WITHIN-family

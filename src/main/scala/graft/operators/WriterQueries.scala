@@ -1118,8 +1118,56 @@ object WriterQueries {
     Similarity.s11Build(s, d, Some(dest))
   }
 
+  /** Where w13 materializes the v2 (g-hash-bucketed) lexical index
+    * for fixture `d` — [[lexIndexDir]]'s convention for the layout
+    * revision, kept separate so w12's v1 artifact and w13's v2
+    * artifact can coexist in one run. */
+  def lexIndexV2Dir(d: String): String = tmp(d, "lex_index_v2")
+
+  /** w13: the PERSISTED V2 lexical index — w12's write/append/serve
+    * cycle on the g-hash-bucketed layout (round-17 verdict ask #1):
+    * BUILD the capped postings + sizes once, WRITE them in two legs
+    * under the same frozen bucket count B (the stamp enforces B
+    * identity on append — a second producer with a different modulus
+    * would scatter shingles across buckets), then SERVE s12's BM25
+    * ranking through the PRUNED read path
+    * ([[Similarity.bm25ServeQueries]] — the query view's shingles are
+    * snapshotted once, their buckets collected in one bounded job and
+    * pushed as a literal partition filter).
+    *
+    * Oracle: s12's SQL VERBATIM — the explicit corpus-slice query
+    * view reproduces the default slice row-for-row (the pinned
+    * round-15 equivalence), so the bucketed write, the stamp
+    * dispatch, the bucket-set collect, AND the pruned-read df regroup
+    * all sit under the driver's DuckDB hash: a posting bucketed
+    * wrong, a bucket pruned that shouldn't be, or a df split across
+    * buckets hash-mismatches. PlanSpec separately asserts the
+    * EXECUTED scan's partition count on a small query view (pruning
+    * observability needs |query shingles| ≪ B, which a corpus-slice
+    * query deliberately is not).
+    *
+    * 100 TB: identical serve bill to w12 plus the bounded bucket job;
+    * B scales by the ~128 MB-partition rule (a 1 TB posting set wants
+    * B ≈ 8000 — a 100-shingle query then reads ~1.2 % of it). */
+  val w13LexIndexV2: Q = Q(
+    "w13_lex_index_v2", Similarity.s12Bm25Lexical.oracle.get) { (s, d) =>
+    import s.implicits._
+    val dest = lexIndexV2Dir(d)
+    Writers.freshScratch(s, dest)
+    val postings = Similarity.lexIndex(Tables.documents(s, d))._1
+      .localCheckpoint()
+    val sizes = postings.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    Writers.writeLexIndexV2(postings.filter($"doc_id" % 2 === 0),
+      sizes.filter($"doc_id" % 2 === 0), dest, buckets = 16)
+    Writers.writeLexIndexV2(postings.filter($"doc_id" % 2 === 1),
+      sizes.filter($"doc_id" % 2 === 1), dest, buckets = 16,
+      org.apache.spark.sql.SaveMode.Append)
+    Similarity.bm25ServeQueries(s, dest,
+      Tables.documents(s, d).filter($"doc_id" % 50 === 0))
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
     w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
     w08Scd2History, w09IncrementalOptimize, w10Scd2TimeTravel,
-    w11VersionVacuum, w12LexIndex)
+    w11VersionVacuum, w12LexIndex, w13LexIndexV2)
 }

@@ -81,7 +81,17 @@ object IndexFsckTvf {
         "(centroids/ + lists/)")
     val checks = if (isLex) {
       val (postings, sizes) = graft.sources.Writers.readLexIndex(s, dir)
-      graft.operators.Audit.lexAuditChecks(corpus, postings, sizes)
+      val base = graft.operators.Audit
+        .lexAuditChecks(corpus, postings, sizes)
+      // a v2-stamped index (g-hash-bucketed postings) gets the
+      // bucket-integrity check appended — the layout the stamp
+      // declares is audited, not assumed (a misbucketed posting is
+      // invisible to every pruned serve that should have scored it)
+      graft.sources.Writers.lexLayoutOf(s, dir) match {
+        case Some(b) => base.unionByName(
+          graft.operators.Audit.lexBucketCheck(s, dir, b))
+        case None => base
+      }
     } else {
       import org.apache.spark.sql.functions.col
       val (cents, lists) = graft.sources.Writers.readIvfIndex(s, dir)

@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bm25ServeTvf.build))
     ext.injectTableFunction((KnnServeTvf.identifier, KnnServeTvf.info,
       KnnServeTvf.build))
+    ext.injectTableFunction((HybridServeTvf.identifier,
+      HybridServeTvf.info, HybridServeTvf.build))
     // SQL-callable table fsck: SELECT * FROM table_fsck('<chain dir>')
     // — dq08's manifest audit against any chain, for the operator
     // mid-incident

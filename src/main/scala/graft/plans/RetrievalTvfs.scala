@@ -240,14 +240,21 @@ object KnnTopkTvf {
   * `bm25_serve(dir)` == `bm25_topk(view)` through a real write/read
   * cycle.
   *
-  * Scale caveat (round-16 verdict): with an explicit query view or
-  * free text, this serve READS THE FULL STORED POSTINGS — the w12
-  * layout's `inqg` routing is frozen to the REINDEX-time query set,
-  * and an arbitrary query may reach outside it, so nothing prunes at
-  * read. Correct always, and fine when queries ride the frozen set or
-  * the index fits a scan; at 100 TB an arbitrary-query serve wants
-  * the g-hash-bucketed postings layout sketched in PLANS.md
-  * (round 17) so the query's own shingles prune partitions. */
+  * Scale note (round-16 verdict caveat, closed round 18): with an
+  * explicit query view or free text against a V2-STAMPED index
+  * ([[graft.sources.Writers.writeLexIndexV2]] — g-hash-bucketed
+  * postings), the serve READ-PRUNES the stored postings to the
+  * query's own shingle buckets: the query shingles are materialized
+  * once at plan build (eager localCheckpoint — the knn_serve snapshot
+  * discipline; EXPLAIN pays the bounded job) and their
+  * `pmod(hash(g), B)` bucket ids pushed as a literal partition
+  * filter, ≤ min(B, |query shingles|) of B partitions read instead
+  * of the whole posting set (PlanSpec asserts the EXECUTED scan's
+  * partition metrics; SqlParitySpec pins v2 == v1 == inline
+  * row-identity). A v1 index (no `_graft_layout` stamp) keeps the
+  * full-posting read byte-identically — the w12 layout's `inqg`
+  * routing is frozen to the REINDEX-time query set, and an arbitrary
+  * query may reach outside it, so nothing prunes there. */
 object Bm25ServeTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("bm25_serve")
@@ -261,14 +268,22 @@ object Bm25ServeTvf {
       if (text.isDefined) 1 else 2)
     val s = SparkSession.active
     val sim = graft.operators.Similarity
-    val (postings, sizes) = graft.sources.Writers
-      .readLexIndex(s, names.head)
     val qdocs = text.map(RetrievalTvfs.freeTextQueryDocs(s, _))
       .orElse(names.lift(1).map(s.table))
     val ranked = qdocs match {
-      case Some(q) => sim.bm25Queries(
-        sim.lexQueryShingles(q), postings, sizes, k.getOrElse(5))
-      case None => sim.bm25FromIndex(postings, sizes, k.getOrElse(5))
+      // explicit query view or free text: the shared serve path
+      // (Similarity.bm25ServeQueries) — on a v2-stamped index it
+      // snapshots the query shingles once and read-prunes the stored
+      // postings to their g-hash buckets; on a v1 index it is the
+      // byte-identical full read
+      case Some(q) => sim.bm25ServeQueries(s, names.head, q,
+        k.getOrElse(5))
+      // default corpus slice: queries are index docs, whose shingles
+      // span the whole vocabulary — nothing to prune on any layout
+      case None =>
+        val (postings, sizes) = graft.sources.Writers
+          .readLexIndex(s, names.head)
+        sim.bm25FromIndex(postings, sizes, k.getOrElse(5))
     }
     ranked.queryExecution.logical
   }
@@ -298,15 +313,15 @@ object Bm25ServeTvf {
   * the probe's candidate join is on c_id and non-probed cells never
   * score (PlanSpec asserts the EXECUTED scan reads only probed
   * partitions; SqlParitySpec pins the pruned serve row-identical to
-  * the inline probe). Contract: the probed-cells job executes the
-  * query view at plan build (EXPLAIN pays it — the dedup_clusters
-  * precedent) and the main probe executes it again at run, so the
-  * view must be re-execution-stable — which every Spark view whose
-  * randomness is analysis-seeded is (rand()/TABLESAMPLE fix their
-  * seeds at analysis; both executions share this ONE analyzed plan).
-  * A view whose underlying FILES mutate mid-query could probe
-  * different cells than it pruned — the same torn read a full-scan
-  * serve over mutating storage already risks. (A declarative
+  * the inline probe). Contract: the query view is MATERIALIZED ONCE
+  * at plan build (an eager localCheckpoint — EXPLAIN pays the job,
+  * the dedup_clusters precedent) and BOTH the probed-cells
+  * computation and the runtime probe read that one snapshot, so a
+  * re-execution-unstable view (LIMIT without ORDER BY, files
+  * mutating between analysis and execution) cannot probe cells the
+  * literal filter pruned — the round-17 advice's silent-row-drop
+  * window is closed by construction, not by a stability assumption
+  * on the view. (A declarative
   * semi-join + dynamic partition pruning was MEASURED degrading to a
   * no-op filter here — see the builder comment — so the literal
   * filter is deliberate, not naive.) The lexical twin still scans
@@ -329,7 +344,19 @@ object KnnServeTvf {
     val (cents, lists) = graft.sources.Writers.readIvfIndex(s, names.head)
     val ranked = names.lift(2) match {
       case Some(q) =>
-        val qs = sim.knnQueries(s.table(q))
+        // SNAPSHOT the query view once (round-17 advice): the probed-
+        // cell prune runs the view at plan build while the main probe
+        // runs it again at execution, so a re-execution-unstable view
+        // (LIMIT without ORDER BY, files mutating between analysis
+        // and execution) could probe cells the literal filter already
+        // pruned — silently DROPPING rows. localCheckpoint (eager)
+        // executes the view exactly once; both probeCellsOf and the
+        // runtime probe read the same materialized snapshot, so the
+        // prune is a semantic no-op for ANY view, not just stable
+        // ones. Query views are small by contract (the probe
+        // broadcast-joins them); the checkpoint replaces the plan-
+        // build execution probeCellsOf already paid.
+        val qs = sim.knnQueries(s.table(q)).localCheckpoint()
         // read-prune the stored lists to THIS query view's probed
         // cells (semantic no-op — see the scaladoc's scale note),
         // STATICALLY: one bounded job at plan build (probeCellsOf —
@@ -366,6 +393,58 @@ object KnnServeTvf {
   * means two views whose ids must agree row-for-row — compose
   * `bm25_topk(docs, qdocs)` and `knn_topk(emb, qemb)` with your own
   * fusion, or register the paired slice as filtered corpus views. */
+/** `hybrid_serve(<lex index dir>, <ivf index dir>, <embeddings view>
+  * [, k])` — s13's BM25 + IVF reciprocal-rank fusion SERVED from
+  * STORED artifacts (round-17 verdict ask #2): until this TVF a SQL
+  * user could serve each leg alone (`bm25_serve`, `knn_serve`) but
+  * hybrid fusion re-derived BOTH indexes per call (`hybrid_topk`'s
+  * build bill), with composition-by-hand as the documented
+  * workaround. TVF glue over the two existing stored readers + the
+  * one shared fusion stage: the lexical leg is
+  * [[graft.operators.Similarity.bm25FromIndex]] over the w12/w13
+  * layout read back (either stamp — the reader is layout-agnostic
+  * for the default slice), the vector leg is the stored-quantizer
+  * probe over the w07 layout with the named corpus view re-attaching
+  * the vectors (knn_serve's convention — lists never duplicate the
+  * embeddings), and fusion is [[graft.operators.Similarity.rrfFuse]]
+  * — the EXACT stages s12/s04/s13's oracles hash-verify, so serving
+  * stored artifacts built from the same corpus is row-identical to
+  * inline `hybrid_topk` (SqlParitySpec pins it through real
+  * write/read cycles; the oracle rides s13's hash transitively).
+  * Returns (q_id, id, rrf, rk).
+  *
+  * Query identity: the default corpus slice (id % 50 = 0) on both
+  * legs — a hybrid query is a PAIRED (text, embedding) identity, and
+  * the slice convention is the one pairing both stored artifacts
+  * share by construction ([[HybridTopkTvf]]'s contract note: explicit
+  * hybrid queries need two id-aligned views — compose the serve legs
+  * with your own fusion for that). */
+object HybridServeTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("hybrid_serve")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    HybridServeTvf.getClass.getName, "hybrid_serve")
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (names, k) = RetrievalTvfs.parse("hybrid_serve", args, nTables = 3)
+    val s = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val sim = graft.operators.Similarity
+    val (postings, sizes) = graft.sources.Writers.readLexIndex(s, names.head)
+    val bm5 = sim.bm25FromIndex(postings, sizes)
+      .withColumnRenamed("rk", "lrk")
+    val (cents, lists) = graft.sources.Writers.readIvfIndex(s, names(1))
+    val emb = s.table(names(2)).select(col("vec_id"), col("embedding"),
+      sim.norm(col("embedding")).as("nrm"))
+    val vec5 = sim.ivfProbe(emb, cents, emb.join(lists, "vec_id"),
+        nprobe = 2)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rk").as("vrk"))
+    sim.rrfFuse(bm5, vec5, k.getOrElse(3)).queryExecution.logical
+  }
+}
+
 object HybridTopkTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("hybrid_topk")

@@ -25,57 +25,92 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * closable with [[LatestEntryMemo.invalidate]] / the `graft_refresh`
   * TVF: a TEMP VIEW created from a path read freezes its file listing
   * inside the view itself (Spark's scan is equally stale — re-register
-  * the view), and an in-place byte rewrite that keeps every file name
-  * is invisible to a name-based listing.
+  * the view), and an in-place rewrite that keeps every file name AND
+  * whose listing is never re-taken (the fingerprint mixes per-file
+  * length + mtime wherever the FileIndex exposes them, so a re-listed
+  * rewrite DOES invalidate — only a stale cached listing hides one).
   *
   * A re-registered definition (or changed listing) rebuilds AND
   * releases the superseded value, so a clustering's localCheckpointed
   * blocks become collectable; re-registering the identical definition
-  * keeps the cached value. Entries of STOPPED sessions are purged
-  * opportunistically on every access (round-16 advice: a long-lived
-  * multi-session JVM must not pin dead sessions' plans forever).
+  * keeps the cached value. Entries of STOPPED sessions are purged on
+  * every miss AND on an access cadence (every 64th access, hit or
+  * miss — round-17 advice: miss-only purge retained a stopped
+  * session's plans for the JVM lifetime if no further miss ever
+  * occurred).
   *
-  * Concurrency: cache HITS are lock-free past the brief per-session
-  * map lookup (a plain get + fingerprint compare — the round-16
-  * self-review's finding: running a Spark job inside
-  * ConcurrentHashMap.compute holds the bin lock, so a shared
-  * session's hit-path calls would block behind another thread's
-  * build). Only a miss/definition-change falls into compute(), where
-  * holding the per-name lock during the build is DESIRED — two
-  * threads racing the same fresh view run one count/clustering, not
-  * two. The miss counter is an AtomicLong (round-16 advice: a
-  * volatile `+= 1` could under-count concurrent builds, and
-  * PlanSpec/SqlParitySpec assert exact counts). */
+  * Concurrency: cache HITS are fully lock-free (round-17 advice — the
+  * previous WeakHashMap outer map took one global synchronized block
+  * on EVERY access, a contention point for concurrent shared-JVM
+  * sessions): the outer map is a ConcurrentHashMap keyed by session
+  * identity, so a hit is two lock-free gets + a fingerprint compare.
+  * Only a miss/definition-change falls into compute(), where holding
+  * the per-name lock during the build is DESIRED — two threads racing
+  * the same fresh view run one count/clustering, not two. The miss
+  * counter is an AtomicLong (round-16 advice: a volatile `+= 1` could
+  * under-count concurrent builds, and PlanSpec/SqlParitySpec assert
+  * exact counts). */
 private[graft] class LatestEntryMemo[V] {
   private val sessions =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, (Int, V)]]()
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, (Long, V)]]()
   private val missCount = new AtomicLong(0L)
+  private val accessCount = new AtomicLong(0L)
   // test instrumentation: PlanSpec/SqlParitySpec assert one build job
   // across repeat invocations by watching misses
   private[graft] def misses: Long = missCount.get()
 
   /** Definition + data fingerprint: semanticHash of the analyzed plan,
-    * mixed with the input-file listing of every file-source leaf —
+    * mixed with the file listing of every file-source leaf —
     * INCLUDING leaves inside subquery expressions (IN/EXISTS/scalar:
     * a view filtered by `IN (SELECT ... FROM allow)` must re-derive
     * when `allow`'s files change, and plain foreach never visits
     * them). Listing a cached InMemoryFileIndex is a driver-side map
     * read (no filesystem hit); a fresh catalog resolution has already
     * paid the listing for its own scan. The per-relation combine is an
-    * order-insensitive one-pass sum of path hashes — no sort, no copy
-    * — so a hit over a 10⁵-file table costs one array walk, not an
-    * O(F log F) sort on every call. */
-  private def fingerprint(df: DataFrame): Int = {
+    * order-insensitive one-pass sum of 64-BIT per-file hashes (a
+    * splitmix64 finalizer over path hash + length + mtime where the
+    * FileIndex exposes FileStatus, path hash alone otherwise —
+    * round-17 advice: a 32-bit path-only sum made listing-coincidence
+    * collisions plausible and left same-name in-place rewrites
+    * invisible; mixing mtime/size closes the rewrite window wherever
+    * the catalog re-lists) — no sort, no copy, so a hit over a
+    * 10⁵-file table costs one array walk, not an O(F log F) sort on
+    * every call. */
+  private def fingerprint(df: DataFrame): Long = {
+    // splitmix64 finalizer: full-avalanche 64-bit mix, so the
+    // order-insensitive sum of per-file hashes can't cancel
+    // structurally (e.g. swapped suffixes between two paths)
+    def mix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
     val analyzed = df.queryExecution.analyzed
-    var h = analyzed.semanticHash()
+    var h: Long = analyzed.semanticHash().toLong
     (analyzed +: analyzed.subqueriesAll).foreach(_.foreach {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          var fh = 0
-          val files = fs.location.inputFiles
-          var i = 0
-          while (i < files.length) { fh += files(i).hashCode; i += 1 }
-          h = 31 * h + (fh ^ files.length)
+          var fh = 0L
+          var n = 0
+          fs.location match {
+            case p: org.apache.spark.sql.execution.datasources
+                .PartitioningAwareFileIndex =>
+              val files = p.allFiles()
+              files.foreach { st =>
+                fh += mix64(st.getPath.toString.hashCode.toLong * 31L +
+                  st.getLen * 7L + st.getModificationTime)
+              }
+              n = files.length
+            case other =>
+              val files = other.inputFiles
+              var i = 0
+              while (i < files.length) {
+                fh += mix64(files(i).hashCode.toLong); i += 1
+              }
+              n = files.length
+          }
+          h = 31L * h + (fh ^ n.toLong)
         case _ =>
       }
       case _ =>
@@ -83,35 +118,31 @@ private[graft] class LatestEntryMemo[V] {
     h
   }
 
-  /** The session's name→entry map, creating it on first use. Dead
-    * sessions' maps are dropped here (WeakHashMap alone cannot collect
-    * them — a memoized plan strongly references its session through
-    * its leaf relations, so the value chain keeps the weak key
-    * reachable until this explicit purge) — but ONLY on the miss path
-    * (`purge`): a hit pays one short synchronized map read, never an
-    * all-sessions scan, preserving the cheap-hit contract. */
-  private def innerFor(s: SparkSession, purge: Boolean)
-      : ConcurrentHashMap[String, (Int, V)] =
-    sessions.synchronized {
-      if (purge) {
-        val it = sessions.keySet.iterator
-        while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-      }
-      var m = sessions.get(s)
-      if (m == null) {
-        m = new ConcurrentHashMap[String, (Int, V)]()
-        sessions.put(s, m)
-      }
-      m
-    }
+  /** Drop every stopped session's map. Cheap (one key walk over a
+    * handful of sessions), lock-free against concurrent hits. The
+    * explicit purge matters: a memoized plan strongly references its
+    * session through its leaf relations, so nothing else makes a dead
+    * session's entries collectable. */
+  private def purgeStopped(): Unit = {
+    val it = sessions.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
+
+  /** Amortized dead-session sweep: every 64th access, hit or miss. */
+  private def tickPurge(): Unit =
+    if ((accessCount.incrementAndGet() & 63L) == 0L) purgeStopped()
 
   def getOrBuild(name: String, df: DataFrame)(build: => V): V = {
+    tickPurge()
     val h = fingerprint(df)
-    val inner = innerFor(df.sparkSession, purge = false)
-    val hit = inner.get(name)
+    val s = df.sparkSession
+    val inner0 = sessions.get(s)
+    val hit = if (inner0 != null) inner0.get(name) else null
     if (hit != null && hit._1 == h) hit._2
     else {
-      innerFor(df.sparkSession, purge = true)
+      purgeStopped()
+      val inner = sessions.computeIfAbsent(s,
+        _ => new ConcurrentHashMap[String, (Long, V)]())
       inner.compute(name, (_, old) =>
         if (old != null && old._1 == h) old
         else { missCount.incrementAndGet(); (h, build) })._2
@@ -121,10 +152,10 @@ private[graft] class LatestEntryMemo[V] {
   /** Drop the session's entry for `name` (the `graft_refresh` verb) —
     * returns whether an entry existed. Covers the staleness windows
     * the data fingerprint cannot see (frozen temp-view listings,
-    * in-place same-name rewrites, listing-hash collisions). */
+    * in-place rewrites whose listing is never re-taken, listing-hash
+    * collisions). */
   def invalidate(s: SparkSession, name: String): Boolean =
-    sessions.synchronized { Option(sessions.get(s)) }
-      .exists(_.remove(name) != null)
+    Option(sessions.get(s)).exists(_.remove(name) != null)
 }
 
 /** `graft_refresh('<view>')` — the memo-invalidation verb (round-16

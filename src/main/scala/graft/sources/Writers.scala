@@ -228,10 +228,116 @@ object Writers {
   /** Read the stored lexical index back in the probe-side shapes
     * ([[writeLexIndex]]'s layout contract, one reader for it). Also
     * reads a [[writeLexIndexLeg]] tree unchanged — the `leg` partition
-    * column is projected away by the explicit selects. */
+    * column is projected away by the explicit selects — and a
+    * [[writeLexIndexV2]] tree unchanged for the same reason (`gb` is
+    * a partition column), so v1 consumers of a v2 index stay
+    * byte-identical; only pruning readers dispatch on the stamp
+    * ([[lexLayoutOf]]). */
   def readLexIndex(spark: SparkSession, dest: String)
       : (DataFrame, DataFrame) = (
     spark.read.parquet(s"$dest/postings").select("g", "doc_id"),
+    spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
+
+  /** The v2 lexical layout's stamp file name — lives directly in the
+    * index dir (a sibling of `postings/` and `sizes/`), carrying the
+    * layout version and the bucket count B. Its PRESENCE is the
+    * dispatch: v1 indexes have no stamp and keep serving
+    * byte-identically through [[readLexIndex]]; a v2 index's readers
+    * consult the stamp for B so a serve can prune buckets. */
+  private val LexLayoutFile = "_graft_layout"
+
+  /** Write (or overwrite) the v2 layout stamp. */
+  private def stampLexLayout(spark: SparkSession, dest: String,
+      buckets: Int): Unit = {
+    val (fs, p) = fsOf(spark, dest)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, LexLayoutFile), true)
+    out.write(s"layout=2\nbuckets=$buckets\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The stored lexical index's bucket count, if it declares the v2
+    * g-hash-bucketed layout (None = v1 flat postings). Loud on a
+    * stamp this code doesn't understand — serving a future layout
+    * through v2 pruning rules could silently drop rows. */
+  def lexLayoutOf(spark: SparkSession, dest: String): Option[Int] = {
+    val (fs, p) = fsOf(spark, dest)
+    val f = new org.apache.hadoop.fs.Path(p, LexLayoutFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val kv = txt.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k.trim -> v.trim }.toMap
+      require(kv.get("layout").contains("2"),
+        s"$dest/$LexLayoutFile declares layout " +
+          s"'${kv.getOrElse("layout", "?")}' — this reader understands " +
+          "v2 (g-hash-bucketed postings) only")
+      Some(kv("buckets").toInt)
+    }
+  }
+
+  /** The V2 persisted lexical layout (round-17 verdict ask #1): the
+    * same (g, doc_id) postings + (doc_id, n) sizes as
+    * [[writeLexIndex]], with the postings HASH-BUCKETED by shingle —
+    * directory-partitioned on `gb = pmod(hash(g), B)` — so an
+    * ARBITRARY query's shingles name their buckets at plan build and
+    * a serve reads ≤ min(B, |distinct query shingles|) partitions
+    * instead of the whole posting set (the knn_serve probed-cell
+    * prune, lexical side). Every posting row of a given shingle lands
+    * in exactly ONE bucket, so the per-shingle df regroup stays exact
+    * over a pruned read — BM25's statics never need the pruned-away
+    * buckets (df rides the postings; N/avgdl ride the un-bucketed
+    * sizes leg).
+    *
+    * Layout contract: rows are shuffled ONCE on gb (each bucket lands
+    * in one task — without this, every task holds rows of every
+    * bucket and a 1000-task reindex at B ≈ 8000 writes tasks × B tiny
+    * files; with it the file count is ~B, each ~one target partition)
+    * then sorted (gb, g) within tasks — hash collisions can co-locate
+    * buckets in one task, and the sort keeps the w02 one-open-writer
+    * discipline plus v1's g-order within buckets. The shuffle is a
+    * REINDEX-time cost, amortized over every serve. The dir is stamped
+    * `_graft_layout` (layout=2, buckets=B); appends under an existing
+    * stamp must carry the SAME B — a second producer bucketing by a
+    * different modulus would scatter a shingle across buckets and
+    * silently break both pruning and df. [[readLexIndex]] reads a v2
+    * tree unchanged (`gb` is a partition column its explicit select
+    * projects away); only pruning readers consult B.
+    *
+    * Sizing B: the target partition count at the index's scale (the
+    * usual ~128 MB rule — a 1 TB posting set wants B ≈ 8000, so a
+    * 100-shingle query reads ~1.2 % of it). B too small prunes
+    * nothing; too large makes tiny files. */
+  def writeLexIndexV2(postings: DataFrame, sizes: DataFrame,
+      dest: String, buckets: Int,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    require(buckets > 0, s"writeLexIndexV2: buckets must be > 0, got $buckets")
+    val s = postings.sparkSession
+    lexLayoutOf(s, dest).foreach(b => require(b == buckets,
+      s"$dest is stamped buckets=$b; appending with buckets=$buckets " +
+        "would scatter shingles across buckets and break pruning/df"))
+    postings.select(col("g"), col("doc_id"),
+        pmod(hash(col("g")), lit(buckets)).as("gb"))
+      .repartition(buckets, col("gb"))
+      .sortWithinPartitions("gb", "g")
+      .write.mode(mode).partitionBy("gb").parquet(s"$dest/postings")
+    sizes.select("doc_id", "n").write.mode(mode).parquet(s"$dest/sizes")
+    stampLexLayout(s, dest, buckets)
+  }
+
+  /** Read a v2 index PRUNED to the named buckets — the partition
+    * filter is a directory-level prune (PlanSpec asserts the executed
+    * scan's partition metrics), so a serve's posting read is bounded
+    * by the query's own shingle set. Sizes are never bucketed (one
+    * short row per doc — the statics and the final length-norm join
+    * read them whole, which is the layout sketch's documented bill). */
+  def readLexIndexBuckets(spark: SparkSession, dest: String,
+      bucketIds: Seq[Int]): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dest/postings")
+      .filter(col("gb").isin(bucketIds: _*))
+      .select("g", "doc_id"),
     spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
 
   /** One ADMISSION leg of the lexical index (st22's streaming

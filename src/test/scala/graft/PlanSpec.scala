@@ -798,4 +798,60 @@ class PlanSpec extends AnyFunSuite {
         "not bite at execution")
     sources.Writers.rmrf(new java.io.File(dir))
   }
+
+  test("bm25_serve on a V2 index READ-PRUNES the stored posting " +
+      "buckets (the g-hash filter reaches the executed scan)") {
+    // the lexical twin of the knn_serve metrics test above, and the
+    // same discipline learned there: assert the EXECUTED scan's
+    // partition metrics, never the plan string. A short free-text
+    // query's distinct shingles bound the buckets read — with B = 64
+    // and a ~10-token query the scan must touch ≤ |shingles| of the
+    // 64 bucket partitions, not the whole posting set.
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+    val (p, sz) = operators.Similarity.lexIndex(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_v2_prune").toString
+    sources.Writers.rmrf(new java.io.File(dir))
+    val buckets = 64
+    sources.Writers.writeLexIndexV2(p, sz, dir, buckets)
+    // a SHORT query (first 10 tokens of a real doc, so its shingles
+    // exist in the index) — pruning observability needs
+    // |query shingles| << B, which a full document is not
+    val full = docs.filter($"doc_id" % 50 === 0)
+      .select($"text").orderBy($"doc_id").limit(1)
+      .collect()(0).getString(0)
+    val short = full.split(" ").take(10).mkString(" ")
+    val nShingles = math.max(short.split(" ").length - 2, 1)
+    assert(2 * nShingles < buckets,
+      s"fixture drift: $nShingles shingles vs $buckets buckets — the " +
+        "probed set could cover every bucket and void this test")
+    val lit = short.replace("\\", "\\\\").replace("'", "''")
+    val df = spark.sql(s"SELECT * FROM bm25_serve('$dir', query => '$lit')")
+    assert(df.collect().nonEmpty,
+      "fixture drift: the short query matched nothing — pruning is " +
+        "unobservable on an empty result")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    var partsRead = -1L
+    def walk(pl: org.apache.spark.sql.execution.SparkPlan): Unit =
+      pl.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(s"$dir/postings")) =>
+          partsRead = math.max(partsRead,
+            f.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
+        case _ =>
+      }
+    walk(df.queryExecution.executedPlan)
+    assert(partsRead >= 0, "no executed postings scan found in the plan")
+    assert(partsRead <= nShingles,
+      s"postings scan read $partsRead of $buckets bucket partitions " +
+        s"for a $nShingles-shingle query — the g-hash bucket filter " +
+        "did not bite at execution")
+    sources.Writers.rmrf(new java.io.File(dir))
+  }
 }

@@ -78,7 +78,10 @@ class ScaleStressSpec extends AnyFunSuite
     "ivf100leg_serve_read_fraction_10legs",
     "ivf100leg_serve_read_fraction_100legs",
     "ivf100leg_admit_cost_ratio",
-    "ivf100leg_replay_stable")
+    "ivf100leg_replay_stable",
+    "lexv2_serve_partition_fraction",
+    "lexv2_serve_row_fraction",
+    "lexv2_serve_parity")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -1078,6 +1081,119 @@ class ScaleStressSpec extends AnyFunSuite
     record("lex100leg_admit_cost_ratio", costRatio, 0.0)
     record("lex100leg_replay_stable",
       if (after == before) 1.0 else 0.0, 1.0)
+  }
+
+  test("v2 lexical index AT sf1: an arbitrary SHORT-query serve reads " +
+      "the probed-bucket decade, row-identical to the full read") {
+    // round-17 verdict ask #1's measurement leg: the v2 layout's
+    // whole point is that an ARBITRARY query's shingles name their
+    // buckets, so the serve bill is |distinct query shingles| / B of
+    // the stored postings instead of all of them. Measured here at
+    // sf1 with the realistic serve shape — 20 SHORT queries (first 10
+    // tokens each: search phrases, not documents) against B = 4096
+    // (the ~128 MB-rule bucket count a 1 TB posting set would carry,
+    // so the fraction lands in the IVF leg's measured decade) — and
+    // asserted on the EXECUTED scan's partition metrics, never the
+    // plan string (the knn_serve lesson). Parity rides along: the
+    // pruned serve must be row-identical to the full-read serve at
+    // this scale too, not just at fixture scale.
+    import spark.implicits._
+    val docsPath =
+      if (new java.io.File("tmp/sf1/documents.parquet").exists)
+        "tmp/sf1/documents.parquet"
+      else {
+        val out = "tmp/sf1_docs_lexv2"
+        if (!new java.io.File(s"$out/_SUCCESS").exists) {
+          val d01 = spark.read
+            .parquet("/root/testdata/sf0.1/documents.parquet")
+          (0 until 10).map { c =>
+            val t =
+              if (c == 0) $"text"
+              else concat_ws(" ", transform(split($"text", " "),
+                (tok, i) => when(i % 10 < c,
+                  concat(lit("mrk"), (i % 10).cast("string")))
+                  .otherwise(tok)))
+            d01.select(($"doc_id" + c * 100000L).as("doc_id"),
+              t.as("text"))
+          }.reduce(_ unionByName _).write.parquet(out)
+        }
+        out
+      }
+    val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
+    val nDocs = docs.count()
+    assert(nDocs >= 50000L, s"sf1 docs fixture too small: $nDocs")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stress_lexv2"
+    sources.Writers.rmrf(new java.io.File(base))
+    val idx = s"$base/index"
+    val B = 4096
+    val postings = operators.Similarity.lexIndex(docs)._1.localCheckpoint()
+    val sizes = postings.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    sources.Writers.writeLexIndexV2(postings, sizes, idx, B)
+    // 20 short queries, arbitrary ids (outside any frozen set)
+    val qmod = math.max(nDocs / 20L, 1L)
+    val qdocs = docs.filter($"doc_id" % qmod === 7)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 10)).as("text"))
+      .localCheckpoint()
+    val nQueries = qdocs.count()
+    val qsh = operators.Similarity.lexQueryShingles(qdocs)
+    val nShingles = qsh.select($"g").distinct().count()
+    assert(nQueries >= 10 && nShingles * 5 < B,
+      s"fixture drift: $nQueries queries / $nShingles shingles vs B=$B " +
+        "— the probed set could cover too many buckets to measure")
+    val served = operators.Similarity.bm25ServeQueries(spark, idx, qdocs)
+    val rows = served.collect()
+    assert(rows.nonEmpty, "short queries matched nothing at sf1")
+    // executed partition metrics (the PlanSpec walk)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    var partsRead = -1L
+    def walk(pl: org.apache.spark.sql.execution.SparkPlan): Unit =
+      pl.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(s"$idx/postings")) =>
+          partsRead = math.max(partsRead,
+            f.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
+        case _ =>
+      }
+    walk(served.queryExecution.executedPlan)
+    val (fs, root) = sources.Writers.fsOf(spark, s"$idx/postings")
+    val dirCount = fs.listStatus(root)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
+    assert(partsRead >= 0, "no executed postings scan found")
+    val partFraction = partsRead.toDouble / dirCount
+    // row fraction: the share of stored posting ROWS the pruned read
+    // can touch (the serve-bill quantity the 100-leg chains track)
+    val bucketIds = operators.Similarity.lexBucketsOf(qsh, B)
+    val total = spark.read.parquet(s"$idx/postings").count()
+    val pruned = spark.read.parquet(s"$idx/postings")
+      .filter($"gb".isin(bucketIds: _*)).count()
+    val rowFraction = pruned.toDouble / total
+    info(f"v2 serve: $partsRead of $dirCount bucket partitions " +
+      f"($partFraction%.4f), $pruned of $total posting rows " +
+      f"($rowFraction%.4f) for $nQueries queries / $nShingles shingles")
+    // the decade floor: |shingles|/B ≈ 0.04 here; generous 2x band
+    assert(partFraction < 0.10,
+      f"v2 serve read $partFraction%.4f of bucket partitions — " +
+        "the g-hash prune is not landing in the probed decade")
+    assert(partsRead <= nShingles,
+      s"$partsRead partitions read for $nShingles distinct shingles — " +
+        "the bucket filter did not reach the executed scan")
+    // parity at scale: pruned == full-read serve, row-identical
+    val (pAll, szAll) = sources.Writers.readLexIndex(spark, idx)
+    val full = operators.Similarity.bm25Queries(qsh, pAll, szAll)
+      .collect()
+    val parity = rows.map(_.toString).sorted.toSeq ==
+      full.map(_.toString).sorted.toSeq
+    assert(parity, "pruned v2 serve diverged from the full read at sf1")
+    record("lexv2_serve_partition_fraction", partFraction, 0.0)
+    record("lexv2_serve_row_fraction", rowFraction, 0.0)
+    record("lexv2_serve_parity", if (parity) 1.0 else 0.0, 1.0)
+    sources.Writers.rmrf(new java.io.File(base))
   }
 
   test("100-leg IVF admission chain AT sf1: replay-idempotent, probed-" +

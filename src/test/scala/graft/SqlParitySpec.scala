@@ -799,6 +799,175 @@ class SqlParitySpec extends AnyFunSuite {
       "SELECT * FROM bm25_topk('documents', foo => 'x')"))
   }
 
+  test("bm25_serve on a V2 (g-hash-bucketed) index: pruned serve == " +
+      "v1 serve == inline, through real write/read cycles") {
+    // round-17 verdict ask #1: the lexical layout revision. The v2
+    // artifact must serve ROW-IDENTICALLY to the v1 artifact and the
+    // inline build for an arbitrary query view AND free text — the
+    // bucketed write, the stamp dispatch, the bucket-set collect and
+    // the pruned-read df regroup all sit under this pin (a shingle
+    // scattered across buckets would split its df and change scores;
+    // a bucket pruned wrongly would drop rows). PlanSpec separately
+    // asserts the EXECUTED scan's partition metrics.
+    register()
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+    val (p, sz) = operators.Similarity.lexIndex(docs)
+    val v1Dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_lexv1").toString
+    val v2Dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_lexv2").toString
+    Seq(v1Dir, v2Dir).foreach(d => sources.Writers.rmrf(new java.io.File(d)))
+    sources.Writers.writeLexIndex(p, sz, v1Dir)
+    // two v2 legs under one frozen B — the w13 admission cycle
+    sources.Writers.writeLexIndexV2(p.filter($"doc_id" % 2 === 0),
+      sz.filter($"doc_id" % 2 === 0), v2Dir, buckets = 32)
+    sources.Writers.writeLexIndexV2(p.filter($"doc_id" % 2 === 1),
+      sz.filter($"doc_id" % 2 === 1), v2Dir, buckets = 32,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(sources.Writers.lexLayoutOf(spark, v2Dir).contains(32))
+    assert(sources.Writers.lexLayoutOf(spark, v1Dir).isEmpty)
+    // arbitrary query view (NOT the default slice; ids stay in the
+    // corpus namespace so self-exclusion semantics ride along)
+    docs.filter($"doc_id" % 97 === 11)
+      .createOrReplaceTempView("q_v2_docs")
+    assert(spark.table("q_v2_docs").count() > 0, "fixture drift: empty view")
+    val inline = spark.sql(
+      "SELECT * FROM bm25_topk('documents', 'q_v2_docs')")
+    assert(canon(spark.sql(
+        s"SELECT * FROM bm25_serve('$v2Dir', 'q_v2_docs')")) ==
+      canon(inline),
+      "v2 pruned serve diverged from the inline build")
+    assert(canon(spark.sql(
+        s"SELECT * FROM bm25_serve('$v1Dir', 'q_v2_docs')")) ==
+      canon(inline),
+      "v1 serve diverged from the inline build")
+    // free text through the pruned path == the v1 full read
+    val sample = docs.filter($"doc_id" % 50 === 0)
+      .select($"text").orderBy($"doc_id").limit(1)
+      .collect()(0).getString(0)
+    val lit = sample.replace("\\", "\\\\").replace("'", "''")
+    assert(canon(spark.sql(
+        s"SELECT * FROM bm25_serve('$v2Dir', query => '$lit')")) ==
+      canon(spark.sql(
+        s"SELECT * FROM bm25_serve('$v1Dir', query => '$lit')")),
+      "v2 free-text serve diverged from v1")
+    // sub-shingle free text degrades to empty on the pruned path too
+    assert(spark.sql(
+      s"SELECT * FROM bm25_serve('$v2Dir', query => 'ab')")
+      .collect().isEmpty)
+    // default-slice form over a v2 tree: layout-transparent full read
+    assert(canon(spark.sql(s"SELECT * FROM bm25_serve('$v2Dir')")) ==
+      canon(spark.sql(s"SELECT * FROM bm25_serve('$v1Dir')")),
+      "default-slice serve must be layout-transparent")
+    // appending under a DIFFERENT bucket count must fail loudly — it
+    // would scatter shingles across buckets and break pruning/df
+    val ex = intercept[IllegalArgumentException] {
+      sources.Writers.writeLexIndexV2(p, sz, v2Dir, buckets = 8,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(ex.getMessage.contains("buckets"))
+    Seq(v1Dir, v2Dir).foreach(d => sources.Writers.rmrf(new java.io.File(d)))
+  }
+
+  test("hybrid_serve TVF: stored-artifact fusion == inline " +
+      "hybrid_topk, and a bogus dir fails loudly") {
+    // round-17 verdict ask #2: stored-artifact hybrid retrieval at
+    // the SQL prompt. Serving the two stored legs (w12 lexical + w07
+    // IVF, built from the same corpus) through the shared RRF fusion
+    // must be row-identical to the inline hybrid_topk — the paired-
+    // identity contract both artifacts share by construction.
+    register()
+    import spark.implicits._
+    val lexDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_hyblex").toString
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_hybivf").toString
+    Seq(lexDir, ivfDir).foreach(d =>
+      sources.Writers.rmrf(new java.io.File(d)))
+    val (p, sz) = operators.Similarity
+      .lexIndex(sources.Tables.documents(spark, sf))
+    sources.Writers.writeLexIndex(p, sz, lexDir)
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        operators.Similarity.norm($"embedding").as("nrm"))
+    val cents = emb
+      .filter($"vec_id" % operators.Similarity.centModulusFor(spark, sf)
+        === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+    sources.Writers.writeIvfIndex(cents,
+      operators.Similarity.ivfAssignment(emb, cents), ivfDir)
+    val served = spark.sql(
+      s"SELECT * FROM hybrid_serve('$lexDir', '$ivfDir', 'embeddings')")
+    assert(canon(served) == canon(spark.sql(
+        "SELECT * FROM hybrid_topk('documents', 'embeddings')")),
+      "stored-artifact hybrid serve diverged from the inline fusion")
+    // k overrides compose
+    val k1 = spark.sql(
+      s"SELECT * FROM hybrid_serve('$lexDir', '$ivfDir', 'embeddings', 1)")
+    assert(k1.collect().nonEmpty && k1.collect().forall(_.getInt(3) <= 1))
+    // a v2 lexical artifact serves the default slice identically, so
+    // hybrid_serve is layout-agnostic on its lexical leg
+    val v2Dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_hyblex2").toString
+    sources.Writers.rmrf(new java.io.File(v2Dir))
+    sources.Writers.writeLexIndexV2(p, sz, v2Dir, buckets = 16)
+    assert(canon(spark.sql(
+        s"SELECT * FROM hybrid_serve('$v2Dir', '$ivfDir', 'embeddings')")) ==
+      canon(served))
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM hybrid_serve('/nonexistent/graft_lex', '$ivfDir', " +
+          "'embeddings')").collect()
+    }
+    Seq(lexDir, ivfDir, v2Dir).foreach(d =>
+      sources.Writers.rmrf(new java.io.File(d)))
+  }
+
+  test("index_fsck on a V2 index: misbucketed_postings appended, " +
+      "zero when clean, fires on a file moved across buckets") {
+    // the v2 layout's own integrity class: a posting file in the
+    // wrong gb dir is invisible to every pruned serve that should
+    // have scored its rows — the stamp-dispatched check must catch
+    // exactly that, and must NOT appear for v1 artifacts.
+    register()
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("fsck_v2_docs")
+    val (p, sz) = operators.Similarity.lexIndex(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fsck_v2").toString
+    sources.Writers.rmrf(new java.io.File(dir))
+    sources.Writers.writeLexIndexV2(p, sz, dir, buckets = 16)
+    def checksOf(q: String): Map[String, Long] =
+      spark.sql(q).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = checksOf(
+      s"SELECT * FROM index_fsck('$dir', 'fsck_v2_docs')")
+    assert(clean.contains("misbucketed_postings"),
+      "v2 stamp did not append the bucket-integrity check")
+    assert(clean.values.forall(_ == 0L),
+      s"clean v2 index must audit to all-zeros: $clean")
+    // corrupt: copy one posting file into a DIFFERENT bucket dir
+    val (fs, root) = sources.Writers.fsOf(spark, s"$dir/postings")
+    val gbDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
+      .map(_.getPath).sortBy(_.getName)
+    assert(gbDirs.length >= 2, "fixture drift: need >=2 bucket dirs")
+    val srcFile = fs.listStatus(gbDirs.head)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val dstFile = new org.apache.hadoop.fs.Path(
+      gbDirs.last, "misplaced-" + srcFile.getName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcFile, fs, dstFile, false,
+      spark.sparkContext.hadoopConfiguration)
+    val dirty = checksOf(
+      s"SELECT * FROM index_fsck('$dir', 'fsck_v2_docs')")
+    assert(dirty("misbucketed_postings") > 0L,
+      "a posting file moved across buckets did not fire the check")
+    sources.Writers.rmrf(new java.io.File(dir))
+  }
+
   test("degenerate query inputs return EMPTY results, never throw: " +
       "an empty query view through the pruned serve, a sub-shingle text") {
     // edge contract pins: (a) an EMPTY query view through knn_serve's
