@@ -327,6 +327,43 @@ object Writers {
     stampLexLayout(s, dest, buckets)
   }
 
+  /** One ADMISSION leg of a V2 lexical index — [[writeLexIndexLeg]]'s
+    * streaming-admission shape (st22) composed with the v2 bucket
+    * layout, so the layout revision joins the index lifecycle instead
+    * of being rebuild-only: the batch's capped posting rows land
+    * under `postings/leg=<id>/gb=<b>` (bucketed INSIDE the leg, so a
+    * pruned serve's `gb` partition filter prunes dirs across every
+    * leg), OVERWRITTEN per leg (replay-idempotent — the scd2
+    * version-dir discipline all admission legs share). All legs must
+    * carry the index's stamped B — enforced here exactly like
+    * [[writeLexIndexV2]]'s append path — and v2 legs are mutually
+    * exclusive with the v1 `inqg`-routed legs per index dir (mixed
+    * partition depths break discovery). The per-leg write is
+    * task-local (a batch is admission-sized; the reindex-scale
+    * gb shuffle would cost more than the leg), so legs produce more,
+    * smaller bucket files than a reindex — the usual compaction
+    * trade every admission leg family makes. [[readLexIndex]] and
+    * [[readLexIndexBuckets]] read the legged tree unchanged (`leg`
+    * and `gb` are partition columns the explicit selects project
+    * away; the bucket filter still dir-prunes at the second level). */
+  def writeLexIndexV2Leg(postings: DataFrame, sizes: DataFrame,
+      dest: String, leg: String, buckets: Int): Unit = {
+    val s = postings.sparkSession
+    lexLayoutOf(s, dest) match {
+      case Some(b) => require(b == buckets,
+        s"$dest is stamped buckets=$b; a leg with buckets=$buckets " +
+          "would scatter shingles across buckets and break pruning/df")
+      case None => stampLexLayout(s, dest, buckets)
+    }
+    postings.select(col("g"), col("doc_id"),
+        pmod(hash(col("g")), lit(buckets)).as("gb"))
+      .sortWithinPartitions("gb", "g")
+      .write.mode(SaveMode.Overwrite).partitionBy("gb")
+      .parquet(s"$dest/postings/leg=$leg")
+    sizes.select("doc_id", "n")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/sizes/leg=$leg")
+  }
+
   /** Read a v2 index PRUNED to the named buckets — the partition
     * filter is a directory-level prune (PlanSpec asserts the executed
     * scan's partition metrics), so a serve's posting read is bounded

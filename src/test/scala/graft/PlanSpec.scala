@@ -728,6 +728,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("SELECT * FROM knn_topk('emb_fp_v')")
     assert(plans.TvfViewCounts.misses - m0 == 3,
       "graft_refresh must force the next call to rebuild")
+    // the round-17-advice delta: an IN-PLACE rewrite that keeps every
+    // file NAME (here: an mtime touch — the minimal such rewrite) must
+    // invalidate once the listing is re-taken, because the fingerprint
+    // now mixes per-file length + mtime. Under the old path-names-only
+    // hash this re-registration HIT and kept serving the stale entry.
+    val (fs, root) = sources.Writers.fsOf(spark, dir)
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        fs.setTimes(st.getPath, st.getModificationTime + 5000L, -1L)
+      }
+    reg()
+    spark.sql("SELECT * FROM knn_topk('emb_fp_v')")
+    assert(plans.TvfViewCounts.misses - m0 == 4,
+      "a same-name in-place rewrite (mtime change) under a re-taken " +
+        "listing must re-count — the fingerprint mixes mtime now")
     sources.Writers.rmrf(new java.io.File(dir))
   }
 
@@ -852,6 +867,43 @@ class PlanSpec extends AnyFunSuite {
       s"postings scan read $partsRead of $buckets bucket partitions " +
         s"for a $nShingles-shingle query — the g-hash bucket filter " +
         "did not bite at execution")
+    // the LEGGED v2 tree (streaming-admission shape) must prune the
+    // same way: leaf partitions are (leg, gb) dirs, and the gb filter
+    // dir-prunes at the second level across every leg — so a 2-leg
+    // tree reads at most 2x the shingle bound, never the whole set
+    val legDir = java.nio.file.Files
+      .createTempDirectory("graft_v2leg_prune").toString
+    sources.Writers.rmrf(new java.io.File(legDir))
+    // NB: `lit` here is the escaped query-text String above, so the
+    // usual count(lit(1)) idiom would resolve to String.apply — count
+    // the non-null g column instead
+    val sz2 = p.groupBy($"doc_id").agg(count($"g").as("n"))
+    (0 until 2).foreach { k =>
+      sources.Writers.writeLexIndexV2Leg(p.filter($"doc_id" % 2 === k),
+        sz2.filter($"doc_id" % 2 === k), legDir, s"00$k", buckets)
+    }
+    val df2 = spark.sql(
+      s"SELECT * FROM bm25_serve('$legDir', query => '$lit')")
+    assert(df2.collect().nonEmpty)
+    partsRead = -1L
+    def walk2(pl: org.apache.spark.sql.execution.SparkPlan): Unit =
+      pl.foreach {
+        case a: AdaptiveSparkPlanExec => walk2(a.executedPlan)
+        case q: QueryStageExec => walk2(q.plan)
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(s"$legDir/postings")) =>
+          partsRead = math.max(partsRead,
+            f.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
+        case _ =>
+      }
+    walk2(df2.queryExecution.executedPlan)
+    assert(partsRead >= 0, "no executed legged postings scan found")
+    assert(partsRead <= 2 * nShingles,
+      s"legged postings scan read $partsRead leaf partitions for a " +
+        s"$nShingles-shingle query over 2 legs — the bucket filter " +
+        "did not prune across leg dirs")
     sources.Writers.rmrf(new java.io.File(dir))
+    sources.Writers.rmrf(new java.io.File(legDir))
   }
 }
