@@ -546,6 +546,27 @@ object Audit {
       .select($"check_name", $"n_violations")
   }
 
+  /** The full lexical-index audit over a stored index DIR: read the
+    * artifact back, run [[lexAuditChecks]]'s four checks against the
+    * given current corpus, and append [[lexBucketCheck]] when the dir
+    * is stamped `_graft_layout=2` — the layout the stamp declares is
+    * audited, not assumed. ONE definition of "which checks does this
+    * layout get", shared by the `index_fsck` TVF, st28's per-commit
+    * streaming gate, and the engagement probes (the St26/Dq08
+    * shared-constant anti-drift discipline applied to DISPATCH: a consumer
+    * restating the stamp match could silently skip the v2 check). */
+  private[graft] def lexIndexAuditChecks(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      cur: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (postings, sizes) = graft.sources.Writers.readLexIndex(s, dir)
+    val base = lexAuditChecks(cur, postings, sizes)
+    graft.sources.Writers.lexLayoutOf(s, dir) match {
+      case Some(b) => base.unionByName(lexBucketCheck(s, dir, b))
+      case None => base
+    }
+  }
+
   /** dq07: STORED IVF-INDEX CONSISTENCY audit — dq06's vector twin
     * (round-14 verdict ask #3), closing the audit asymmetry: the
     * lexical serving index had an integrity gate, the IVF index

@@ -2019,11 +2019,230 @@ object StreamingQueries {
       .unionByName(post)
   }
 
+  /** One V2 admission leg: tokenize `batchDocs` ONLY, keep frozen-
+    * vocab shingles, and land the batch's postings + sizes as leg
+    * `leg` of the g-hash-bucketed layout
+    * ([[graft.sources.Writers.writeLexIndexV2Leg]] — bucketed INSIDE
+    * the leg so a pruned serve's `gb` filter dir-prunes across every
+    * leg, OVERWRITTEN on replay). No `inqg` routing ([[lexAdmit]]'s
+    * device): v2's serve pruning is query-derived bucket naming, not
+    * a frozen probe set, so admission carries no probe-reachability
+    * artifact — arbitrary queries stay first-class. */
+  private[graft] def lexAdmitV2(vocab: org.apache.spark.sql.DataFrame,
+      batchDocs: org.apache.spark.sql.DataFrame,
+      idx: String, leg: String, buckets: Int): Unit = {
+    val admitted = batchDocs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
+      .join(vocab, "g")
+      .select(col("g"), col("doc_id"))
+      .localCheckpoint() // postings AND sizes consume it
+    val sizes = admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    graft.sources.Writers.writeLexIndexV2Leg(admitted, sizes, idx, leg,
+      buckets)
+  }
+
+  /** st28's bucket count — layout-physical only (the oracle's counts
+    * are B-independent: the corruption lands rows at `gb = B`, outside
+    * `pmod`'s [0, B) range, so EVERY planted row misbuckets no matter
+    * what B is). Kept small like w13's: at sf0.01 the posting set is
+    * kilobytes, and pruning observability at scale is ScaleStressSpec's
+    * measured job, not the oracle's. */
+  private[operators] val St28Buckets = 16
+
+  /** st28: the CONTINUOUS V2-INDEX AUDIT — st26's per-commit-gate
+    * shape on the g-hash-bucketed lexical layout (the round-17 verdict
+    * ask #1's streaming leg), closing the v2 lifecycle: the layout
+    * revision has a reindex write (w13), batch append legs, PRUNED
+    * arbitrary-query serving (`bm25_serve`'s stamp dispatch) and an
+    * fsck check (`misbucketed_postings`) — this query is the streaming
+    * admission path ([[lexAdmitV2]] per micro-batch) plus the
+    * per-commit gate, so a v2 index is never the one artifact family
+    * whose commits go unaudited. The gate is
+    * [[graft.operators.Audit.lexIndexAuditChecks]] — the EXACT
+    * stamp-dispatched plan `index_fsck` exposes to SQL (one shared
+    * definition, so the gate cannot drift from the fsck surface):
+    * dq06's four corpus-consistency checks PLUS the v2-specific
+    * bucket-integrity check (`pmod(hash(g), B) != gb` — a misbucketed
+    * posting is invisible to every pruned serve that should have
+    * scored it, the layout's own silent-wrong-answer class).
+    *
+    * Two phases, one row per (phase, check):
+    *   - stream_max: the MAX violations any per-leg audit saw across
+    *     all five checks — all zeros: after every commit the stored
+    *     index describes exactly the admitted sub-corpus AND every
+    *     posting row sits in the bucket its shingle hashes to (the
+    *     property the pruned serve's partition filter relies on);
+    *   - post_corruption: the stream stops, the corpus moves on
+    *     without a reindex (st26's motion — deletions, text drift,
+    *     additions awaiting admission; the same shared [[graft
+    *     .operators.Audit.AuditDelMod]] constant family both engines
+    *     splice), AND someone "helpfully" hand-backfills the awaiting
+    *     additions by cp-ing their posting rows straight into the
+    *     index — landing them in a bucket dir their shingles do not
+    *     hash to. The four corpus checks flip with st26's exact
+    *     counts (the planted rows' doc_ids ARE current — additions —
+    *     so they orphan nothing, and sizes/recount never read posting
+    *     rows), and `misbucketed_postings` flips with the planted row
+    *     count, which the oracle recomputes as the copy slice's
+    *     df-capped posting count — the relabel (+CopyOffset) and the
+    *     bucket dir cannot change a per-doc shingle count.
+    *
+    * One Trigger.AvailableNow run per chunk (the st25 lesson): writes
+    * strictly precede the query, so chunk k is exactly batch k and the
+    * admitted-so-far predicate the gate audits against is
+    * deterministic; a loud require pins the batch structure.
+    *
+    * 100 TB: the per-commit bill is dq06's four keyed joins plus ONE
+    * extra map-side pass over the postings (the bucket check is a
+    * filter + count — no shuffle, no join); production runs the gate
+    * on the retention cadence, here per-commit because the cadence
+    * symmetry is the point. The admission leg itself is batch-side
+    * proportional (tokenize the batch, one g-keyed vocab join, one
+    * task-local bucketed write). */
+  val st28LexV2AuditGate: Q = Q(
+    "st28_lexv2_audit_gate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |dfs AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      |postings AS (SELECT s.doc_id, s.g FROM sh s JOIN dfs USING (g)
+      |             WHERE df <= ${Similarity.S11LexDfCap}),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+      |vocab AS (SELECT DISTINCT g FROM postings),
+      |cur AS (SELECT doc_id,
+      |          CASE WHEN doc_id % ${Audit.AuditDriftMod} = ${Audit.AuditDriftRem}
+      |            THEN array_to_string((string_split(text, ' '))[1:20], ' ')
+      |            ELSE text END AS text
+      |        FROM documents
+      |        WHERE doc_id % ${Audit.AuditDelMod} <> ${Audit.AuditDelRem}
+      |        UNION ALL
+      |        SELECT doc_id + ${Audit.AuditCopyOffset}, text FROM documents
+      |        WHERE doc_id % ${Audit.AuditCopyMod} = ${Audit.AuditCopyRem}),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM cur),
+      |csh AS (SELECT DISTINCT doc_id,
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |        FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |recount AS (SELECT c.doc_id, count(*) AS n2
+      |            FROM csh c JOIN vocab USING (g) GROUP BY c.doc_id),
+      |missing AS (SELECT count(*) AS n FROM recount r
+      |            LEFT JOIN sizes s USING (doc_id) WHERE s.doc_id IS NULL),
+      |orph_d AS (SELECT count(*) AS n FROM sizes s
+      |           LEFT JOIN cur c USING (doc_id) WHERE c.doc_id IS NULL),
+      |orph_p AS (SELECT count(*) AS n FROM postings p
+      |           LEFT JOIN cur c USING (doc_id) WHERE c.doc_id IS NULL),
+      |drift AS (SELECT count(*) AS n FROM sizes s
+      |          JOIN recount r USING (doc_id) WHERE s.n <> r.n2),
+      |misb AS (SELECT count(*) AS n FROM postings
+      |         WHERE doc_id % ${Audit.AuditCopyMod} = ${Audit.AuditCopyRem})
+      |SELECT 'stream_max' AS phase, check_name,
+      |  CAST(0 AS BIGINT) AS n_violations
+      |FROM (VALUES ('missing_docs'), ('orphaned_docs'),
+      |      ('orphaned_postings'), ('size_drift'),
+      |      ('misbucketed_postings')) t(check_name)
+      |UNION ALL SELECT 'post_corruption', 'missing_docs',
+      |  CAST(n AS BIGINT) FROM missing
+      |UNION ALL SELECT 'post_corruption', 'orphaned_docs',
+      |  CAST(n AS BIGINT) FROM orph_d
+      |UNION ALL SELECT 'post_corruption', 'orphaned_postings',
+      |  CAST(n AS BIGINT) FROM orph_p
+      |UNION ALL SELECT 'post_corruption', 'size_drift',
+      |  CAST(n AS BIGINT) FROM drift
+      |UNION ALL SELECT 'post_corruption', 'misbucketed_postings',
+      |  CAST(n AS BIGINT) FROM misb""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st28_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.freshScratch(s, base, "src")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val idx = s"$base/index"
+    val docs = Tables.documents(s, d)
+    // REINDEX over the full corpus (st22's frozen-vocab artifact),
+    // then seed the stored v2 index with the pre-stream third through
+    // the same admission path the stream uses
+    val vocab = lexFreezeVocab(s, docs, base)
+    lexAdmitV2(vocab, docs.filter($"doc_id" % 3 === 0), idx, "base",
+      St28Buckets)
+    val streamMax = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long](0L)
+    val seenIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runChunk(): Unit = {
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          lexAdmitV2(vocab, b, idx, id.toString, St28Buckets)
+          seenIds += id
+          admitted += id + 1 // chunk k carries the doc_id % 3 == k slice
+          // the gate: the stamp-dispatched five-check audit of the
+          // index THIS commit just extended, against exactly the
+          // corpus admitted so far
+          val cur = docs.filter(($"doc_id" % 3).isin(admitted.toSeq: _*))
+          Audit.lexIndexAuditChecks(s, idx, cur).collect().foreach { r =>
+            val (k, n) = (r.getString(0), r.getLong(1))
+            streamMax(k) = math.max(streamMax(k), n)
+          }
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Seq(1L, 2L).foreach { k =>
+      docs.filter($"doc_id" % 3 === k).select($"doc_id", $"text")
+        .write.mode("append").parquet(src)
+      runChunk()
+    }
+    // determinism guard: the admitted-so-far predicate names chunk
+    // remainders by batch id, so the batch structure must be exactly
+    // one chunk per batch (what AvailableNow-per-chunk guarantees)
+    require(seenIds.toSeq == Seq(0L, 1L),
+      s"st28 expects batch ids 0,1 for the two chunks, saw $seenIds — " +
+        "the micro-batch structure drifted from the gate's predicate")
+    // st26's corpus motion (shared constants) ...
+    val cur = docs.filter($"doc_id" % Audit.AuditDelMod =!= Audit.AuditDelRem)
+      .select($"doc_id",
+        when($"doc_id" % Audit.AuditDriftMod === Audit.AuditDriftRem,
+          substring_index($"text", " ", 20))
+          .otherwise($"text").as("text"))
+      .unionByName(
+        docs.filter($"doc_id" % Audit.AuditCopyMod === Audit.AuditCopyRem)
+          .select(($"doc_id" + Audit.AuditCopyOffset).as("doc_id"), $"text"))
+    // ... PLUS the v2-specific physical corruption: the awaiting
+    // additions hand-backfilled as raw posting rows cp-ed into a
+    // bucket dir their shingles do not hash to (gb = B sits outside
+    // pmod's range, so EVERY planted row misbuckets — and the planted
+    // doc_ids are current additions, so the four corpus checks keep
+    // st26's exact counts)
+    docs.filter($"doc_id" % Audit.AuditCopyMod === Audit.AuditCopyRem)
+      .select(($"doc_id" + Audit.AuditCopyOffset).as("doc_id"),
+        explode(Dedup.shingles(Dedup.toks($"text"))).as("g"))
+      .join(vocab, "g")
+      .select($"g", $"doc_id")
+      .write.parquet(s"$idx/postings/leg=corrupt/gb=$St28Buckets")
+    val post = Audit.lexIndexAuditChecks(s, idx, cur)
+      .select(lit("post_corruption").as("phase"), $"check_name",
+        $"n_violations")
+    streamMax.keys.toSeq.sorted
+      .map(k => ("stream_max", k, streamMax(k)))
+      .toDF("phase", "check_name", "n_violations")
+      .unionByName(post)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Sessions, st04Dedup,
     st05Stateful, st06StreamJoin, st07StreamStatic, st08OuterJoin,
     st09UpsertSink, st10ReplayGate, st11RecentEvents, st12Funnel,
     st13QuantFunnel, st14AsofEnrich, st15NearDupGate, st16AnnServe,
     st17Scd2Cdc, st18CmsMonitor, st19FilteredServe, st20HybridServe,
     st21CdcRetention, st22LexAdmission, st23IvfAdmission, st24Bm25Serve,
-    st25ManifestAuditGate, st26IndexAuditGate, st27IvfAuditGate)
+    st25ManifestAuditGate, st26IndexAuditGate, st27IvfAuditGate,
+    st28LexV2AuditGate)
 }

@@ -1166,8 +1166,110 @@ object WriterQueries {
       Tables.documents(s, d).filter($"doc_id" % 50 === 0))
   }
 
+  /** w14: INDEX COMPACTION, lexical leg — the w03/w09 OPTIMIZE pass
+    * applied to the index artifact family
+    * ([[graft.sources.Writers.compactIndex]]): admission legs trade
+    * file count for replay-idempotent commits (each leg lands its own
+    * files — a 100-leg chain's serve pays a 100-leg listing), and the
+    * maintenance pass re-lands the artifact in the reindex shape. The
+    * build here is st28's admission cycle batch-side — three v2 legs
+    * under one stamped B — then compaction into a NEW dir, then s12's
+    * BM25 serve through the PRUNED stamped path FROM THE COMPACTED
+    * artifact.
+    *
+    * Oracle: s12's SQL VERBATIM — so the leg writes, the stamp
+    * carry-over, the compaction rewrite AND the post-compaction
+    * pruned serve all sit under the driver's DuckDB hash: a posting
+    * row lost or duplicated by the rewrite, a bucket re-hashed under
+    * a drifted B, or a df split across legs hash-mismatches.
+    * CompactionSpec separately pins the file-count reduction, the
+    * stamp identity, the five-check fsck zeros on the compacted
+    * artifact, and the routed-legs refusal.
+    *
+    * 100 TB: one full read + one gb-shuffled write of the posting set
+    * (the standard OPTIMIZE bill, retention-cadence); the serve bill
+    * is w13's. */
+  val w14LexCompact: Q = Q(
+    "w14_lex_compact", Similarity.s12Bm25Lexical.oracle.get) { (s, d) =>
+    import s.implicits._
+    val src = tmp(d, "lex_compact_src")
+    val dest = tmp(d, "lex_compact_dst")
+    Writers.freshScratch(s, src)
+    Writers.freshScratch(s, dest)
+    val postings = Similarity.lexIndex(Tables.documents(s, d))._1
+      .localCheckpoint()
+    val sizes = postings.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    Seq(0L, 1L, 2L).foreach { k =>
+      Writers.writeLexIndexV2Leg(postings.filter($"doc_id" % 3 === k),
+        sizes.filter($"doc_id" % 3 === k), src, k.toString, buckets = 16)
+    }
+    Writers.compactIndex(s, src, dest)
+    Similarity.bm25ServeQueries(s, dest,
+      Tables.documents(s, d).filter($"doc_id" % 50 === 0))
+  }
+
+  /** w15: INDEX COMPACTION, IVF leg — [[w14LexCompact]]'s vector
+    * twin: st23's admission cycle batch-side (frozen sampled
+    * quantizer persisted under the index, three cell-partitioned
+    * legs), compacted into the flat reindex layout (ONE shuffle on
+    * c_id — each cell lands in exactly one task, so the compacted
+    * lists carry ~one file per cell), then served and compared.
+    *
+    * Oracle: w07's verdict-boolean style (the serve itself is s04's
+    * probe pipeline, already hash-oracled there; what THIS query must
+    * pin is the compaction contract): n_vectors proves no vector was
+    * lost or duplicated by the rewrite (the compacted lists hold
+    * exactly one row per corpus vector), serve_equals_inline proves
+    * the stored-compacted probe is row-identical to the in-memory
+    * assignment's probe, files_reduced proves the pass actually
+    * compacted. */
+  val w15IvfCompact: Q = Q(
+    "w15_ivf_compact",
+    """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+      |    AS n_vectors,
+      |  true AS serve_equals_inline, true AS files_reduced"""
+      .stripMargin) { (s, d) =>
+    import s.implicits._
+    val src = tmp(d, "ivf_compact_src")
+    val dest = tmp(d, "ivf_compact_dst")
+    Writers.freshScratch(s, src)
+    Writers.freshScratch(s, dest)
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    // the frozen sampled quantizer (s04's rule), persisted under the
+    // index — st23's reindex artifact
+    val cents = emb.filter($"vec_id" % Similarity.centModulusFor(s, d) === 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"),
+        $"nrm".as("c_nrm"))
+      .localCheckpoint()
+    cents.write.parquet(s"$src/centroids")
+    val assigned = Similarity.ivfAssignment(emb, cents)
+      .select($"vec_id", $"c_id").localCheckpoint()
+    Seq(0L, 1L, 2L).foreach { k =>
+      Writers.appendIvfListsLeg(assigned.filter($"vec_id" % 3 === k),
+        src, k.toString)
+    }
+    val report = Writers.compactIndex(s, src, dest)
+    val (sc, sl) = Writers.readIvfIndex(s, dest)
+    val served = Similarity.ivfProbe(emb, sc,
+      emb.join(sl, "vec_id"), nprobe = 2)
+    val inline = Similarity.ivfProbe(emb, cents,
+      emb.join(assigned, "vec_id"), nprobe = 2)
+    // counted over the COMPACTED lists read back — the oracle expects
+    // the corpus count, so equality IS the no-loss/no-duplication proof
+    val nv = sl.agg(count(lit(1)).cast("long").as("n_vectors"))
+    val same = served.exceptAll(inline).select(lit(1).as("x"))
+      .unionAll(inline.exceptAll(served).select(lit(1).as("x")))
+      .agg((count(lit(1)) === 0).as("serve_equals_inline"))
+    val reduced = report
+      .select(($"files_after" < $"files_before").as("files_reduced"))
+    nv.crossJoin(same).crossJoin(reduced)
+  }
+
   val all: Seq[Q] = Seq(w01SmbJoin, w02PartitionedWrite, w03Compaction,
     w04MergeUpsert, w05ZorderStats, w06BandIndex, w07AnnIndex,
     w08Scd2History, w09IncrementalOptimize, w10Scd2TimeTravel,
-    w11VersionVacuum, w12LexIndex, w13LexIndexV2)
+    w11VersionVacuum, w12LexIndex, w13LexIndexV2, w14LexCompact,
+    w15IvfCompact)
 }

@@ -80,18 +80,11 @@ object IndexFsckTvf {
         "lexical layout (postings/ + sizes/) or a w07 IVF layout " +
         "(centroids/ + lists/)")
     val checks = if (isLex) {
-      val (postings, sizes) = graft.sources.Writers.readLexIndex(s, dir)
-      val base = graft.operators.Audit
-        .lexAuditChecks(corpus, postings, sizes)
-      // a v2-stamped index (g-hash-bucketed postings) gets the
-      // bucket-integrity check appended — the layout the stamp
-      // declares is audited, not assumed (a misbucketed posting is
-      // invisible to every pruned serve that should have scored it)
-      graft.sources.Writers.lexLayoutOf(s, dir) match {
-        case Some(b) => base.unionByName(
-          graft.operators.Audit.lexBucketCheck(s, dir, b))
-        case None => base
-      }
+      // four base checks + the v2 bucket-integrity check when stamped —
+      // ONE dispatch definition shared with st28's per-commit gate
+      // (a misbucketed posting is invisible to every pruned serve that
+      // should have scored it)
+      graft.operators.Audit.lexIndexAuditChecks(s, dir, corpus)
     } else {
       import org.apache.spark.sql.functions.col
       val (cents, lists) = graft.sources.Writers.readIvfIndex(s, dir)

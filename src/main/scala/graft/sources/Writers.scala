@@ -377,6 +377,90 @@ object Writers {
       .select("g", "doc_id"),
     spark.read.parquet(s"$dest/sizes").select("doc_id", "n"))
 
+  /** COMPACT a stored index's admission legs into the reindex-shaped
+    * flat layout at `dest` — the OPTIMIZE pass (w03/w09's maintenance
+    * family) applied to the index artifacts: admission legs
+    * deliberately trade file count for replay-idempotent commits
+    * ([[writeLexIndexLeg]] / [[writeLexIndexV2Leg]] /
+    * [[appendIvfListsLeg]] each land a batch's rows as that leg's own
+    * files, so a 100-leg chain's serve pays a 100-leg listing — the
+    * documented trade), and this pass re-lands the whole artifact in
+    * the one-writer-per-partition shape the reindex writers produce.
+    *
+    * Dispatch mirrors `index_fsck`'s: the dir's own structure names
+    * the family (postings/ + sizes/ vs centroids/ + lists/), and the
+    * lexical side additionally dispatches on the `_graft_layout`
+    * stamp — a v2 tree re-compacts through [[writeLexIndexV2]] under
+    * its STAMPED B (the pruning modulus is data, not layout freedom:
+    * changing B at compaction would orphan every bucket id a serve
+    * derives from the stamp). Compacts into a NEW dir (the w03
+    * src→dest shape): an in-place rewrite would torn-read a
+    * concurrent serve; the caller swaps directories on its own
+    * cadence. ROUTED v1 legs (st22's `inqg` partition dirs) are
+    * REFUSED loudly — the routing flag rides the reindex-time frozen
+    * probe set, an artifact of the admission harness, not of the
+    * index dir, so those trees recompact at the reindex cadence that
+    * owns the probe set.
+    *
+    * Deliberately NOT a SQL TVF: the repo's TVF side-effect
+    * convention is "harmless at plan build" (graft_refresh's eviction
+    * costs one rebuild), and a compaction's side effect is a full
+    * artifact rewrite — an EXPLAIN that rewrites terabytes is an
+    * operational hazard, so the verb stays a maintenance API the
+    * operator calls deliberately (w14/w15 exercise it end-to-end).
+    *
+    * Returns a one-row report (family, rows, files_before,
+    * files_after); file counts are distinct input_file_name over
+    * column-less scans of the same trees the rewrite reads —
+    * distributed, no driver-side recursive listings.
+    *
+    * 100 TB: one full read + one re-shuffled write of the artifact —
+    * the standard OPTIMIZE bill, run on the retention cadence next to
+    * the audits (st21's argument), never per commit. */
+  def compactIndex(spark: SparkSession, src: String, dest: String)
+      : DataFrame = {
+    val (fs, _) = fsOf(spark, src)
+    val isLex = fs.exists(new org.apache.hadoop.fs.Path(src, "postings"))
+    val isIvf = fs.exists(new org.apache.hadoop.fs.Path(src, "centroids"))
+    require(isLex != isIvf,
+      s"compactIndex: $src is not a stored index — expected a lexical " +
+        "layout (postings/ + sizes/) or an IVF layout (centroids/ + lists/)")
+    def filesOf(dir: String): Long = spark.read.parquet(dir)
+      .select(input_file_name().as("f")).distinct().count()
+    if (isLex) {
+      require(!spark.read.parquet(s"$src/postings").columns.contains("inqg"),
+        s"compactIndex: $src holds ROUTED legs (inqg dirs — st22's " +
+          "frozen-probe-set admission shape); the routing flag is the " +
+          "admission harness's reindex artifact, not the index dir's, " +
+          "so routed trees recompact at the reindex cadence")
+      val filesBefore = filesOf(s"$src/postings") + filesOf(s"$src/sizes")
+      val (p, sz) = readLexIndex(spark, src)
+      lexLayoutOf(spark, src) match {
+        // v2: writeLexIndexV2's own gb shuffle is the compaction (~B
+        // files); v1: one shuffle on g so a shingle's run lands in one
+        // file (probe locality), AQE sizes the partition count
+        case Some(b) => writeLexIndexV2(p, sz.repartition(col("doc_id")),
+          dest, b)
+        case None => writeLexIndex(p.repartition(col("g")),
+          sz.repartition(col("doc_id")), dest)
+      }
+      val filesAfter = filesOf(s"$dest/postings") + filesOf(s"$dest/sizes")
+      val rows = spark.read.parquet(s"$dest/postings").count()
+      spark.createDataFrame(Seq(("lexical", rows, filesBefore, filesAfter)))
+        .toDF("family", "rows", "files_before", "files_after")
+    } else {
+      val filesBefore = filesOf(s"$src/lists")
+      val (cents, lists) = readIvfIndex(spark, src)
+      // one shuffle on c_id: each cell lands in exactly one task, so
+      // the flat layout carries ~one file per cell (the reindex shape)
+      writeIvfIndex(cents, lists.repartition(col("c_id")), dest)
+      val filesAfter = filesOf(s"$dest/lists")
+      val rows = spark.read.parquet(s"$dest/lists").count()
+      spark.createDataFrame(Seq(("ivf", rows, filesBefore, filesAfter)))
+        .toDF("family", "rows", "files_before", "files_after")
+    }
+  }
+
   /** One ADMISSION leg of the lexical index (st22's streaming
     * admission): the batch's capped posting + size rows land as
     * `leg=<id>` partition dirs inside the [[writeLexIndex]] layout,

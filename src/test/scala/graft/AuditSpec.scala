@@ -98,6 +98,62 @@ class AuditSpec extends AnyFunSuite {
       s"corruption leaked into unrelated checks: $fired")
   }
 
+  test("st28's gate is not vacuous: a rogue producer's leg bucketed " +
+      "by the WRONG modulus fires misbucketed_postings and ONLY it") {
+    // st28's stream_max rows pin all five checks at zero on healthy
+    // commits; this is the ENGAGEMENT probe proving the v2-specific
+    // zero is earned. The failure mode is exactly the one
+    // writeLexIndexV2Leg's require refuses at the API: a second
+    // producer bucketing by a different modulus scatters shingles
+    // across buckets. A producer that BYPASSES the API (raw parquet
+    // into the index tree) can still land that leg — the audit must
+    // catch what the write-path guard cannot. The rogue leg carries
+    // correct postings AND sizes for its slice, so the four corpus
+    // checks stay zero: only the bucket-integrity check can see the
+    // drift, which is why the v2 layout needs a fifth check at all.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val sq = operators.StreamingQueries
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st28_probe"
+    sources.Writers.rmrf(new java.io.File(base))
+    val idx = s"$base/index"
+    val B = 16
+    val docs = sources.Tables.documents(spark, sf)
+    val vocab = sq.lexFreezeVocab(spark, docs, base)
+    sq.lexAdmitV2(vocab, docs.filter($"doc_id" % 3 === 0), idx, "base", B)
+    sq.lexAdmitV2(vocab, docs.filter($"doc_id" % 3 === 1), idx, "0", B)
+    def gate(cur: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      operators.Audit.lexIndexAuditChecks(spark, idx, cur)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val healthy = gate(docs.filter(($"doc_id" % 3).isin(0L, 1L)))
+    assert(healthy.keySet.contains("misbucketed_postings"),
+      s"the stamp did not dispatch the v2 check: ${healthy.keySet}")
+    assert(healthy.size == 5 && healthy.values.forall(_ == 0L),
+      s"healthy two-leg v2 index audited non-zero: $healthy")
+    // the rogue leg: slice 2's postings bucketed by pmod(hash(g), 8)
+    // under a buckets=16 stamp, with its sizes landed correctly
+    val rogue = docs.filter($"doc_id" % 3 === 2)
+      .select($"doc_id",
+        explode(operators.Dedup.shingles(
+          operators.Dedup.toks($"text"))).as("g"))
+      .join(vocab, "g")
+      .select($"g", $"doc_id", pmod(hash($"g"), lit(8)).as("gb"))
+      .localCheckpoint()
+    rogue.write.partitionBy("gb").parquet(s"$idx/postings/leg=rogue")
+    rogue.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .select($"doc_id", $"n")
+      .write.parquet(s"$idx/sizes/leg=rogue")
+    val expected = rogue.filter(pmod(hash($"g"), lit(B)) =!= $"gb").count()
+    assert(expected > 0L, "fixture too small to exhibit modulus drift")
+    val fired = gate(docs) // all three slices are now "current"
+    assert(fired("misbucketed_postings") == expected,
+      s"expected $expected misbucketed rows, audit saw: $fired")
+    assert(fired("missing_docs") == 0L && fired("orphaned_docs") == 0L &&
+      fired("orphaned_postings") == 0L && fired("size_drift") == 0L,
+      s"corruption leaked into unrelated checks: $fired")
+  }
+
   test("dq02: per-source verdicts agree with independently computed fractions") {
     import org.apache.spark.sql.functions._
     val s = spark
