@@ -163,6 +163,15 @@ object Bench {
     // (their registered twins cover the capability at that scale) — but
     // an explicitly named query always runs, so deliberately
     // re-measuring a documented blowup stays possible
+    // explicit args must all name registered queries — a silent drop
+    // would let an A/B control sweep (tools/ab_sweep.sh) run DIFFERENT
+    // query sets on the two builds when one side predates a query, and
+    // b_over_a would misclassify the set difference as a build change
+    // (round-18 review finding); failing loudly on the older build is
+    // exactly the right behavior for the sweep
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.contains(n))
       .filter(n => args.nonEmpty || !Set("1", "10")(sfNumPre) ||

@@ -2030,12 +2030,19 @@ object StreamingQueries {
     * artifact — arbitrary queries stay first-class. */
   private[graft] def lexAdmitV2(vocab: org.apache.spark.sql.DataFrame,
       batchDocs: org.apache.spark.sql.DataFrame,
-      idx: String, leg: String, buckets: Int): Unit = {
-    val admitted = batchDocs
+      idx: String, leg: String, buckets: Int,
+      writeTasks: Option[Int] = None): Unit = {
+    // writeTasks bounds the leg write's task count AFTER the vocab
+    // join (the join re-shuffles, so an upstream repartition cannot —
+    // round-18 review finding); the leg's file count is then
+    // ≤ writeTasks × buckets. None keeps the join's own partitioning
+    // (st28's per-commit shape; batches there are small).
+    val joined = batchDocs
       .select(col("doc_id"),
         explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
       .join(vocab, "g")
       .select(col("g"), col("doc_id"))
+    val admitted = writeTasks.map(joined.coalesce).getOrElse(joined)
       .localCheckpoint() // postings AND sizes consume it
     val sizes = admitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     graft.sources.Writers.writeLexIndexV2Leg(admitted, sizes, idx, leg,

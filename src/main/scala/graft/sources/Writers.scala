@@ -310,11 +310,40 @@ object Writers {
     * usual ~128 MB rule — a 1 TB posting set wants B ≈ 8000, so a
     * 100-shingle query reads ~1.2 % of it). B too small prunes
     * nothing; too large makes tiny files. */
+  /** The flat `postings/gb=` ([[writeLexIndexV2]]) and legged
+    * `postings/leg=<id>/gb=` ([[writeLexIndexV2Leg]]) v2 layouts are
+    * MUTUALLY EXCLUSIVE per index dir — mixed partition depths break
+    * Spark's partition discovery at read time, far from the write
+    * that caused it — and an EXISTING UNSTAMPED tree must never be
+    * adopted by stamping over it (a v1 flat or routed tree stamped v2
+    * would dispatch every pruned serve onto a layout with no gb
+    * dirs). [[requireListLayout]]'s fail-fast-at-the-write
+    * discipline, lexical side (round-18 review finding). */
+  private def requireLexV2Layout(spark: SparkSession, dest: String,
+      legged: Boolean): Unit = {
+    val (fs, p) = fsOf(spark, s"$dest/postings")
+    if (fs.exists(p)) {
+      require(lexLayoutOf(spark, dest).isDefined,
+        s"$dest/postings exists without a _graft_layout stamp — an " +
+          "unstamped (v1) tree cannot be adopted as v2 by writing into " +
+          "it; rebuild it through the v2 writers (or compactIndex) " +
+          "instead")
+      val offending = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(if (legged) "gb=" else "leg="))
+      require(offending.isEmpty,
+        s"$dest/postings already holds " +
+          s"${if (legged) "flat gb=" else "leg="} dirs " +
+          s"(e.g. ${offending.head}); flat writeLexIndexV2 and legged " +
+          "writeLexIndexV2Leg layouts cannot mix under one index")
+    }
+  }
+
   def writeLexIndexV2(postings: DataFrame, sizes: DataFrame,
       dest: String, buckets: Int,
       mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
     require(buckets > 0, s"writeLexIndexV2: buckets must be > 0, got $buckets")
     val s = postings.sparkSession
+    requireLexV2Layout(s, dest, legged = false)
     lexLayoutOf(s, dest).foreach(b => require(b == buckets,
       s"$dest is stamped buckets=$b; appending with buckets=$buckets " +
         "would scatter shingles across buckets and break pruning/df"))
@@ -349,6 +378,7 @@ object Writers {
   def writeLexIndexV2Leg(postings: DataFrame, sizes: DataFrame,
       dest: String, leg: String, buckets: Int): Unit = {
     val s = postings.sparkSession
+    requireLexV2Layout(s, dest, legged = true)
     lexLayoutOf(s, dest) match {
       case Some(b) => require(b == buckets,
         s"$dest is stamped buckets=$b; a leg with buckets=$buckets " +
@@ -410,9 +440,11 @@ object Writers {
     * operator calls deliberately (w14/w15 exercise it end-to-end).
     *
     * Returns a one-row report (family, rows, files_before,
-    * files_after); file counts are distinct input_file_name over
-    * column-less scans of the same trees the rewrite reads —
-    * distributed, no driver-side recursive listings.
+    * files_after); file counts come from the relation's own resolved
+    * listing (`inputFiles` — the driver map the scan already built to
+    * plan itself), so they cost zero Spark jobs, and the rows count
+    * is parquet-metadata-only — the pass's data bill stays exactly
+    * one full read + one write.
     *
     * 100 TB: one full read + one re-shuffled write of the artifact —
     * the standard OPTIMIZE bill, run on the retention cadence next to
@@ -425,8 +457,8 @@ object Writers {
     require(isLex != isIvf,
       s"compactIndex: $src is not a stored index — expected a lexical " +
         "layout (postings/ + sizes/) or an IVF layout (centroids/ + lists/)")
-    def filesOf(dir: String): Long = spark.read.parquet(dir)
-      .select(input_file_name().as("f")).distinct().count()
+    def filesOf(dir: String): Long =
+      spark.read.parquet(dir).inputFiles.length.toLong
     if (isLex) {
       require(!spark.read.parquet(s"$src/postings").columns.contains("inqg"),
         s"compactIndex: $src holds ROUTED legs (inqg dirs — st22's " +

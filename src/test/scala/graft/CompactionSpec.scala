@@ -110,6 +110,46 @@ class CompactionSpec extends AnyFunSuite {
       s"refusal message does not name the cause: ${e.getMessage}")
   }
 
+  test("v2 layout exclusion: flat-into-legged, legged-into-flat, and " +
+      "unstamped-tree adoption are all refused at the write") {
+    // the IVF twin has requireListLayout (round-14 advice: mixed
+    // partition depths break discovery at READ time, far from the
+    // write that caused it); the v2 lexical writers enforce the same
+    // class — plus the adoption hole unique to the stamp dispatch: an
+    // unstamped v1 tree stamped v2 would route every pruned serve
+    // onto a layout with no gb dirs
+    val s = spark
+    import s.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_v2_mix"
+    sources.Writers.rmrf(new java.io.File(base))
+    val p = Seq(("a b c", 1L), ("b c d", 2L)).toDF("g", "doc_id")
+    val sz = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "n")
+    // flat tree, then a leg into it
+    sources.Writers.writeLexIndexV2(p, sz, s"$base/flat", buckets = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      sources.Writers.writeLexIndexV2Leg(p, sz, s"$base/flat", "0", 4)
+    }
+    assert(e1.getMessage.contains("cannot mix"), e1.getMessage)
+    // legged tree, then a flat append into it
+    sources.Writers.writeLexIndexV2Leg(p, sz, s"$base/legged", "0", 4)
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Writers.writeLexIndexV2(p, sz, s"$base/legged", 4,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("cannot mix"), e2.getMessage)
+    // an existing UNSTAMPED (v1) tree cannot be adopted by either
+    sources.Writers.writeLexIndex(p, sz, s"$base/v1")
+    val e3 = intercept[IllegalArgumentException] {
+      sources.Writers.writeLexIndexV2Leg(p, sz, s"$base/v1", "0", 4)
+    }
+    assert(e3.getMessage.contains("unstamped"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      sources.Writers.writeLexIndexV2(p, sz, s"$base/v1", 4,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e4.getMessage.contains("unstamped"), e4.getMessage)
+  }
+
   test("a non-index dir is refused before any read") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_none"
     sources.Writers.rmrf(new java.io.File(base))

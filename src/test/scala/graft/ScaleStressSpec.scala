@@ -81,7 +81,9 @@ class ScaleStressSpec extends AnyFunSuite
     "ivf100leg_replay_stable",
     "lexv2_serve_partition_fraction",
     "lexv2_serve_row_fraction",
-    "lexv2_serve_parity")
+    "lexv2_serve_parity",
+    "lexv2_compact_file_ratio",
+    "lexv2_compact_serve_parity")
 
   /** Each measured (metric, value, floor) row, dumped to the round's
     * SCALE artifact after the suite so the recall evidence is a
@@ -96,6 +98,35 @@ class ScaleStressSpec extends AnyFunSuite
         "artifact stays record()-backed")
     metrics.put(name, (value, floor))
   }
+
+  /** The sf1 documents corpus for the index-chain tests: tmp/sf1's
+    * when present, else a documents-only 10x marker-token inflation
+    * (the sf10-orders self-provision pattern) into `out` — ONE
+    * definition for every chain test (the builder was restated per
+    * test before the round-18 review), written in OVERWRITE mode so a
+    * fixture half-written by a killed run self-heals on the next one
+    * instead of failing ErrorIfExists forever. */
+  private def sf1DocsPath(out: String): String =
+    if (new java.io.File("tmp/sf1/documents.parquet").exists)
+      "tmp/sf1/documents.parquet"
+    else {
+      import spark.implicits._
+      if (!new java.io.File(s"$out/_SUCCESS").exists) {
+        val d01 = spark.read
+          .parquet("/root/testdata/sf0.1/documents.parquet")
+        (0 until 10).map { c =>
+          val t =
+            if (c == 0) $"text"
+            else concat_ws(" ", transform(split($"text", " "),
+              (tok, i) => when(i % 10 < c,
+                concat(lit("mrk"), (i % 10).cast("string")))
+                .otherwise(tok)))
+          d01.select(($"doc_id" + c * 100000L).as("doc_id"),
+            t.as("text"))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+      }
+      out
+    }
 
   /** Rows already present in the artifact on disk (falling back to the
     * previous round's file the first time), so a partial run
@@ -983,29 +1014,7 @@ class ScaleStressSpec extends AnyFunSuite
     //    3).
     import spark.implicits._
     val sq = operators.StreamingQueries
-    val docsPath =
-      if (new java.io.File("tmp/sf1/documents.parquet").exists)
-        "tmp/sf1/documents.parquet"
-      else {
-        // documents-only self-provision (the sf10-orders pattern):
-        // inflate 10x from sf0.1 with the suite's marker scheme
-        val out = "tmp/sf1_docs_lex100"
-        if (!new java.io.File(s"$out/_SUCCESS").exists) {
-          val d01 = spark.read
-            .parquet("/root/testdata/sf0.1/documents.parquet")
-          (0 until 10).map { c =>
-            val t =
-              if (c == 0) $"text"
-              else concat_ws(" ", transform(split($"text", " "),
-                (tok, i) => when(i % 10 < c,
-                  concat(lit("mrk"), (i % 10).cast("string")))
-                  .otherwise(tok)))
-            d01.select(($"doc_id" + c * 100000L).as("doc_id"),
-              t.as("text"))
-          }.reduce(_ unionByName _).write.parquet(out)
-        }
-        out
-      }
+    val docsPath = sf1DocsPath("tmp/sf1_docs_lex100")
     val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
     val nDocs = docs.count()
     assert(nDocs >= 50000L, s"sf1 docs fixture too small: $nDocs")
@@ -1098,27 +1107,7 @@ class ScaleStressSpec extends AnyFunSuite
     // pruned serve must be row-identical to the full-read serve at
     // this scale too, not just at fixture scale.
     import spark.implicits._
-    val docsPath =
-      if (new java.io.File("tmp/sf1/documents.parquet").exists)
-        "tmp/sf1/documents.parquet"
-      else {
-        val out = "tmp/sf1_docs_lexv2"
-        if (!new java.io.File(s"$out/_SUCCESS").exists) {
-          val d01 = spark.read
-            .parquet("/root/testdata/sf0.1/documents.parquet")
-          (0 until 10).map { c =>
-            val t =
-              if (c == 0) $"text"
-              else concat_ws(" ", transform(split($"text", " "),
-                (tok, i) => when(i % 10 < c,
-                  concat(lit("mrk"), (i % 10).cast("string")))
-                  .otherwise(tok)))
-            d01.select(($"doc_id" + c * 100000L).as("doc_id"),
-              t.as("text"))
-          }.reduce(_ unionByName _).write.parquet(out)
-        }
-        out
-      }
+    val docsPath = sf1DocsPath("tmp/sf1_docs_lexv2")
     val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
     val nDocs = docs.count()
     assert(nDocs >= 50000L, s"sf1 docs fixture too small: $nDocs")
@@ -1196,6 +1185,75 @@ class ScaleStressSpec extends AnyFunSuite
     sources.Writers.rmrf(new java.io.File(base))
   }
 
+  test("v2 admission chain COMPACTED at sf1: the file count collapses " +
+      "and the stamped pruned serve is row-identical pre/post") {
+    // compaction's 100 TB claim, measured instead of asserted
+    // (PLANS.md round-18 update 3): admission legs trade file count
+    // for replay-idempotent commits — each leg's task-local bucketed
+    // write lands its own small files, so a long chain's serve pays a
+    // chain-length listing — and Writers.compactIndex re-lands the
+    // artifact in the reindex shape (~B posting files). Here: 20
+    // st28-style v2 admission legs over the sf1 corpus, then ONE
+    // compaction, with (a) the
+    // file-count ratio measured from the compaction report, (b) the
+    // PRUNED arbitrary-short-query serve (the test above's shape)
+    // row-identical on the legged source and the compacted dest, and
+    // (c) the stamp (and with it B) carried — a compacted index that
+    // lost its stamp would silently serve full-scan forever after.
+    // The legs are written with writeTasks=2 (lexAdmitV2's post-join
+    // coalesce — an upstream repartition cannot bound the write, the
+    // vocab join re-shuffles) so the legged file product stays
+    // harness-sized; the RATIO claim is unaffected, it measures
+    // legged-vs-reindex shape, not an absolute count.
+    import spark.implicits._
+    val sq = operators.StreamingQueries
+    val docsPath = sf1DocsPath("tmp/sf1_docs_lexv2")
+    val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
+    val nDocs = docs.count()
+    assert(nDocs >= 50000L, s"sf1 docs fixture too small: $nDocs")
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stress_lexv2c"
+    sources.Writers.rmrf(new java.io.File(base))
+    val src = s"$base/src"; val dest = s"$base/dst"
+    val B = 64
+    val Legs = 20
+    val vocab = sq.lexFreezeVocab(spark, docs, base)
+    (0 until Legs).foreach { k =>
+      sq.lexAdmitV2(vocab, docs.filter($"doc_id" % Legs === k), src,
+        f"$k%03d", B, writeTasks = Some(2))
+    }
+    // the arbitrary-short-query serve shape from the v2 test above
+    val qmod = math.max(nDocs / 20L, 1L)
+    val qdocs = docs.filter($"doc_id" % qmod === 7)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 10)).as("text"))
+      .localCheckpoint()
+    val before = operators.Similarity.bm25ServeQueries(spark, src, qdocs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.nonEmpty, "short queries matched nothing at sf1")
+    val report = sources.Writers.compactIndex(spark, src, dest).head()
+    val (filesBefore, filesAfter) = (report.getLong(2), report.getLong(3))
+    val fileRatio = filesAfter.toDouble / filesBefore
+    info(f"compaction: $filesBefore -> $filesAfter files " +
+      f"(ratio $fileRatio%.4f) for $Legs legs at B=$B")
+    // the reindex shape is ~B posting files + a handful of sizes
+    // files; the legged tree carries ≥ Legs × (tasks-per-leg-ish)
+    // more — anything under a 3x collapse means the pass did not
+    // actually re-land the artifact
+    assert(filesAfter.toDouble * 3 < filesBefore,
+      s"compaction did not collapse the file count: " +
+        s"$filesBefore -> $filesAfter")
+    assert(sources.Writers.lexLayoutOf(spark, dest).contains(B),
+      "compacted dir lost (or drifted) the _graft_layout stamp")
+    val after = operators.Similarity.bm25ServeQueries(spark, dest, qdocs)
+      .collect().map(_.toString).sorted.toSeq
+    val parity = before == after
+    assert(parity, "compacted serve diverged from the legged serve at sf1")
+    record("lexv2_compact_file_ratio", fileRatio, 0.0)
+    record("lexv2_compact_serve_parity", if (parity) 1.0 else 0.0, 1.0)
+    sources.Writers.rmrf(new java.io.File(base))
+  }
+
   test("100-leg IVF admission chain AT sf1: replay-idempotent, probed-" +
       "cell serve read fraction flat in leg count, admission cost flat") {
     // the vector-side twin of the 100-leg lexical proof above (same
@@ -1223,7 +1281,7 @@ class ScaleStressSpec extends AnyFunSuite
               zip_with($"embedding", noise,
                 (x, n) => (x.cast("double") + n).cast("float"))
                 .as("embedding"))
-          }.reduce(_ unionByName _).write.parquet(out)
+          }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
         }
         out
       }

@@ -63,12 +63,20 @@ echo "[ab] compiling control $CTRL_SHA in $CTRL_WT" >&2
 echo "[ab] compiling working tree (B)" >&2
 (cd "$REPO" && sbt -batch compile >/dev/null 2>&1)
 
+# JVM stderr goes to a per-invocation log, NOT /dev/null: a failing
+# round (missing fixture, OOM, a query name the CONTROL build does not
+# register — Bench now fails loudly on unknown args) used to abort the
+# sweep under set -e with zero diagnostic after potentially hours of
+# interleaved runs (round-18 review finding).
+ABLOG="/tmp/graft_ab_sweep_$$.log"
+echo "[ab] per-run JVM stderr -> $ABLOG" >&2
+
 run_one() { # $1 = cwd (also classes root), prints total seconds
   local d="$1"
   (cd "$d" && SPARK_GRAFT_SF_DIR="$SF_DIR" \
     java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -Xmx16g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-      graft.Bench "${QUERIES[@]}" 2>/dev/null | grep -o '"value":[0-9.]*' \
+      graft.Bench "${QUERIES[@]}" 2>>"$ABLOG" | grep -o '"value":[0-9.]*' \
       | head -1 | cut -d: -f2)
 }
 
