@@ -29,6 +29,23 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // AQE's coalesce floor (default 1m) prices a post-shuffle partition
+    // in BYTES, but this engine's hot kernels are compute-heavy per
+    // byte (shingle set intersection, window ranking over exploded
+    // shingles): a 5 MB shuffle coalesced to ceil(5m/1m)=5 partitions
+    // single-threads ~10 task-seconds of verification work, and a
+    // localCheckpoint downstream then FREEZES that 1-5-partition
+    // layout for every consumer (measured: d13's verify stage ran 4
+    // tasks/9.9 task-s; admission-gate cycles degraded to sequential
+    // 1-task stages — OPTIMIZATION_r18.md). 64k keeps the floor from
+    // binding before target=totalBytes/defaultParallelism does, so
+    // small-byte stages spread toward core count while genuinely tiny
+    // (<64k/part) shuffles still collapse. Scale-neutral by
+    // construction: at production shuffle sizes totalBytes/parallelism
+    // exceeds any floor and this knob is inert (overridable via env
+    // for deployments that want the byte-floor back).
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
     // CBO parity with the reference's Calcite cost model (SURVEY.md §4.1):
     // ANALYZE-collected stats drive join reorder + build-side selection.
     .config("spark.sql.cbo.enabled", "true")

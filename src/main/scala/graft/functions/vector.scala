@@ -140,6 +140,72 @@ case class LongVecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Σ(aᵢ−bᵢ)² over two array<bigint> columns in EXACT long arithmetic —
+  * the squared-distance twin of [[LongVecDot]], shared by the PQ
+  * family's ADC/rerank kernels (s07/s07b) and d07b's one Lloyd round.
+  * The HOF formulation (`aggregate(zip_with((x,y) -> (x-y)*(x-y)))`)
+  * allocates a dims-length intermediate array per PAIR at N·k pair
+  * counts (the header's cost note); this loops over the unsafe array
+  * data with zero allocation inside whole-stage codegen. Strict
+  * left-to-right summation, exact while the caller's grid bound keeps
+  * |Σ| < 2⁶³ (the LongVecDot contract) — bit-identical to the HOF form
+  * and the oracle's BIGINT algebra below that bound. STRICT on length,
+  * same rationale as the dot kernels. */
+case class LongVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"lvec_sqdist expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw LongVecDot.lengthMismatch(n, y.numElements())
+    }
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.LongVecDot.lengthMismatch(
+         |    $n, $b.numElements());
+         |}
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  ${ev.value}_acc += $d * $d;
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object LongVecDot {
   /** Shared by ALL the dot kernels' interpreted and codegen paths so
     * they can never disagree on the failure mode (must be public —

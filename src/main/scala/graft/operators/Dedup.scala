@@ -844,15 +844,25 @@ object Dedup {
     // computation a second time
     val nodes = edges.select($"u".as("n"))
       .union(edges.select($"v".as("n"))).distinct().localCheckpoint()
+    // The previous round's count is CARRIED instead of re-counting the
+    // checkpointed set every round (they are the same number by
+    // construction) — one fewer driver-sequential job per round, and
+    // this loop's rounds are latency-bound, not byte-bound, at fixture
+    // scale. (Batching TWO star rounds per materialization was tried
+    // and MEASURED SLOWER — 7.2-9.3 s vs 4.1-5.4 s on d06 at sf0.1:
+    // the overshoot rounds past the fixed point cost more than the
+    // saved checkpoint cadence when the graph contracts in few rounds.)
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
       // both sides are distinct sets: equal counts + one-way inclusion
       // is full set equality at half the except() cost
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     // fixed point is a forest of depth-1 stars rooted at component minima
@@ -1175,11 +1185,15 @@ object Dedup {
     // one Lloyd round: integer argmin over broadcast seeds (struct-min
     // = map-side-combinable argmin with the (d2, c_id) tie-break), then
     // integer per-dim (sum, count) centroid state
+    // Σ(x−c)² through the codegen'd exact-long kernel too (round-18):
+    // this is the N×16 crossJoin stage, the same per-pair-allocation
+    // cost idot was moved off of
     val assign0 = q0.crossJoin(broadcast(seeds))
       .groupBy($"vec_id")
       .agg(min(struct(
-        aggregate(zip_with($"qx", $"cv", (x, c) => (x - c) * (x - c)),
-          lit(0L), _ + _).as("d2"), $"c_id", $"qx")).as("best"))
+        column(graft.functions.LongVecSqDist(
+          expression($"qx"), expression($"cv"))).as("d2"),
+        $"c_id", $"qx")).as("best"))
       .select($"best.c_id".as("c_id"), $"best.qx".as("qx"))
     val refined = assign0
       .select($"c_id", posexplode($"qx").as(Seq("p", "x")))

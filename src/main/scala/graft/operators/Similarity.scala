@@ -602,8 +602,15 @@ object Similarity {
       : (DataFrame, Seq[DataFrame], DataFrame) = {
     import s.implicits._
     val dvec = transform($"embedding", x => x.cast("double"))
+    // the codegen'd double kernel, not aggregate(zip_with(...)): the
+    // HOF form allocates a dims-length intermediate array per (point,
+    // centroid) pair — N·k·rounds allocations in the assign pass, the
+    // exact cost vector.scala's header documents. Summation is strict
+    // left-to-right double in BOTH forms, so every SSE/assignment is
+    // bit-identical (round-18 optimization; guide §4's
+    // prefer-codegen-expressions rule).
     def ddot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+      column(graft.functions.DoubleVecDot(expression(a), expression(b)))
 
     // materialized once: every Lloyd round's assign pass re-reads pts
     // (rounds+1 embedding decodes without it; persist(DISK) at scale)
@@ -834,9 +841,12 @@ object Similarity {
   }
 
   /** Exact integer Σ(aᵢ−bᵢ)² over two long arrays — the PQ family's
-    * one distance kernel (shared by s07/s07b and their coarse layer). */
+    * one distance kernel (shared by s07/s07b and their coarse layer).
+    * Codegen'd [[graft.functions.LongVecSqDist]] (round-18): the HOF
+    * form allocated a 64-element array per pair at the rerank's
+    * candidate×query pair counts; exact long math, bit-identical. */
   private def sqSumL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    column(graft.functions.LongVecSqDist(expression(a), expression(b)))
 
   /** The PQ train/encode intermediates SHARED by s07 (exhaustive ADC
     * ground truth) and s07b (IVF-restricted ADC — the production

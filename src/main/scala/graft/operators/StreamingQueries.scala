@@ -1163,12 +1163,16 @@ object StreamingQueries {
       qg: org.apache.spark.sql.DataFrame,
       batchDocs: org.apache.spark.sql.DataFrame,
       idx: String, leg: String): Unit = {
+    // `admitted` feeds ONLY `routed`, whose own checkpoint below
+    // materializes the whole chain exactly once — a checkpoint here
+    // would be a second full materialization pass for nothing (the
+    // round-18 profile: admission-cycle wall is driver-sequential
+    // actions, so every removed job is wall-clock)
     val admitted = batchDocs
       .select(col("doc_id"),
         explode(Dedup.shingles(Dedup.toks(col("text")))).as("g"))
       .join(vocab, "g")
       .select(col("g"), col("doc_id"))
-      .localCheckpoint() // postings AND sizes consume it
     val routed = admitted
       .join(qg.withColumn("inqg", lit(1)), Seq("g"), "left")
       .na.fill(0, Seq("inqg"))

@@ -16,9 +16,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-SCHEMA cache (round-18 optimization): every
+    * `spark.read.parquet(path)` call eagerly reads a parquet footer on
+    * the driver to infer the schema — a bench/verify run builds each
+    * fixture table's DataFrame hundreds of times, paying hundreds of
+    * redundant footer reads for ten immutable files. The key mixes
+    * path + length + mtime, so a regenerated fixture (the tmp/sf1
+    * stress generator) re-infers instead of serving a stale schema.
+    * Metadata only — no query RESULT is ever cached here (the
+    * no-result-memo rule): every query still computes from the parquet
+    * bytes. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  private def cachedSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p) // missing file fails loudly, like read
+    val key = s"$path@${st.getLen}:${st.getModificationTime}"
+    schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val path = s"$dir/$name.parquet"
+      spark.read.schema(cachedSchema(spark, path)).parquet(path)
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -37,7 +63,12 @@ object Tables {
     * schema so both generations load identically. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
+    val path = s"$d/events.parquet"
+    // same schema cache as table(); the nanosAsLong conf above governs
+    // both the one-time inference and every subsequent scan, so the
+    // cached schema (ts: long under the NANOS encoding) replays
+    // identically
+    val raw = s.read.schema(cachedSchema(s, path)).parquet(path)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions
